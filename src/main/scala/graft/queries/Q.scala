@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named query of the engine's operator surface: the Spark plan
+  * builder plus (when SQL-expressible) the equivalent ANSI SQL the
+  * DuckDB oracle runs over the same parquet tables.
+  *
+  * Oracle-determinism rules used throughout the catalog (see
+  * SURVEY.md §7.4):
+  *  - aggregations over money/quantity doubles go through DECIMAL
+  *    casts (exact, associative — immune to partition/accumulation
+  *    order on both engines); final outputs are cast back to DOUBLE;
+  *  - every query ends in an explicit total ORDER BY with a unique
+  *    deterministic tiebreak;
+  *  - timestamps are emitted as epoch-millis BIGINT (sidesteps
+  *    ns-vs-µs precision and timezone rendering);
+  *  - min/max/first/last over raw doubles are fine (order-independent
+  *    or uniquely selected); sums/avgs of raw doubles are not.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+
+  /** Read one testdata table. Plain parquet scan — filters/projection
+    * placed on top are pushed into the vectorized reader by Catalyst,
+    * which is the whole 100 TB story: scan only the needed columns
+    * and row groups. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries a parquet TIMESTAMP(NANOS) column that Spark
+    * does not map to a native type; read it as epoch-nanos long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive ms/µs
+    * explicitly. Integer `DIV` (not `/`) — ns magnitudes exceed
+    * double's 2^53 exact range. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+  }
+
+  /** exact decimal view of a ≤4-decimal double (quantities, prices,
+    * balances, event values in the testdata are all 4-decimal). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** money column sized so products with two `frac` factors stay
+    * within Spark's 38-digit cap without rounding:
+    * (14,4)*(6,4) -> (21,8); *(6,4) -> (28,12); sum -> (38,12). */
+  def money(c: Column): Column = c.cast(DecimalType(14, 4))
+
+  /** (1 ± x) discount/tax factor, pinned to DECIMAL(6,4). */
+  def oneMinus(c: Column): Column =
+    (lit(1) - c.cast(DecimalType(8, 4))).cast(DecimalType(6, 4))
+  def onePlus(c: Column): Column =
+    (lit(1) + c.cast(DecimalType(8, 4))).cast(DecimalType(6, 4))
+
+  def d(c: Column): Column = c.cast("double")
+
+  /** DuckDB-side spellings of the same casts. */
+  val sqlDec = "DECIMAL(18,4)"
+  def sumDec(col: String): String =
+    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DOUBLE)"
+  /** DuckDB: epoch-millis of the naive ns timestamp, truncating like
+    * Spark's `ts DIV 1000000`. */
+  val tsMs = "epoch_ms(CAST(ts AS TIMESTAMP))"
+}

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB with views over
+the sfDir tables, and compares row count, column names and values.
+Dev-only tooling (driver-side python), not part of the Scala library.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} "
+                  f"got={list(got.columns)}")
+            failures += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            failures += 1
+            continue
+        bad = 0
+        first = None
+        for c in exp.columns:
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                a, b = norm(a), norm(b)
+                if a is None and b is None:
+                    continue
+                eq = (a == b)
+                if not eq and isinstance(a, float) and isinstance(b, float):
+                    eq = (a != a and b != b)
+                if not eq:
+                    try:  # pandas NaT/None mismatch tolerance for pd.isna pairs
+                        import pandas as pd
+                        if pd.isna(a) and pd.isna(b):
+                            eq = True
+                    except Exception:
+                        pass
+                if not eq:
+                    bad += 1
+                    if first is None:
+                        first = (c, i, a, b)
+        if bad:
+            c, i, a, b = first
+            print(f"FAIL {name}: {bad} value mismatches; first col={c} "
+                  f"row={i} exp={a!r} got={b!r}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(exp)} rows, {len(exp.columns)} cols")
+    # queries without oracle: rows-only
+    import os
+    declared = set(oracle)
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in declared:
+            n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            print(f"ROWS-ONLY {d}: {n} rows")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
