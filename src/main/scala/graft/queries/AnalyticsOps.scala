@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import Q._
+
+/** Market-analytics surface: the consumer-side derivations of the
+  * reference (best bid/ask, mid-price, spread — A4-A6,
+  * `tests/test_redis-data-full.py:49-52`; top-of-book slices — O1,
+  * `tests/test_redis-data.py:74-75`) plus the joins the domain
+  * naturally needs (range join, as-of trade↔quote alignment,
+  * SURVEY.md §2.3).
+  */
+object AnalyticsOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // §2.3 — equi+range predicate join (interval matching). The equi
+    // key keeps it a hash join; the range predicate is evaluated
+    // post-match, so no nested-loop blowup at scale.
+    QueryDef("q21_range_join",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") >= col("p_size") - 2 &&
+            col("l_quantity") <= col("p_size") + 2)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(money(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey
+        |  AND l_quantity >= p_size - 2 AND l_quantity <= p_size + 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // §2.3 — AS-OF join (trade↔quote alignment): for each purchase,
+    // the most recent click value of the same user at or before it.
+    // Composed from built-ins: union the two streams on one time axis,
+    // carry the quote forward with last(ignoreNulls) over an ordered
+    // per-key frame — one shuffle on the key, no range self-join.
+    QueryDef("q22_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("ts"), col("ts_ms"), col("user_id"),
+            col("event_type"), col("value"))
+          .withColumn("c_val",
+            when(col("event_type") === "click", col("value")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click", last(col("c_val"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("value"), col("last_click"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    CASE WHEN event_type = 'click' THEN value END AS c_val
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (
+        |  SELECT *, last_value(c_val IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM u)
+        |SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  value, last_click
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // A4-A6 — best bid / best ask / mid-price / spread
+    // (tests/test_redis-data-full.py:49-52) over keyed hourly windows:
+    // views quote the bid side, clicks the ask side.
+    QueryDef("q23_best_bid_ask",
+      (s, dir) => events(s, dir)
+        .withColumn("bucket_ms", expr("ts DIV 3600000000000 * 3600000"))
+        .groupBy(col("bucket_ms"), col("user_id"))
+        .agg(max(when(col("event_type") === "view", col("value"))).as("best_bid"),
+          min(when(col("event_type") === "click", col("value"))).as("best_ask"))
+        .filter(col("best_bid").isNotNull && col("best_ask").isNotNull)
+        .withColumn("mid_price", (col("best_bid") + col("best_ask")) / 2)
+        .withColumn("spread", col("best_ask") - col("best_bid"))
+        .orderBy(col("bucket_ms"), col("user_id")),
+      Some("""SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_ms,
+        |  user_id,
+        |  max(CASE WHEN event_type = 'view' THEN value END) AS best_bid,
+        |  min(CASE WHEN event_type = 'click' THEN value END) AS best_ask,
+        |  (max(CASE WHEN event_type = 'view' THEN value END)
+        |   + min(CASE WHEN event_type = 'click' THEN value END)) / 2 AS mid_price,
+        |  min(CASE WHEN event_type = 'click' THEN value END)
+        |   - max(CASE WHEN event_type = 'view' THEN value END) AS spread
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING best_bid IS NOT NULL AND best_ask IS NOT NULL
+        |ORDER BY bucket_ms, user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // P2/F1/F2/F11/O1/A4 — the full order-book wire round trip: build
+    // a best-first [[price,qty],...] book per key, serialize to the
+    // reference's JSON-string wire format (`binance-di.py:45-46`),
+    // parse it back (`tests/test_redis-data.py:71-72`), then derive
+    // top-of-book metrics by array indexing and a top-3 slice — all
+    // inside one plan. The oracle computes the same metrics
+    // relationally, proving the round trip is lossless.
+    QueryDef("q24_orderbook_roundtrip",
+      (s, dir) => {
+        val levels = t(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          struct((-col("l_extendedprice")).as("np"),
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("q")).as("lvl"))
+        levels.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("lvl"))).as("sorted"))
+          // wire format: best-first [[price, qty], ...] JSON string
+          .withColumn("bids_json", to_json(transform(col("sorted"),
+            x => array((-x.getField("np")).cast("string"),
+              x.getField("q").cast("string")))))
+          .select(col("l_orderkey"), col("bids_json"))
+          // consumer side: parse the JSON wire string back
+          .withColumn("book",
+            from_json(col("bids_json"), ArrayType(ArrayType(StringType))))
+          .select(col("l_orderkey"),
+            element_at(element_at(col("book"), 1), 1).cast("double").as("best_bid"),
+            element_at(element_at(col("book"), 1), 2).cast("double").as("best_bid_qty"),
+            size(col("book")).cast("long").as("n_levels"),
+            aggregate(
+              transform(slice(col("book"), 1, 3),
+                x => element_at(x, 2).cast("double")),
+              lit(0.0), (acc, x) => acc + x).as("top3_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH ranked AS (
+        |  SELECT l_orderkey, l_extendedprice, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey,
+        |  max(CASE WHEN rn = 1 THEN l_extendedprice END) AS best_bid,
+        |  max(CASE WHEN rn = 1 THEN l_quantity END) AS best_bid_qty,
+        |  count(*) AS n_levels,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN l_quantity ELSE 0 END) AS DOUBLE) AS top3_qty
+        |FROM ranked
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin))
+  )
+}
