@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Training-data text pipeline: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), quality scoring, token statistics,
+  * language profiling, document fingerprinting — the north-star
+  * extension surface over `documents`.
+  *
+  * Scale design: everything is expressed as explode → hash-aggregate →
+  * hash-join, so each stage is one shuffle keyed by doc/shingle/band.
+  * The only quadratic step (exact Jaccard) runs strictly on LSH or
+  * length-block candidates, never all pairs. All hashing is md5-based
+  * so the DuckDB oracle computes bit-identical signatures.
+  */
+object TextOps {
+
+  /** whitespace tokens of the (lowercased, trimmed) text; mirrors
+    * DuckDB `regexp_split_to_array(trim(lower(text)), '\s+')`. */
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private val tokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** distinct word 3-gram shingles of a token array (guarded for
+    * short docs: Spark's `sequence` misbehaves when start > stop). */
+  private def shingles(tk: Column): Column =
+    when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2),
+          element_at(tk, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      shingles(toks(col("text"))).as("shingles"))
+
+  private val shingleSql =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(tk)-2),
+       |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingles
+       |  FROM (SELECT doc_id, $tokSql AS tk FROM documents))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup: content-hash groupBy with deterministic canonical
+    // selection (min doc_id). Input unions two identical "crawl
+    // snapshots" so the drop is observable. At 100 TB this is one
+    // shuffle on a 128-bit hash — never on the text itself.
+    QueryDef("q30_dedup_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.unionByName(docs)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT md5(text) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: length / token / stopword ratio heuristics.
+    QueryDef("q31_text_quality",
+      (s, dir) => {
+        val tk = toks(col("text"))
+        val stop = Seq("the", "a", "of", "and", "to")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(tk).cast("long").as("n_tokens"),
+          (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
+            / size(tk)).as("avg_token_len"),
+          (size(filter(tk, x => x.isInCollection(stop))).cast("double")
+            / size(tk)).as("stopword_ratio"),
+          when(size(tk).between(10, 1000) &&
+            size(filter(tk, x => x.isInCollection(stop))).cast("double")
+              / size(tk) < 0.5, 1L).otherwise(0L).as("quality_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+        |    / len(tk) AS avg_token_len,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+        |    / len(tk) AS stopword_ratio,
+        |  CASE WHEN len(tk) BETWEEN 10 AND 1000
+        |    AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+        |      / len(tk) < 0.5
+        |    THEN 1 ELSE 0 END AS quality_ok
+        |FROM (SELECT doc_id, text, $tokSql AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Token counting / vocabulary: explode + hash-agg + top-k.
+    QueryDef("q32_token_topk",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some(s"""SELECT token, count(*) AS n
+        |FROM (SELECT unnest($tokSql) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting: whitespace-normalized content hash,
+    // order-insensitive bag-of-words hash, and a 60-bit integer
+    // fingerprint (md5 prefix) for compact storage/joins.
+    QueryDef("q33_fingerprint",
+      (s, dir) => {
+        val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(norm).as("fp_norm"),
+          md5(concat_ws(" ", array_sort(toks(col("text"))))).as("fp_bow"),
+          conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp_int60"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_norm,
+        |  md5(array_to_string(list_sort($tokSql), ' ')) AS fp_bow,
+        |  CAST(('0x' || substring(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp_int60
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Language-ID heuristic: stopword-profile hit counts + argmax
+    // (n-gram-profile language identification shaped for the synthetic
+    // corpus; real profiles are a config swap).
+    QueryDef("q34_lang_profile",
+      (s, dir) => {
+        val tk = toks(col("text"))
+        def hits(words: Seq[String]) =
+          size(filter(tk, x => x.isInCollection(words))).cast("long")
+        val s1 = hits(Seq("the", "a", "of"))
+        val s2 = hits(Seq("table", "row", "column"))
+        val s3 = hits(Seq("stream", "batch", "window"))
+        t(s, dir, "documents").select(
+          col("doc_id"), s1.as("s_article"), s2.as("s_tabular"), s3.as("s_streaming"),
+          when(s1 >= s2 && s1 >= s3, "article")
+            .when(s2 >= s3, "tabular")
+            .otherwise("streaming").as("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of'))) AS BIGINT) AS s_article,
+        |  CAST(len(list_filter(tk, x -> x IN ('table','row','column'))) AS BIGINT) AS s_tabular,
+        |  CAST(len(list_filter(tk, x -> x IN ('stream','batch','window'))) AS BIGINT) AS s_streaming,
+        |  CASE
+        |    WHEN len(list_filter(tk, x -> x IN ('the','a','of'))) >= len(list_filter(tk, x -> x IN ('table','row','column')))
+        |     AND len(list_filter(tk, x -> x IN ('the','a','of'))) >= len(list_filter(tk, x -> x IN ('stream','batch','window')))
+        |    THEN 'article'
+        |    WHEN len(list_filter(tk, x -> x IN ('table','row','column'))) >= len(list_filter(tk, x -> x IN ('stream','batch','window')))
+        |    THEN 'tabular'
+        |    ELSE 'streaming' END AS predicted
+        |FROM (SELECT doc_id, $tokSql AS tk FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Exact n-gram Jaccard near-dup pairs within token-count blocks
+    // (the quadratic step is bounded per block; the unblocked scale
+    // path is q36's LSH).
+    QueryDef("q35_jaccard_block",
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+          .join(t(s, dir, "documents").select(col("doc_id"),
+            size(toks(col("text"))).as("ntk")), "doc_id")
+          .withColumn("bkt", expr("ntk DIV 16"))
+        val a = sh.select(col("doc_id").as("da"), col("shingles").as("sa"), col("bkt"))
+        val b = sh.select(col("doc_id").as("db"), col("shingles").as("sb"),
+          col("bkt").as("bkt2"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        a.join(b, col("bkt") === col("bkt2") && col("da") < col("db"))
+          .withColumn("jaccard", inter.cast("double")
+            / (size(col("sa")) + size(col("sb")) - inter))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("da"), col("db"), col("jaccard"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH $shingleSql,
+        |blocked AS (
+        |  SELECT s.doc_id, s.shingles, len($tokSql) // 16 AS bkt
+        |  FROM sh s JOIN documents USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / (len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        |  FROM blocked a JOIN blocked b
+        |    ON a.bkt = b.bkt AND a.doc_id < b.doc_id)
+        |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY da, db""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH near-dup detection — the 100 TB dedup path:
+    // shingle → 16 md5 minhashes → 4 bands of 4 → band-bucket
+    // self-join for candidates → exact Jaccard verification on
+    // candidates only. No all-pairs step anywhere.
+    QueryDef("q36_minhash_lsh",
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+        val hashed = sh
+          .select(col("doc_id"), explode(col("shingles")).as("s"))
+          .withColumn("seed", explode(sequence(lit(0), lit(15))))
+          .groupBy(col("doc_id"), col("seed"))
+          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s"))))
+            .as("mh"))
+        val bands = hashed
+          .withColumn("band_id", expr("seed DIV 4"))
+          .groupBy(col("doc_id"), col("band_id"))
+          .agg(md5(array_join(transform(
+            sort_array(collect_list(struct(col("seed"), col("mh")))),
+            x => x.getField("mh")), ",")).as("bh"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
+          .withColumn("jaccard", inter.cast("double")
+            / (size(col("sa")) + size(col("sb")) - inter))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da"), col("db"), col("jaccard"))
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH $shingleSql,
+        |exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hashed AS (
+        |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+        |  FROM exploded CROSS JOIN (SELECT unnest(range(16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band_id,
+        |    md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+        |  FROM hashed GROUP BY doc_id, seed // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |verified AS (
+        |  SELECT da, db,
+        |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / (len(x.shingles) + len(y.shingles)
+        |         - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db)
+        |SELECT da, db, jaccard FROM verified WHERE jaccard >= 0.8
+        |ORDER BY da, db""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SimHash: 16-bit signature from md5-derived token hashes —
+    // per-bit majority vote, all in one hash-agg (no bit explosion).
+    QueryDef("q37_simhash",
+      (s, dir) => {
+        val h = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
+        val exploded = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+          .withColumn("h", h)
+        val bitSums = (0 until 16).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"s$j"))
+        val sig = (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _)
+        exploded.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), sig.as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSum = (j: Int) =>
+          s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+        val sig = (0 until 16)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH exploded AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
+           |sums AS (
+           |  SELECT doc_id, ${(0 until 16).map(bitSum).mkString(", ")}
+           |  FROM exploded GROUP BY doc_id)
+           |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
+      })
+  )
+}
