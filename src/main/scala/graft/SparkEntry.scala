@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** the full catalog, in module order. */
   def catalog: Seq[QueryDef] =
-    CoreOps.defs ++ ScalarOps.defs ++ AnalyticsOps.defs ++ TextOps.defs
+    CoreOps.defs ++ ScalarOps.defs ++ AnalyticsOps.defs ++ TextOps.defs ++
+      SimilarityOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

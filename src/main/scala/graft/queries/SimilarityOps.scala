@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Embedding similarity search over `embeddings` (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline and a
+  * sign-random-projection LSH bucket path as the approximate
+  * 100 TB-scale variant (bucket join replaces the full cross product).
+  *
+  * Oracle determinism: vectors are quantized to integers
+  * (`floor(x*10000 + 0.5)` — pure IEEE ops, identical in DuckDB), so
+  * dot products and norms are exact integer sums, order-independent;
+  * the only float ops (sqrt, one division) are single correctly-
+  * rounded IEEE operations on identical operands.
+  *
+  * Full-precision float kernels (for production use where an oracle
+  * isn't hashing results) are the same expressions minus the
+  * quantization step.
+  */
+object SimilarityOps {
+
+  /** quantized integer view of the float vector. */
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))"
+
+  /** exact integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** exact integer squared norm. */
+  private def nrm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  private def cosine(dotC: Column, na: Column, nb: Column): Column =
+    dotC.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), quant(col("embedding")).as("v"))
+      .withColumn("n2", nrm2(col("v")))
+
+  private val dotSql =
+    "CAST(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * ev[i+1])) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-k: the correctness baseline. The small
+    // query set is broadcast against the corpus — a map-side cross
+    // product with no shuffle of the big side; ranking shuffles only
+    // (qid, cosine) pairs.
+    QueryDef("q40_knn_bruteforce",
+      (s, dir) => {
+        val all = vecs(s, dir)
+        val queries = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+        val corpus = all
+          .select(col("vec_id"), col("v").as("ev"), col("n2").as("en2"))
+        val scored = corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST($dotSql AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
+        |  FROM (SELECT vec_id, v AS qv, n2 FROM normed WHERE vec_id < 10) q
+        |  CROSS JOIN (SELECT vec_id, v AS ev, n2 FROM normed) e
+        |  WHERE e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ANN via sign-random-projection LSH: 8 md5-seeded ±1 hyperplanes
+    // → integer projections → 8-bit bucket; candidates = same-bucket
+    // join; exact cosine re-rank on candidates only. At scale the
+    // cross product becomes a bucket-keyed equi join.
+    QueryDef("q41_knn_lsh",
+      (s, dir) => {
+        val all = vecs(s, dir)
+        val signs = s.range(8).toDF("p")
+          .crossJoin(s.range(64).toDF("i"))
+          .withColumn("sg",
+            when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
+              col("i").cast("string"))), 1, 2), 16, 10).cast("long")
+              .bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        val proj = all
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+          .join(broadcast(signs), "i")
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(col("sg") * col("x")).as("pr"))
+        val buckets = proj.groupBy(col("vec_id"))
+          .agg(sum(when(col("pr") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
+            .as("b"))
+        val withB = all.join(buckets, "vec_id")
+        val queries = withB.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("n2").as("qn2"), col("b"))
+        val cands = withB
+          .select(col("vec_id"), col("v").as("ev"), col("n2").as("en2"),
+            col("b").as("b2"))
+          .join(broadcast(queries),
+            col("b") === col("b2") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        cands.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |signs AS (
+        |  SELECT p, i,
+        |    CASE WHEN (CAST(('0x' || substring(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS i)),
+        |proj AS (
+        |  SELECT n.vec_id, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
+        |  FROM normed n CROSS JOIN signs s
+        |  GROUP BY n.vec_id, s.p),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
+        |  FROM proj GROUP BY vec_id),
+        |withb AS (
+        |  SELECT n.vec_id, n.v, n.n2, b.b
+        |  FROM normed n JOIN buckets b USING (vec_id)),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST($dotSql AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
+        |  FROM (SELECT vec_id, v AS qv, n2, b FROM withb WHERE vec_id < 10) q
+        |  JOIN (SELECT vec_id, v AS ev, n2, b FROM withb) e
+        |    ON q.b = e.b AND e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Per-label centroids (the IVF coarse-quantizer build step):
+    // posexplode → (label, dim) hash-agg; exact integer sums, one
+    // deterministic division at the end.
+    QueryDef("q42_label_centroids",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(quant(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg((sum(col("x")).cast("double") / count(lit(1)) / 10000)
+          .as("centroid"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim")),
+      Some(s"""WITH qv AS (
+        |  SELECT CAST(label AS BIGINT) AS label, $quantSql AS v FROM embeddings),
+        |exploded AS (
+        |  SELECT label, i AS dim, v[i + 1] AS x
+        |  FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(sum(x) AS DOUBLE) / count(*) / 10000 AS centroid,
+        |  count(*) AS n
+        |FROM exploded GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin))
+  )
+}
