@@ -14,6 +14,12 @@ import graft.model.Schemas
   * projected columns are ever read, and no UDF breaks whole-stage
   * codegen. Missing input keys yield nulls (`.get()` semantics,
   * reference P8) because every schema field is nullable.
+  *
+  * NOTE: exchange wire frames carry case-significant single-letter
+  * keys (`p` price-change vs `P` percent, `e` type vs `E` time), so
+  * sessions parsing RAW frames must set `spark.sql.caseSensitive=true`
+  * or column resolution is ambiguous. The projected (long-name)
+  * schemas have no collisions.
   */
 object Projections {
 

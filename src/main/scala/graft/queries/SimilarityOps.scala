@@ -94,42 +94,51 @@ object SimilarityOps {
         |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // ANN via sign-random-projection LSH: 8 md5-seeded ±1 hyperplanes
-    // → integer projections → 8-bit bucket; candidates = same-bucket
-    // join; exact cosine re-rank on candidates only. At scale the
-    // cross product becomes a bucket-keyed equi join.
+    // ANN via multi-table sign-random-projection LSH: 8 hash tables ×
+    // 4 md5-seeded ±1 hyperplanes each → per-table 4-bit buckets;
+    // candidates = union of same-(table,bucket) matches; exact cosine
+    // re-rank on the candidate set only. Multiple tables trade
+    // candidate volume for recall (single-table sign-LSH recall
+    // collapses when true neighbors sit near 70°, as here). At scale
+    // every stage is an equi join/agg keyed on (table, bucket).
     QueryDef("q41_knn_lsh",
       (s, dir) => {
         val all = vecs(s, dir)
-        val signs = s.range(8).toDF("p")
+        val signs = s.range(8).toDF("tbl")
+          .crossJoin(s.range(4).toDF("p"))
           .crossJoin(s.range(64).toDF("i"))
           .withColumn("sg",
-            when(conv(substring(md5(concat(col("p").cast("string"), lit("_"),
-              col("i").cast("string"))), 1, 2), 16, 10).cast("long")
+            when(conv(substring(md5(concat_ws("_", col("tbl"), col("p"),
+              col("i"))), 1, 2), 16, 10).cast("long")
               .bitwiseAND(1) === 1, 1L).otherwise(-1L))
         val proj = all
           .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
           .join(broadcast(signs), "i")
-          .groupBy(col("vec_id"), col("p"))
+          .groupBy(col("vec_id"), col("tbl"), col("p"))
           .agg(sum(col("sg") * col("x")).as("pr"))
-        val buckets = proj.groupBy(col("vec_id"))
+        val buckets = proj.groupBy(col("vec_id"), col("tbl"))
           .agg(sum(when(col("pr") > 0,
             expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
             .as("b"))
-        val withB = all.join(buckets, "vec_id")
-        val queries = withB.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("n2").as("qn2"), col("b"))
-        val cands = withB
-          .select(col("vec_id"), col("v").as("ev"), col("n2").as("en2"),
-            col("b").as("b2"))
-          .join(broadcast(queries),
-            col("b") === col("b2") && col("vec_id") =!= col("qid"))
+        val qBuckets = buckets.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("tbl").as("qtbl"),
+            col("b").as("qb"))
+        val cand = buckets
+          .join(broadcast(qBuckets),
+            col("tbl") === col("qtbl") && col("b") === col("qb")
+              && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+        val queries = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+        val scored = cand
+          .join(all.select(col("vec_id"), col("v").as("ev"), col("n2").as("en2")),
+            "vec_id")
+          .join(broadcast(queries), "qid")
           .select(col("qid"), col("vec_id"),
             cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        cands.withColumn("rank", row_number().over(w))
+        scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank").cast("long").as("rank"),
             col("vec_id"), col("cosine"))
@@ -142,28 +151,32 @@ object SimilarityOps {
         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
         |  FROM qv),
         |signs AS (
-        |  SELECT p, i,
-        |    CASE WHEN (CAST(('0x' || substring(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |  SELECT tbl, p, i,
+        |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
         |      THEN 1 ELSE -1 END AS sg
-        |  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS i)),
+        |  FROM (SELECT unnest(range(8)) AS tbl),
+        |       (SELECT unnest(range(4)) AS p),
+        |       (SELECT unnest(range(64)) AS i)),
         |proj AS (
-        |  SELECT n.vec_id, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
+        |  SELECT n.vec_id, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
         |  FROM normed n CROSS JOIN signs s
-        |  GROUP BY n.vec_id, s.p),
+        |  GROUP BY n.vec_id, s.tbl, s.p),
         |buckets AS (
-        |  SELECT vec_id,
+        |  SELECT vec_id, tbl,
         |    sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
-        |  FROM proj GROUP BY vec_id),
-        |withb AS (
-        |  SELECT n.vec_id, n.v, n.n2, b.b
-        |  FROM normed n JOIN buckets b USING (vec_id)),
+        |  FROM proj GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, e.vec_id
+        |  FROM (SELECT * FROM buckets WHERE vec_id < 10) q
+        |  JOIN buckets e ON q.tbl = e.tbl AND q.b = e.b
+        |    AND e.vec_id <> q.vec_id),
         |scored AS (
-        |  SELECT q.vec_id AS qid, e.vec_id,
+        |  SELECT c.qid, c.vec_id,
         |    CAST($dotSql AS DOUBLE)
         |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
-        |  FROM (SELECT vec_id, v AS qv, n2, b FROM withb WHERE vec_id < 10) q
-        |  JOIN (SELECT vec_id, v AS ev, n2, b FROM withb) e
-        |    ON q.b = e.b AND e.vec_id <> q.vec_id),
+        |  FROM cand c
+        |  JOIN (SELECT vec_id, v AS qv, n2 FROM normed) q ON q.vec_id = c.qid
+        |  JOIN (SELECT vec_id, v AS ev, n2 FROM normed) e ON e.vec_id = c.vec_id),
         |ranked AS (
         |  SELECT qid, vec_id, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** one multiplexed record of the ingest queue — the
+  * `(stream_key, symbol, payload)` triple of `binance-di.py:109,125`,
+  * with the payload as a JSON string (flat-entry discipline). */
+case class Envelope(stream: String, symbol: String, data: String)
+
+/** Streaming semantics of the reference (SURVEY.md §2.9) on
+  * Structured Streaming: per-key sample limiting (`--samples N`,
+  * `binance-di.py:111-115`), event-time windows with watermarks (the
+  * kline tumbling intervals the reference only consumes), and
+  * per-key stateful counters (the writer-state pattern of
+  * `binance-di.py:155-191`).
+  *
+  * All functions work identically on batch frames (state starts
+  * empty), which is how the batch specs pin their semantics.
+  */
+object Streams {
+
+  /** S3 — `--samples N` is per (stream, symbol) producer, not global
+    * (SURVEY.md §7.4): keep the first `n` records per key. Streaming
+    * path: explicit per-key state; emits nothing once the key's quota
+    * is exhausted. */
+  def limitPerKeyStream(ds: Dataset[Envelope], n: Int): Dataset[Envelope] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.stream, e.symbol))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (String, String), it: Iterator[Envelope],
+         state: GroupState[Long]) => {
+          val taken = state.getOption.getOrElse(0L)
+          val out = it.take(math.max(0, n - taken).toInt).toSeq
+          state.update(taken + out.size)
+          out.iterator
+        })
+  }
+
+  /** batch equivalent of the per-key limit (deterministic when an
+    * ordering column is given). */
+  def limitPerKeyBatch(df: DataFrame, n: Int, orderCol: String,
+      keys: Seq[String] = Seq("stream", "symbol")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** T3 — tumbling event-time counts with a watermark (T2): the
+    * kline-interval aggregation computed rather than consumed. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** T3 — sliding-window average. */
+  def slidingAvg(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "5 minutes", slide: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+
+  /** T3 — session windows (gap-based). */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** A7 streaming — OHLCV candles from a trade stream; open/close via
+    * min_by/max_by on the event-time (streaming-safe: no rank
+    * window), volume summed exactly. */
+  def ohlcvStream(trades: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    trades.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(
+        min_by(col("value"), col(tsCol)).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col(tsCol)).as("close"),
+        sum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+
+  /** T4 — per-key running counter (the writer-state pattern): emits
+    * (key, runningCount) updates per batch. */
+  def runningCountPerKey(ds: Dataset[Envelope]): Dataset[(String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => s"${e.stream}:${e.symbol}")
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[Envelope], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (key, n)
+        })
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+
+/** Sink behavior (SURVEY.md §2.1): keyed partitioned layout, rotation
+  * file counts (ceil(n/max) lower bound, §7.4), multi-format fan-out,
+  * and the machine-mode envelope line shape.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft-sinks").toString
+
+  private def sample(n: Int) =
+    spark.range(n).select(
+      lit("ticker").as("stream"),
+      when($"id" % 2 === 0, "BTCUSDT").otherwise("ETHUSDT").as("symbol"),
+      $"id".as("seq"),
+      ($"id" * 1.5).as("last_price"))
+
+  test("S5-S8 keyed write partitions by (stream, symbol) and rotates") {
+    val dir = freshDir()
+    Sinks.writeKeyed(sample(1000).repartition(1), dir, "json",
+      maxRecordsPerFile = 300)
+    val base = new java.io.File(s"$dir/stream=ticker")
+    assert(base.exists())
+    val partDirs = base.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(partDirs.sameElements(Array("symbol=BTCUSDT", "symbol=ETHUSDT")))
+    val files = base.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".json"))
+    // 500 rows per key at 300/file → ≥ 2 files per key
+    assert(files.length >= 4)
+    val back = spark.read.json(dir)
+    assert(back.count() == 1000)
+  }
+
+  test("S11 fan-out writes every format from one persisted batch") {
+    val dir = freshDir()
+    Sinks.fanOutBatch(sample(100), dir, Seq("json", "csv", "parquet", "orc"))
+    for (f <- Seq("json", "csv", "parquet", "orc")) {
+      val r = spark.read.format(f)
+        .option("header", "true").option("inferSchema", "true")
+        .load(s"$dir/fmt=$f")
+      assert(r.count() == 100, s"format $f")
+    }
+  }
+
+  test("S10 envelope lines carry the {stream,symbol,data} shape") {
+    val line = Sinks.envelopeLines(sample(1)).head().getString(0)
+    assert(line.contains(""""stream":"ticker""""))
+    assert(line.contains(""""symbol":"BTCUSDT""""))
+    assert(line.contains(""""data":{"""))
+  }
+
+  test("keyed stream name fixes the reference's key mismatch") {
+    val key = sample(1).select(Sinks.streamKey().as("k")).head().getString(0)
+    assert(key == "binance:ticker:btcusdt")
+  }
+}

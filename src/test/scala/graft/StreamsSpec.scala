@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Envelope, Streams}
+
+/** Streaming semantics (SURVEY.md §2.9) pinned with MemoryStream:
+  * per-key sample limiting across micro-batches, watermarked tumbling
+  * windows, and the stateful per-key counter.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("S3/T7 limitPerKeyStream caps each (stream,symbol) across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Envelope]
+    val q = Streams.limitPerKeyStream(in.toDS(), 3)
+      .writeStream.format("memory").queryName("limited")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    in.addData((1 to 5).map(i => Envelope("ticker", "BTC", s"a$i")))
+    q.processAllAvailable()
+    in.addData((1 to 5).map(i => Envelope("ticker", "BTC", s"b$i")) ++
+      (1 to 2).map(i => Envelope("trades", "ETH", s"c$i")))
+    drain(q)
+    val got = spark.table("limited").as[Envelope].collect()
+    assert(got.count(e => e.stream == "ticker") == 3) // capped across batches
+    assert(got.count(e => e.stream == "trades") == 2) // under the cap
+  }
+
+  test("T2/T3 tumbling window with watermark emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "symbol", "value")
+    val q = Streams.tumblingCounts(df, "ts", "symbol", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("tumbled")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2024-01-01 00:00:10"), "BTC", 1.0),
+      (t("2024-01-01 00:00:50"), "BTC", 2.0),
+      (t("2024-01-01 00:01:10"), "BTC", 4.0))
+    q.processAllAvailable()
+    // advance watermark past the first window
+    in.addData((t("2024-01-01 00:05:00"), "BTC", 8.0))
+    drain(q)
+    val rows = spark.table("tumbled")
+      .select($"symbol", $"n", $"sum_value").collect()
+    assert(rows.exists(r => r.getLong(1) == 2 && r.getDouble(2) == 3.0))
+  }
+
+  test("T4 runningCountPerKey accumulates state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Envelope]
+    val q = Streams.runningCountPerKey(in.toDS())
+      .toDF("key", "n")
+      .writeStream.format("memory").queryName("counts")
+      .outputMode("update").start()
+    in.addData(Seq.fill(4)(Envelope("ticker", "BTC", "x")))
+    q.processAllAvailable()
+    in.addData(Seq.fill(3)(Envelope("ticker", "BTC", "y")))
+    drain(q)
+    val last = spark.table("counts").filter($"key" === "ticker:BTC")
+      .agg(max($"n")).head().getLong(0)
+    assert(last == 7L)
+  }
+
+  test("A7 streaming OHLCV matches the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "symbol", "value")
+    val q = Streams.ohlcvStream(df, "ts", "symbol", "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("candles")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2024-01-01 00:00:05"), "BTC", 10.0),
+      (t("2024-01-01 00:00:20"), "BTC", 30.0),
+      (t("2024-01-01 00:00:40"), "BTC", 5.0),
+      (t("2024-01-01 00:00:55"), "BTC", 20.0))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 00:05:00"), "BTC", 1.0))
+    drain(q)
+    val c = spark.table("candles").filter($"n_trades" === 4).head()
+    assert(c.getAs[Double]("open") == 10.0)
+    assert(c.getAs[Double]("high") == 30.0)
+    assert(c.getAs[Double]("low") == 5.0)
+    assert(c.getAs[Double]("close") == 20.0)
+    assert(c.getAs[Double]("volume") == 65.0)
+  }
+}
