@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Oracle-checked slice of the multimodal surface: binary-column
+  * metadata derivation and frame-offset expansion (the decode stub
+  * itself is covered by MultimodalSpec — DuckDB has no codec either).
+  */
+object MultimodalOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // binary payload metadata: length + content hash over BinaryType —
+    // pure expressions, scan prunes to the needed columns.
+    QueryDef("q45_media_metadata",
+      (s, dir) => Multimodal.byteMetadata(Multimodal.mediaFromDocuments(s, dir))
+        .select(col("media_id"), col("n_bytes"), col("content_md5"),
+          col("mime"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  'image/fake-' || lang AS mime,
+        |  doc_id % 64 + 16 AS width,
+        |  doc_id % 48 + 16 AS height
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // frame sampling: one row per (asset, capped 1-fps frame offset).
+    QueryDef("q46_frame_offsets",
+      (s, dir) => Multimodal.frameOffsets(Multimodal.mediaFromDocuments(s, dir))
+        .orderBy(col("media_id"), col("frame_idx")),
+      Some("""SELECT doc_id AS media_id, frame_idx,
+        |  frame_idx * 1000 AS frame_ts_ms
+        |FROM documents,
+        |  (SELECT unnest(range(0, 1000)) AS frame_idx)
+        |WHERE frame_idx <= least((n_chars * 100) // 1000, 4)
+        |ORDER BY media_id, frame_idx""".stripMargin))
+  )
+}
