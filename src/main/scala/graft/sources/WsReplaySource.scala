@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.JavaConverters._
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2 micro-batch source for the exchange-stream
+  * ingest path — the one component of the reference with no Spark
+  * built-in (the per-(symbol,stream) WebSocket producer loop,
+  * reference `binance-di.py:96-120`; SURVEY.md §4.3).
+  *
+  * One frame = one UTF-8 line (`value: string`), exactly the wire
+  * JSON the reference's producers receive; the P1-P4 projections
+  * apply downstream via `from_json`.
+  *
+  * Two feed modes:
+  *
+  *  - `path` — REPLAY: tail a line file. Offsets are line counts, so
+  *    restart/recovery replays exactly (checkpoint-safe, exactly-once
+  *    to idempotent sinks). `planInputPartitions` splits each batch's
+  *    line range across `numPartitions` executor-side readers — the
+  *    offline harness for the live source, and the scale path for
+  *    backfills.
+  *  - `feed` — SOCKET-STYLE: frames arrive in a named in-JVM queue
+  *    (`WsFeeds.push`), buffered driver-side and shipped inside the
+  *    partition — the Spark-idiomatic shape for a non-replayable push
+  *    source (same design as Spark's own socket source: at-least-once
+  *    after restart, buffer truncated on `commit`). A production
+  *    deployment opens one feed per (symbol, stream) connection and
+  *    unions the sources, mirroring the reference's N producers; a
+  *    `java.net.http.WebSocket` client pushing into a feed is a
+  *    ~20-line adapter (not included: this environment has no egress).
+  *
+  * Rate limiting: `maxFramesPerTrigger` caps each micro-batch
+  * (backpressure the reference lacks — its queue is unbounded,
+  * `binance-di.py:266`).
+  */
+class WsReplaySourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ws-replay"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WsReplaySource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WsReplayTable(properties.asScala.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap)
+}
+
+object WsReplaySource {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+/** named in-JVM frame queues for socket-style feeds. */
+object WsFeeds {
+  private val feeds = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
+  def queue(name: String): ConcurrentLinkedQueue[String] =
+    feeds.computeIfAbsent(name, _ => new ConcurrentLinkedQueue[String]())
+  def push(name: String, frames: String*): Unit = frames.foreach(queue(name).add)
+}
+
+class WsReplayTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String =
+    props.get("path").map(p => s"ws-replay($p)")
+      .orElse(props.get("feed").map(f => s"ws-feed($f)"))
+      .getOrElse("ws-replay")
+  override def schema(): StructType = WsReplaySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = WsReplaySource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new WsReplayMicroBatchStream(props)
+      }
+    }
+}
+
+/** frame-count offset; json round trip for checkpointing. */
+case class FrameOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class WsReplayMicroBatchStream(props: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val path = props.get("path")
+  private val feedName = props.get("feed")
+  require(path.isDefined != feedName.isDefined,
+    "exactly one of 'path' (replay) or 'feed' (socket-style) is required")
+  private val maxPerTrigger = props.get("maxframespertrigger").map(_.toLong)
+  private val numPartitions =
+    props.get("numpartitions").map(_.toInt).getOrElse(4)
+
+  /** socket-mode driver-side buffer: frames [committedBase, ...). */
+  private val buffered = new ArrayBuffer[String]()
+  private var bufferedBase = 0L
+
+  private def drainFeed(): Unit = feedName.foreach { f =>
+    val q = WsFeeds.queue(f)
+    var frame = q.poll()
+    while (frame != null) { buffered += frame; frame = q.poll() }
+  }
+
+  private def availableFrames(): Long = path match {
+    case Some(p) =>
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().size.toLong finally src.close()
+    case None => drainFeed(); bufferedBase + buffered.size
+  }
+
+  override def initialOffset(): Offset = FrameOffset(0L)
+
+  /** rate limiting via admission control: the engine hands us the
+    * batch's start offset, so the cap is exact per micro-batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FrameOffset].n
+    val avail = availableFrames()
+    val next = limit match {
+      case r: ReadMaxRows => math.min(avail, s + r.maxRows())
+      case _ => avail
+    }
+    FrameOffset(next)
+  }
+
+  override def reportLatestOffset(): Offset = FrameOffset(availableFrames())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+
+  override def deserializeOffset(json: String): Offset =
+    FrameOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FrameOffset].n, end.asInstanceOf[FrameOffset].n)
+    if (e <= s) return Array.empty
+    path match {
+      case Some(p) =>
+        // split the line range across executor-side readers
+        val n = math.min(numPartitions.toLong, e - s).toInt
+        val step = (e - s + n - 1) / n
+        (0 until n).map { i =>
+          val from = s + i * step
+          WsReplayPartition(p, from, math.min(from + step, e))
+        }.filter(part => part.from < part.until).toArray
+      case None =>
+        // ship the buffered slice (driver-side push source)
+        val slice = buffered.slice((s - bufferedBase).toInt, (e - bufferedBase).toInt)
+        Array(WsFeedPartition(slice.toArray))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        p match {
+          case WsReplayPartition(file, from, until) =>
+            new WsReplayReader(file, from, until)
+          case WsFeedPartition(frames) => new WsArrayReader(frames)
+        }
+    }
+
+  /** truncate the socket buffer up to the committed offset — frames
+    * at or beyond `end` stay replayable within this run. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[FrameOffset].n
+    if (feedName.isDefined && e > bufferedBase) {
+      buffered.remove(0, (e - bufferedBase).toInt)
+      bufferedBase = e
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class WsReplayPartition(file: String, from: Long, until: Long)
+  extends InputPartition
+
+case class WsFeedPartition(frames: Array[String]) extends InputPartition
+
+/** executor-side line-range reader for replay mode. */
+class WsReplayReader(file: String, from: Long, until: Long)
+    extends PartitionReader[InternalRow] {
+  private val src = scala.io.Source.fromFile(file)
+  private val it = src.getLines().drop(from.toInt).take((until - from).toInt)
+  private var current: String = _
+  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+  override def get(): InternalRow =
+    InternalRow(UTF8String.fromString(current))
+  override def close(): Unit = src.close()
+}
+
+class WsArrayReader(frames: Array[String]) extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < frames.length }
+  override def get(): InternalRow = InternalRow(UTF8String.fromString(frames(i)))
+  override def close(): Unit = ()
+}
