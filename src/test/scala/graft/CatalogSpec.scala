@@ -45,13 +45,12 @@ class CatalogSpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
-  test("minhash LSH finds the same >=0.8 pairs as blocked exact jaccard finds in-block") {
+  test("minhash LSH recovers every exact >=0.8 jaccard pair") {
     val lsh = SparkEntry.queries("q36_minhash_lsh")(spark, sf())
       .select($"da", $"db").as[(Long, Long)].collect().toSet
-    val blocked = SparkEntry.queries("q35_jaccard_block")(spark, sf())
+    val exact = SparkEntry.queries("q35_jaccard_pairs")(spark, sf())
       .filter($"jaccard" >= 0.8)
       .select($"da", $"db").as[(Long, Long)].collect().toSet
-    // every in-block high-jaccard pair must be recovered by LSH
-    assert(blocked.subsetOf(lsh), s"missing: ${blocked diff lsh}")
+    assert(exact.subsetOf(lsh), s"missing: ${exact diff lsh}")
   }
 }
