@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd cosine similarity over two `array<float>` columns
+  * — the perf-escalation path of SURVEY.md §2.10: the higher-order-
+  * function formulation (`aggregate(zip_with(...))`) allocates lambda
+  * frames per element; this compiles to a tight primitive loop inside
+  * whole-stage codegen, the right shape for scoring billions of pairs.
+  *
+  * Accumulates in double, left to right — deterministic for a given
+  * vector order (same semantics as the interpreted path).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float>; resolution-time type checks are
+  // private[sql] API, so misuse surfaces at runtime (getFloat)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = x.getFloat(i); val xb = y.getFloat(i)
+      dot += xa.toDouble * xb; na += xa.toDouble * xa; nb += xb.toDouble * xb
+      i += 1
+    }
+    val denom = math.sqrt(na * nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $xa = $x.getFloat($i);
+         |  float $xb = $y.getFloat($i);
+         |  $dot += (double) $xa * $xb;
+         |  $na += (double) $xa * $xa;
+         |  $nb += (double) $xb * $xb;
+         |}
+         |double $denom = java.lang.Math.sqrt($na * $nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** register `cosine_sim` in the session's function registry
+    * (per-session alternative to GraftExtensions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+
+  /** Column-API entry point (requires `register(spark)` once). */
+  def cosine_sim(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+}
+
+/** SQL-side registration: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` (or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) exposes
+  * `cosine_sim(a, b)` to SQL — the SparkSessionExtensions mechanism
+  * reserved for operators Spark lacks. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
+}

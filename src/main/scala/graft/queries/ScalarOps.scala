@@ -123,6 +123,58 @@ object ScalarOps {
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // A8 — CUBE: all grouping-set combinations with markers.
+    QueryDef("q47_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // §2.5 — ranking family: rank/dense_rank/percent_rank over
+    // tie-capable orderings, ntile over a fully deterministic one.
+    QueryDef("q48_rank_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sv = events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(d(sum(dec(col("value")))).as("sv"))
+        val wTies = Window.partitionBy(col("event_type"))
+          .orderBy(col("sv").desc)
+        val wDet = Window.partitionBy(col("event_type"))
+          .orderBy(col("sv").desc, col("user_id"))
+        sv.select(col("event_type"), col("user_id"), col("sv"),
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          ntile(4).over(wDet).cast("long").as("quartile"))
+          .orderBy(col("event_type"), col("user_id"))
+      },
+      Some("""WITH sv AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, user_id, sv,
+        |  CAST(rank() OVER (PARTITION BY event_type ORDER BY sv DESC) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY sv DESC) AS BIGINT) AS drnk,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY sv DESC) AS prnk,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY sv DESC, user_id) AS BIGINT) AS quartile
+        |FROM sv
+        |ORDER BY event_type, user_id""".stripMargin))
   )
 }

@@ -186,6 +186,33 @@ object SimilarityOps {
         |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Brute-force KNN on the native codegen'd cosine Expression
+    // (full float precision — the production scoring path; engine-
+    // specific float accumulation, so rows-only check + spec-tested
+    // against the higher-order-function formulation).
+    QueryDef("q43_knn_native",
+      (s, dir) => {
+        graft.functions.CosineSimilarity.register(s)
+        val all = t(s, dir, "embeddings")
+        val queries = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = all.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            graft.functions.CosineSimilarity
+              .cosine_sim("qv", "embedding").as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // Per-label centroids (the IVF coarse-quantizer build step):
     // posexplode → (label, dim) hash-agg; exact integer sums, one
     // deterministic division at the end.

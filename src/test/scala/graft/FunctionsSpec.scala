@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+
+/** Native cosine Expression: parity with the higher-order-function
+  * formulation (same left-to-right double accumulation), null
+  * handling, and SQL registration.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codegen cosine matches the zip_with/aggregate formulation") {
+    CosineSimilarity.register(spark)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val pairs = emb.select($"vec_id", $"embedding")
+      .crossJoin(emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding".as("qv")))
+      .filter($"vec_id" =!= $"qid")
+    val hof = aggregate(
+      zip_with($"qv", $"embedding", (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x) /
+      sqrt(aggregate($"qv", lit(0.0), (a, x) => a + x.cast("double") * x) *
+        aggregate($"embedding", lit(0.0), (a, x) => a + x.cast("double") * x))
+    val diff = pairs
+      .select((CosineSimilarity.cosine_sim("qv", "embedding") - hof).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff < 1e-12, s"max diff $diff")
+  }
+
+  test("null input yields null, zero vector yields 0.0") {
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(2.0f, 1.0f))),
+      (None, Some(Array(1.0f, 1.0f))),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 1.0f))))
+      .toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.8) < 1e-9)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    val s2 = spark.newSession()
+    CosineSimilarity.register(s2)
+    val r = s2.sql(
+      "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+}
