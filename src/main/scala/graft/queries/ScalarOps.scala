@@ -175,6 +175,27 @@ object ScalarOps {
         |  percent_rank() OVER (PARTITION BY event_type ORDER BY sv DESC) AS prnk,
         |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY sv DESC, user_id) AS BIGINT) AS quartile
         |FROM sv
-        |ORDER BY event_type, user_id""".stripMargin))
+        |ORDER BY event_type, user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // A8 — exact interpolated percentiles (both engines: type-7
+    // (n-1)·p interpolation over the sorted values; identical IEEE
+    // arithmetic on identical operands). The approximate scale path
+    // is approx_percentile (engine-specific sketch, like q19's HLL).
+    QueryDef("q49_percentiles",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("median"),
+          expr("percentile(value, 0.9)").as("p90"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+        |  quantile_cont(value, 0.5) AS median,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  min(value) AS vmin,
+        |  max(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -88,6 +88,15 @@ object Streams {
         sum(col("value")).as("volume"),
         count(lit(1)).as("n_trades"))
 
+  /** streaming exact dedup: drop records repeating a key within the
+    * watermark horizon — state is bounded by the watermark (the
+    * streaming face of the batch dedup in `q30_dedup_exact`; at scale
+    * the key should be a content hash, never the payload). */
+  def dedupStream(df: DataFrame, tsCol: String, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** T4 — per-key running counter (the writer-state pattern): emits
     * (key, runningCount) updates per batch. */
   def runningCountPerKey(ds: Dataset[Envelope]): Dataset[(String, Long)] = {

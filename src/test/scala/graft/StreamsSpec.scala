@@ -69,6 +69,25 @@ class StreamsSpec extends SparkSpec {
     assert(last == 7L)
   }
 
+  test("streaming dedup drops repeated keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "id", "value")
+    val q = Streams.dedupStream(df, "ts", Seq("id"), "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(
+      (t("2024-01-01 00:00:01"), "a", 1.0),
+      (t("2024-01-01 00:00:02"), "a", 2.0), // dup in-batch
+      (t("2024-01-01 00:00:03"), "b", 3.0))
+    q.processAllAvailable()
+    in.addData((t("2024-01-01 00:00:04"), "a", 4.0)) // dup across batches
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("deduped").select($"id").as[String].collect()
+    assert(ids.sorted.toSeq == Seq("a", "b"))
+  }
+
   test("A7 streaming OHLCV matches the batch computation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
