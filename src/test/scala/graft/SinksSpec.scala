@@ -55,6 +55,22 @@ class SinksSpec extends SparkSpec {
     assert(line.contains(""""data":{"""))
   }
 
+  test("S11 streaming fan-out writes all formats via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir()
+    val in = MemoryStream[(String, String, Long)]
+    val df = in.toDF().toDF("stream", "symbol", "seq")
+    val q = graft.sinks.Sinks.startFanOut(df, s"$dir/out", s"$dir/ckpt",
+      Seq("json", "parquet"))
+    in.addData((1 to 50).map(i => ("ticker", "BTCUSDT", i.toLong)))
+    q.processAllAvailable()
+    in.addData((51 to 80).map(i => ("trades", "ETHUSDT", i.toLong)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.json(s"$dir/out/fmt=json").count() == 80)
+    assert(spark.read.parquet(s"$dir/out/fmt=parquet").count() == 80)
+  }
+
   test("keyed stream name fixes the reference's key mismatch") {
     val key = sample(1).select(Sinks.streamKey().as("k")).head().getString(0)
     assert(key == "binance:ticker:btcusdt")
