@@ -46,6 +46,35 @@ class WsReplaySourceSpec extends SparkSpec {
     assert(spark.table("fed").count() == 8)
   }
 
+  test("T6 checkpointed restart resumes exactly after committed offsets") {
+    val f = Files.createTempFile("ws-ckpt", ".jsonl")
+    val ckpt = Files.createTempDirectory("ws-ckpt-dir").toString
+    val out = Files.createTempDirectory("ws-ckpt-out").toString
+    Files.writeString(f, (1 to 30).map(envelopeLine).mkString("", "\n", "\n"))
+    def run(): Unit = {
+      val q = spark.readStream.format("ws-replay")
+        .option("path", f.toString).option("maxFramesPerTrigger", "10")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 30)
+    // new frames arrive while the query is down
+    Files.writeString(f,
+      Files.readString(f) + (31 to 45).map(envelopeLine).mkString("", "\n", "\n"))
+    run() // fresh query, same checkpoint: exactly the new frames are
+          // appended — no duplicates of 1..30, nothing skipped
+    val ids = spark.read.parquet(out)
+      .select(get_json_object($"value", "$.data").as("d"))
+      .select(get_json_object($"d", "$.event_time").cast("long").as("t"))
+      .as[Long].collect().toSeq.sorted
+    assert(ids == (1L to 45L).toSeq)
+  }
+
   test("full wire pipeline: source frames parse into the ticker projection") {
     val f = Files.createTempFile("ws-pipe", ".jsonl")
     Files.writeString(f, (1 to 10).map(envelopeLine).mkString("", "\n", "\n"))
