@@ -88,6 +88,21 @@ object Streams {
         sum(col("value")).as("volume"),
         count(lit(1)).as("n_trades"))
 
+  /** §2.3 stream-stream join: correlate two live streams on a key
+    * within a bounded event-time range — watermarks on both sides let
+    * the engine discard state once the range can no longer match
+    * (bounded state; without the time-range condition state grows
+    * forever). Example shape: purchase within `within` of a click. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, within: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND " +
+        s"r.$tsCol >= l.$tsCol AND r.$tsCol <= l.$tsCol + INTERVAL $within"))
+  }
+
   /** streaming exact dedup: drop records repeating a key within the
     * watermark horizon — state is bounded by the watermark (the
     * streaming face of the batch dedup in `q30_dedup_exact`; at scale

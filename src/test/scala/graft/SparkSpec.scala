@@ -12,6 +12,8 @@ trait SparkSpec extends AnyFunSuite {
     // exchange wire frames use case-significant keys (p/P, e/E) —
     // raw-frame projections require case-sensitive resolution
     .config("spark.sql.caseSensitive", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

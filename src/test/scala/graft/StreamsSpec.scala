@@ -69,6 +69,28 @@ class StreamsSpec extends SparkSpec {
     assert(last == 7L)
   }
 
+  test("stream-stream join matches within the event-time range only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val j = Streams.streamStreamJoin(
+      clicks.toDF().toDF("ts", "user_id", "page"),
+      buys.toDF().toDF("ts", "user_id", "item"),
+      "user_id", "ts", within = "5 minutes")
+      .selectExpr("l.user_id AS user_id", "page", "item")
+    val q = j.writeStream.format("memory").queryName("joined")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((t("2024-01-01 00:00:00"), 1L, "home"))
+    buys.addData(
+      (t("2024-01-01 00:03:00"), 1L, "in-range"),
+      (t("2024-01-01 00:09:00"), 1L, "too-late"),
+      (t("2024-01-01 00:03:30"), 2L, "wrong-user"))
+    q.processAllAvailable(); q.stop()
+    val items = spark.table("joined").select($"item").as[String].collect()
+    assert(items.toSeq == Seq("in-range"))
+  }
+
   test("streaming dedup drops repeated keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
