@@ -102,6 +102,33 @@ object AnalyticsOps {
         |ORDER BY bucket_ms, user_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // §2.3 — full outer join: per-nation customer/supplier presence,
+    // including nations with only one side (null-preserving).
+    QueryDef("q50_join_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").cast("long")
+          .as("nationkey")).agg(count(lit(1)).as("n_customers"))
+        val su = t(s, dir, "supplier").groupBy(col("s_nationkey").cast("long")
+          .as("nationkey")).agg(count(lit(1)).as("n_suppliers"))
+        c.withColumnRenamed("nationkey", "ck")
+          .join(su.withColumnRenamed("nationkey", "sk"),
+            col("ck") === col("sk"), "full_outer")
+          .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(c.n_customers, 0) AS n_customers,
+        |  coalesce(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |        count(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |        count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |  ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // P2/F1/F2/F11/O1/A4 — the full order-book wire round trip: build
     // a best-first [[price,qty],...] book per key, serialize to the
     // reference's JSON-string wire format (`binance-di.py:45-46`),
