@@ -104,9 +104,9 @@ object SimilarityOps {
     QueryDef("q41_knn_lsh",
       (s, dir) => {
         val all = vecs(s, dir)
-        val signs = s.range(8).toDF("tbl")
-          .crossJoin(s.range(4).toDF("p"))
-          .crossJoin(s.range(64).toDF("i"))
+        val signs = s.range(8 * 4 * 64).toDF("id")
+          .select(expr("id DIV 256").as("tbl"),
+            expr("id DIV 64 % 4").as("p"), expr("id % 64").as("i"))
           .withColumn("sg",
             when(conv(substring(md5(concat_ws("_", col("tbl"), col("p"),
               col("i"))), 1, 2), 16, 10).cast("long")

@@ -1,0 +1,41 @@
+package graft
+
+/** Catalog-wide physical-plan guard: no unpartitioned cartesian
+  * products anywhere, and BroadcastNestedLoopJoin only in the three
+  * KNN queries that intentionally broadcast a tiny query set against
+  * the corpus. Catches accidental join-condition regressions (a
+  * dropped equi key silently turns a hash join into a cross product
+  * that only explodes at scale).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val intendedBroadcastCross =
+    Set("q40_knn_bruteforce", "q43_knn_native", "q44_knn_ivf")
+
+  test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!intendedBroadcastCross(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("scans prune columns: no query reads full lineitem width") {
+    val full = spark.read.parquet(s"${sf()}/lineitem.parquet").columns.length
+    Seq("q04_topk_per_key", "q06_join_revenue", "q18_distinct_agg")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf())
+          .queryExecution.executedPlan.toString
+        val readSchemas = "ReadSchema: struct<([^>]*)>".r
+          .findAllMatchIn(plan).map(_.group(1)).toSeq
+        assert(readSchemas.nonEmpty, s"$name: no parquet scan found")
+        readSchemas.foreach { cols =>
+          assert(cols.split(",").length < full,
+            s"$name scan reads full width: $cols")
+        }
+      }
+  }
+}
