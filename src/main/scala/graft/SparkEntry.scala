@@ -13,7 +13,7 @@ object SparkEntry {
   /** the full catalog, in module order. */
   def catalog: Seq[QueryDef] =
     CoreOps.defs ++ ScalarOps.defs ++ AnalyticsOps.defs ++ TextOps.defs ++
-      SimilarityOps.defs ++ MultimodalOps.defs
+      SimilarityOps.defs ++ MultimodalOps.defs ++ TemporalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -196,6 +196,50 @@ object ScalarOps {
         |  quantile_cont(value, 0.9) AS p90,
         |  min(value) AS vmin,
         |  max(value) AS vmax
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // F10 — numeric display formatting (the consumer's pretty-print
+    // surface, tests/test_redis-data-full.py:54-57): printf-style,
+    // identical in both engines on these 2-decimal inputs.
+    QueryDef("q51_formatting",
+      (s, dir) => events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          format_string("%.2f", col("value")).as("price_2f"),
+          format_string("%08d", col("user_id")).as("user_padded"),
+          // %.2f only: the inputs are 2-decimal, so no rounding happens.
+          // Rounding formats differ across engines (Java formats the
+          // shortest-decimal repr HALF_UP; C rounds the binary value):
+          // %.1f of 7.05 is "7.1" in Java but "7.0" in C/DuckDB.
+          concat(lit("user="), col("user_id").cast("string"),
+            lit(" value="), format_string("%.2f", col("value"))).as("display"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        |  printf('%.2f', value) AS price_2f,
+        |  printf('%08d', user_id) AS user_padded,
+        |  'user=' || CAST(user_id AS VARCHAR) || ' value=' || printf('%.2f', value) AS display
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // A8 — explicit GROUPING SETS via the SQL surface (returnflag
+    // totals and linestatus totals in one pass, no cross terms).
+    QueryDef("q52_grouping_sets",
+      (s, dir) => {
+        Skew.registerTables(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
   )
 }

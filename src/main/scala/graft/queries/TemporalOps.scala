@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/** Batch forms of the streaming time semantics (SURVEY.md §2.9 T3):
+  * sliding windows and gap-based sessionization, expressed so the
+  * DuckDB oracle can replicate them exactly (epoch-ms bucket
+  * arithmetic rather than engine window() structs).
+  */
+object TemporalOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // T3 — sliding window (2h length, 1h slide): each event lands in
+    // exactly two hourly-aligned buckets; explode the two offsets and
+    // hash-aggregate. Same shape Spark's window(ts, "2 hours",
+    // "1 hour") produces, stated as bucket arithmetic.
+    QueryDef("q53_sliding_window",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"), col("value"),
+          expr("ts DIV 3600000000000").as("hour_idx"))
+        .withColumn("k", explode(sequence(lit(0), lit(1))))
+        .withColumn("win_start_ms", (col("hour_idx") - col("k")) * 3600000L)
+        .filter(col("win_start_ms") >= 0)
+        .groupBy(col("win_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("win_start_ms"), col("event_type")),
+      Some("""SELECT (hour_idx - k) * 3600000 AS win_start_ms, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour_idx
+        |      FROM events),
+        |     (SELECT unnest(range(2)) AS k)
+        |WHERE (hour_idx - k) * 3600000 >= 0
+        |GROUP BY 1, 2
+        |ORDER BY win_start_ms, event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // T3 — gap-based sessionization (the batch form of
+    // session_window): a >30-minute silence starts a new session;
+    // sessions numbered by a running sum of boundary flags. Classic
+    // islands: two window passes over one (user) partitioning — a
+    // single shuffle.
+    QueryDef("q54_sessionize",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .select(col("user_id"), col("ts"), col("ts_ms"), col("event_id"))
+          .withColumn("new_session",
+            when(col("ts") - lag(col("ts"), 1).over(wOrd)
+              > 1800L * 1000000000L, 1L)
+              .otherwise(when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
+                .otherwise(0L)))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_ms")).as("start_ms"),
+            max(col("ts_ms")).as("end_ms"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH flagged AS (
+        |  SELECT user_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin))
+  )
+}
