@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * local[32] with shuffle.partitions matched to cores (not the
   * 200 default) and AQE on, mirroring how a real cluster session
   * would be tuned.
+  *
+  * The metrics line is emitted twice: to bare stdout (build.sbt sets
+  * `run / outputStrategy := StdoutOutput` so no sbt "[info]" prefix
+  * corrupts it) and to `bench_metrics.json` in the working directory,
+  * so the driver can parse either channel. Query failures are NOT
+  * folded into timings (a -1 would *improve* the total); they're
+  * reported in a separate "failures" map and excluded from "value".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,18 +35,33 @@ object Bench {
     // the host shows heavy run-to-run CPU jitter (a fixed single-thread
     // loop varies ~2x), so time each query twice and report the min
     val runs = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val timings = collection.mutable.LinkedHashMap.empty[String, Double]
+    val failures = collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val attempts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\n\\r\\\\]", " ").take(200)
+            None
+        }
       }
-      name -> times.min
+      if (attempts.nonEmpty) timings(name) = attempts.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
+    val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_metrics.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

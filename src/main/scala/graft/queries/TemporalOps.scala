@@ -44,18 +44,22 @@ object TemporalOps {
     // session_window): a >30-minute silence starts a new session;
     // sessions numbered by a running sum of boundary flags. Classic
     // islands: two window passes over one (user) partitioning — a
-    // single shuffle.
+    // single shuffle. Gaps compared in integer epoch-µs on BOTH
+    // engines (DuckDB reads the TIMESTAMP(NANOS) column at µs
+    // precision, so ns-side comparison could flip on a boundary);
+    // session_id cast to BIGINT to match DuckDB's HUGEINT sum.
     QueryDef("q54_sessionize",
       (s, dir) => {
         val wOrd = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts_us"), col("event_id"))
         val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         events(s, dir)
-          .select(col("user_id"), col("ts"), col("ts_ms"), col("event_id"))
+          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+            col("ts_ms"), col("event_id"))
           .withColumn("new_session",
-            when(col("ts") - lag(col("ts"), 1).over(wOrd)
-              > 1800L * 1000000000L, 1L)
-              .otherwise(when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
+            when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd)
+              > 1800L * 1000000L, 1L)
+              .otherwise(when(lag(col("ts_us"), 1).over(wOrd).isNull, 1L)
                 .otherwise(0L)))
           .withColumn("session_id", sum(col("new_session")).over(wRun))
           .groupBy(col("user_id"), col("session_id"))
@@ -64,17 +68,21 @@ object TemporalOps {
             max(col("ts_ms")).as("end_ms"))
           .orderBy(col("user_id"), col("session_id"))
       },
-      Some("""WITH flagged AS (
-        |  SELECT user_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |         WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES THEN 1
+      Some("""WITH base AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, ts_ms, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
         |         ELSE 0 END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |numbered AS (
         |  SELECT user_id, ts_ms,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms

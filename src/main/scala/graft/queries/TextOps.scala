@@ -52,6 +52,39 @@ object TextOps {
        |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shingles
        |  FROM (SELECT doc_id, $tokSql AS tk FROM documents))""".stripMargin
 
+  /** df cap for q35's inverted index: shingles shared by more than
+    * this many docs are dropped before the self-join. A stop-phrase
+    * shingle in 1M docs would otherwise emit 10¹² candidate pairs
+    * (posting-list cost is Σ df²); near-universal shingles carry no
+    * discriminative signal, so production dedup pipelines drop them.
+    * 1000 > any possible df at the correctness scale factors
+    * (shingles are distinct per doc, so df ≤ doc count = 500 at
+    * sf0.01), keeping the oracle hash-identical. */
+  val JaccardMaxDf = 1000L
+
+  /** Inverted-index Jaccard pair search over (doc_id, s, sz) shingle
+    * rows: posting-list self-join restricted to shingles with
+    * df ≤ maxDf. The window count partitions by `s` — the same key
+    * the self-join shuffles on, so the cap adds no extra exchange of
+    * the big table. Public + parameterized so JaccardCapSpec can
+    * drive it with a planted stop-shingle. */
+  def jaccardPairs(ex: DataFrame, maxDf: Long, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf).drop("df")
+    kept.as("a").join(kept.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -180,23 +213,17 @@ object TextOps {
     // per pair → Jaccard from counts. Pairs materialize only when
     // they share ≥1 shingle, so cost is Σ_shingle df² (posting-list
     // skew), never |docs|² — the formulation that survives a 100×
-    // scale-up where any block-quadratic version dies.
+    // scale-up where any block-quadratic version dies. Posting lists
+    // are df-capped (JaccardMaxDf) so one stop-phrase shingle can't
+    // re-introduce the quadratic blowup; the oracle applies the
+    // identical cap.
     QueryDef("q35_jaccard_pairs",
-      (s, dir) => {
-        val ex = shingleRows(s, dir)
-        ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            col("a.sz").as("sa"), col("b.sz").as("sb"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("jaccard",
-            col("c").cast("double") / (col("sa") + col("sb") - col("c")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("da"), col("db"), col("jaccard"))
-          .orderBy(col("da"), col("db"))
-      },
+      (s, dir) => jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.5),
       Some(s"""WITH $shingleSql,
-        |ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= $JaccardMaxDf),
         |cnt AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
         |    count(*) AS c

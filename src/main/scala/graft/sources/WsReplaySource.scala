@@ -39,9 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    source (same design as Spark's own socket source: at-least-once
   *    after restart, buffer truncated on `commit`). A production
   *    deployment opens one feed per (symbol, stream) connection and
-  *    unions the sources, mirroring the reference's N producers; a
-  *    `java.net.http.WebSocket` client pushing into a feed is a
-  *    ~20-line adapter (not included: this environment has no egress).
+  *    unions the sources, mirroring the reference's N producers; the
+  *    `java.net.http.WebSocket` client pushing into a feed is
+  *    [[WsFeedClient]] (spec-tested against an in-process server —
+  *    this environment has no egress).
   *
   * Rate limiting: `maxFramesPerTrigger` caps each micro-batch
   * (backpressure the reference lacks — its queue is unbounded,
@@ -59,6 +60,79 @@ class WsReplaySourceProvider extends TableProvider with DataSourceRegister {
 
 object WsReplaySource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+/** Incremental byte-offset line index for replay mode.
+  *
+  * Round-1 counted lines by re-reading the whole file every trigger
+  * (O(file) driver-side per micro-batch) and each partition reader
+  * `drop(n)`-ed from byte 0 (O(partitions × file) per batch, with a
+  * silent `.toInt` truncation past 2³¹ lines). This index makes both
+  * incremental:
+  *
+  *  - `refresh()` scans only the appended tail `[scanPos, len)` —
+  *    O(new bytes), amortized O(1) per line over the file's life.
+  *  - a stride checkpoint array records the byte offset of every
+  *    `stride`-th line start, so `seek(line)` positions a reader with
+  *    one `FileChannel.position` plus at most `stride-1` skipped
+  *    lines — driver memory is `lines/stride` longs (a billion-line
+  *    backfill at stride 4096 is ~2 MB), executor work is O(its
+  *    slice), and all counters are Long.
+  *
+  * A frame is a '\n'-TERMINATED line: bytes after the last newline
+  * are a partial frame still being appended and are re-scanned on the
+  * next refresh — a half-written line is never emitted (the round-1
+  * `getLines` count could emit one).
+  */
+final class LineIndex(path: String, stride: Int = 4096) {
+  private val ckpt = ArrayBuffer(0L) // ckpt(j) = byte offset of line j*stride
+  private var nLines = 0L            // complete lines scanned so far
+  private var scanPos = 0L           // byte offset just past the last '\n'
+  private var cumBytes = 0L          // total bytes ever scanned (spec/metrics)
+
+  def lines: Long = nLines
+  /** cumulative bytes read by all refresh() calls — the tail-only
+    * property is asserted on this in WsReplaySourceSpec. */
+  def totalBytesScanned: Long = cumBytes
+
+  /** scan the appended tail; returns the complete-line count. */
+  def refresh(): Long = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    try {
+      val len = ch.size()
+      if (len > scanPos) {
+        ch.position(scanPos)
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var pos = scanPos
+        while (pos < len) {
+          buf.clear()
+          val n = ch.read(buf)
+          if (n <= 0) pos = len
+          else {
+            var i = 0
+            while (i < n) {
+              if (buf.get(i) == '\n') {
+                nLines += 1
+                scanPos = pos + i + 1
+                if (nLines % stride == 0) ckpt += scanPos
+              }
+              i += 1
+            }
+            pos += n
+            cumBytes += n
+          }
+        }
+      }
+      nLines
+    } finally ch.close()
+  }
+
+  /** (startByte, linesToSkip): nearest checkpoint at or before `line`. */
+  def seek(line: Long): (Long, Long) = {
+    val j = math.min(line / stride, (ckpt.size - 1).toLong).toInt
+    (ckpt(j), line - j.toLong * stride)
+  }
 }
 
 /** named in-JVM frame queues for socket-style feeds. */
@@ -113,10 +187,12 @@ class WsReplayMicroBatchStream(props: Map[String, String])
     while (frame != null) { buffered += frame; frame = q.poll() }
   }
 
+  /** replay-mode line index — incremental tail scans only (the
+    * round-1 whole-file count per trigger was a scale killer). */
+  private lazy val index = path.map(new LineIndex(_))
+
   private def availableFrames(): Long = path match {
-    case Some(p) =>
-      val src = scala.io.Source.fromFile(p)
-      try src.getLines().size.toLong finally src.close()
+    case Some(_) => index.get.refresh()
     case None => drainFeed(); bufferedBase + buffered.size
   }
 
@@ -151,13 +227,21 @@ class WsReplayMicroBatchStream(props: Map[String, String])
     if (e <= s) return Array.empty
     path match {
       case Some(p) =>
-        // split the line range across executor-side readers
+        // split the line range across executor-side readers; each
+        // partition carries a byte seek point + bounded line skip so
+        // readers never re-scan from byte 0
+        val idx = index.get
+        if (idx.lines < e) idx.refresh() // restart: rebuild index once
         val n = math.min(numPartitions.toLong, e - s).toInt
         val step = (e - s + n - 1) / n
-        (0 until n).map { i =>
+        (0 until n).flatMap { i =>
           val from = s + i * step
-          WsReplayPartition(p, from, math.min(from + step, e))
-        }.filter(part => part.from < part.until).toArray
+          val until = math.min(from + step, e)
+          if (from < until) {
+            val (startByte, skip) = idx.seek(from)
+            Some(WsReplayPartition(p, startByte, skip, until - from))
+          } else None
+        }.toArray
       case None =>
         // ship the buffered slice (driver-side push source)
         val slice = buffered.slice((s - bufferedBase).toInt, (e - bufferedBase).toInt)
@@ -169,8 +253,8 @@ class WsReplayMicroBatchStream(props: Map[String, String])
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         p match {
-          case WsReplayPartition(file, from, until) =>
-            new WsReplayReader(file, from, until)
+          case WsReplayPartition(file, startByte, skipLines, takeLines) =>
+            new WsReplayReader(file, startByte, skipLines, takeLines)
           case WsFeedPartition(frames) => new WsArrayReader(frames)
         }
     }
@@ -188,21 +272,32 @@ class WsReplayMicroBatchStream(props: Map[String, String])
   override def stop(): Unit = ()
 }
 
-case class WsReplayPartition(file: String, from: Long, until: Long)
-  extends InputPartition
+/** replay slice: seek to `startByte` (a stride-checkpoint line start),
+  * skip at most stride-1 lines, then read `takeLines` lines. All-Long
+  * so >2³¹-line backfills don't truncate. */
+case class WsReplayPartition(file: String, startByte: Long,
+    skipLines: Long, takeLines: Long) extends InputPartition
 
 case class WsFeedPartition(frames: Array[String]) extends InputPartition
 
-/** executor-side line-range reader for replay mode. */
-class WsReplayReader(file: String, from: Long, until: Long)
-    extends PartitionReader[InternalRow] {
-  private val src = scala.io.Source.fromFile(file)
-  private val it = src.getLines().drop(from.toInt).take((until - from).toInt)
+/** executor-side line-range reader for replay mode: one positioned
+  * open per partition, O(slice) bytes read — never from byte 0. */
+class WsReplayReader(file: String, startByte: Long, skipLines: Long,
+    takeLines: Long) extends PartitionReader[InternalRow] {
+  private val fis = new java.io.FileInputStream(file)
+  fis.getChannel.position(startByte)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fis, java.nio.charset.StandardCharsets.UTF_8))
+  locally { var i = 0L; while (i < skipLines) { reader.readLine(); i += 1 } }
+  private var remaining = takeLines
   private var current: String = _
-  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+  override def next(): Boolean = {
+    if (remaining <= 0) false
+    else { current = reader.readLine(); remaining -= 1; current != null }
+  }
   override def get(): InternalRow =
     InternalRow(UTF8String.fromString(current))
-  override def close(): Unit = src.close()
+  override def close(): Unit = reader.close()
 }
 
 class WsArrayReader(frames: Array[String]) extends PartitionReader[InternalRow] {

@@ -55,6 +55,35 @@ class SinksSpec extends SparkSpec {
     assert(line.contains(""""data":{"""))
   }
 
+  test("S4 Redis XADD sink round-trips through the pluggable client") {
+    import graft.sinks.{InMemoryRedis, RedisSink}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = s"redis-spec-${System.nanoTime()}"
+    val in = MemoryStream[(String, String, Long, Double)]
+    val df = in.toDF().toDF("stream", "symbol", "seq", "last_price")
+    val q = RedisSink.start(df,
+      Files.createTempDirectory("redis-ckpt").toString,
+      () => InMemoryRedis.named(store))
+    in.addData(("ticker", "BTCUSDT", 1L, 10.5), ("ticker", "ETHUSDT", 2L, 3.25))
+    q.processAllAvailable()
+    in.addData(("orderbook", "BTCUSDT", 3L, 11.0))
+    q.processAllAvailable(); q.stop()
+    val redis = InMemoryRedis.named(store)
+    // canonical key scheme binance:{stream}:{symbol}, lower-cased —
+    // one scheme on both paths (fixes the reference's orderbook/
+    // order-book producer/consumer mismatch)
+    assert(redis.keys == Seq("binance:orderbook:btcusdt",
+      "binance:ticker:btcusdt", "binance:ticker:ethusdt"))
+    val entries = redis.xrange("binance:ticker:btcusdt")
+    assert(entries.size == 1)
+    val fields = entries.head._2.toMap
+    assert(fields("seq") == "1" && fields("last_price") == "10.5")
+    // XADD ids are monotonically increasing per key
+    val ids = redis.xrange("binance:orderbook:btcusdt").map(_._1)
+    assert(ids == ids.sorted && ids.distinct.size == ids.size)
+  }
+
   test("S11 streaming fan-out writes all formats via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -75,6 +75,44 @@ class WsReplaySourceSpec extends SparkSpec {
     assert(ids == (1L to 45L).toSeq)
   }
 
+  test("LineIndex scans only the appended tail, seeks via stride checkpoints") {
+    import graft.sources.LineIndex
+    val f = Files.createTempFile("ws-idx", ".jsonl")
+    val first = (1 to 1000).map(envelopeLine).mkString("", "\n", "\n")
+    Files.writeString(f, first)
+    val idx = new LineIndex(f.toString, stride = 64)
+    assert(idx.refresh() == 1000)
+    val afterFirst = idx.totalBytesScanned
+    assert(afterFirst == first.getBytes("UTF-8").length.toLong)
+    // append 10 lines; the refresh must read ONLY those bytes —
+    // round 1 re-read the whole file every trigger
+    val tail = (1001 to 1010).map(envelopeLine).mkString("", "\n", "\n")
+    Files.writeString(f, first + tail)
+    assert(idx.refresh() == 1010)
+    assert(idx.totalBytesScanned - afterFirst ==
+      tail.getBytes("UTF-8").length.toLong)
+    // a refresh with nothing appended reads zero bytes
+    assert(idx.refresh() == 1010)
+    assert(idx.totalBytesScanned - afterFirst ==
+      tail.getBytes("UTF-8").length.toLong)
+    // seek: checkpoint every 64 lines, so the residual skip is <64 and
+    // the byte offset is a true line start
+    val (startByte, skip) = idx.seek(700)
+    assert(skip == 700 % 64 && skip < 64)
+    val src = scala.io.Source.fromFile(f.toFile)
+    try {
+      val all = src.getLines().toVector
+      val fromByte = new String(
+        Files.readAllBytes(f)).substring(startByte.toInt)
+      assert(fromByte.startsWith(all((700 / 64) * 64)))
+    } finally src.close()
+    // a half-written trailing frame is not counted until terminated
+    Files.writeString(f, first + tail + "{\"partial\":")
+    assert(idx.refresh() == 1010)
+    Files.writeString(f, first + tail + "{\"partial\":true}\n")
+    assert(idx.refresh() == 1011)
+  }
+
   test("full wire pipeline: source frames parse into the ticker projection") {
     val f = Files.createTempFile("ws-pipe", ".jsonl")
     Files.writeString(f, (1 to 10).map(envelopeLine).mkString("", "\n", "\n"))
