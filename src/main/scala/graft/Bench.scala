@@ -37,14 +37,20 @@ object Bench {
     val runs = 2
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q35_jaccard_pairs,q36_minhash_lsh
+    // times just those queries; unset (the driver's path) runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val attempts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\n\\r\\\\]", " ").take(200)
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
             None
         }
       }

@@ -13,7 +13,8 @@ object SparkEntry {
   /** the full catalog, in module order. */
   def catalog: Seq[QueryDef] =
     CoreOps.defs ++ ScalarOps.defs ++ AnalyticsOps.defs ++ TextOps.defs ++
-      SimilarityOps.defs ++ MultimodalOps.defs ++ TemporalOps.defs
+      SimilarityOps.defs ++ MultimodalOps.defs ++ TemporalOps.defs ++
+      ExtendedOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

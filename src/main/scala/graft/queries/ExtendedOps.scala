@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-3 widening of the relational surface: the join/agg/reshape
+  * classes SURVEY §2 names but earlier rounds covered only in hybrid
+  * form — pure theta join, sketch percentiles, pivot, correlated
+  * scalar subqueries, regex field extraction, and a typed custom
+  * `Aggregator` — each with the standard oracle-determinism rules
+  * (DECIMAL sums, total ORDER BY, BIGINT keys; see [[Q]]).
+  */
+object ExtendedOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // PURE theta join (SURVEY §2.3's theta/nested-loop class, until
+    // now demonstrated only as the equi+range hybrid q21): orders
+    // against region-derived price tiers on a strict inequality —
+    // no equi key at all, each order matches every tier below its
+    // price. The only theta-join shape that survives scale is
+    // broadcast-small-side nested loop (5 tiers here); an
+    // unbroadcastable theta join is a design smell, which is exactly
+    // why PlanAuditSpec whitelists this query's BNLJ by name.
+    QueryDef("q55_theta_join",
+      (s, dir) => {
+        val tiers = t(s, dir, "region").select(
+          col("r_regionkey").cast("long").as("tier"),
+          (col("r_regionkey").cast("double") * 100000).as("threshold"))
+        t(s, dir, "orders")
+          .join(broadcast(tiers), col("o_totalprice") > col("threshold"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_orders"),
+            d(sum(dec(col("o_totalprice")))).as("sum_price"))
+          .orderBy(col("tier"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS tier,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM region JOIN orders
+        |  ON o_totalprice > CAST(r_regionkey AS DOUBLE) * 100000
+        |GROUP BY 1 ORDER BY tier""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sketch percentiles — the scale path for q49's exact
+    // percentiles: percentile_approx is a mergeable KLL-style sketch
+    // (partial aggregation, one shuffle of fixed-size sketches, no
+    // global sort), which is the only percentile that works at 100 TB.
+    // Engine-specific sketch ⇒ rows-only here; ApproxPercentileSpec
+    // bounds the rank error against the exact values (the q19-HLL
+    // convention).
+    QueryDef("q56_approx_percentile",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("pcts"))
+        .select(col("event_type"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p90"),
+          element_at(col("pcts"), 3).as("p99"))
+        .orderBy(col("event_type")),
+      None),
+
+    // ------------------------------------------------------------------
+    // Pivot (long → wide reshape): per-day event counts fan out into
+    // one column per event type. Values are pinned explicitly (the
+    // scale rule for pivot — value discovery is an extra pass and an
+    // unbounded-width risk); under the hood this is one hash-agg with
+    // conditional aggregates, which is precisely the oracle SQL.
+    QueryDef("q57_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        events(s, dir)
+          .groupBy(expr("ts_ms DIV 86400000").as("day"))
+          .pivot("event_type", types)
+          .agg(sum(dec(col("value"))))
+          .select(col("day") +: types.map(tp => d(col(tp)).as(tp)): _*)
+          .orderBy(col("day"))
+      },
+      Some {
+        val cols = Seq("click", "error", "purchase", "signup", "view")
+          .map(tp => s"CAST(sum(CASE WHEN event_type = '$tp' " +
+            s"THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS $tp")
+          .mkString(",\n  ")
+        s"""SELECT $tsMs // 86400000 AS day,
+           |  $cols
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery: each customer's maximal order(s).
+    // Written as SQL on purpose — the point is Catalyst's subquery
+    // decorrelation (RewriteCorrelatedScalarSubquery turns it into an
+    // aggregate + equi join, no per-row re-execution), the same
+    // transformation the oracle's planner applies. max() of a double
+    // is order-insensitive, so no DECIMAL detour is needed.
+    QueryDef("q58_correlated_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_corr")
+        s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+          |FROM orders_corr o
+          |WHERE o_totalprice = (SELECT max(i.o_totalprice)
+          |                      FROM orders_corr i
+          |                      WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(i.o_totalprice)
+        |                      FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Regex field extraction over the semi-structured `props` column
+    // (F-class string surface beyond the reference's split/concat):
+    // pull the numeric "k" attribute out of the JSON-ish payload and
+    // aggregate by it. regexp_extract is codegen'd; the cast of a
+    // non-match ('') yields NULL in both engines, so malformed rows
+    // degrade identically.
+    QueryDef("q59_regex_extract",
+      (s, dir) => events(s, dir)
+        .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Typed custom aggregate (Aggregator[IN,BUF,OUT] via udaf(), the
+    // §2.10 escalation path): 3 smallest values per event type. The
+    // buffer is bounded (≤ 3 doubles), so the partial/final split is
+    // as cheap as a built-in min — the pattern to copy for any custom
+    // order statistic. Values pass through with zero arithmetic, so
+    // the oracle (window row_number ≤ 3, conditionally aggregated
+    // back to one row) matches bit-exactly, ties included.
+    QueryDef("q61_custom_agg",
+      (s, dir) => {
+        val top3 = udaf(new graft.functions.TopKMin(3), Encoders.scalaDouble)
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(top3(col("value")).as("t3"))
+          .select(col("event_type"),
+            element_at(col("t3"), 1).as("v1"),
+            element_at(col("t3"), 2).as("v2"),
+            element_at(col("t3"), 3).as("v3"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = 1 THEN value END) AS v1,
+        |  max(CASE WHEN rn = 2 THEN value END) AS v2,
+        |  max(CASE WHEN rn = 3 THEN value END) AS v3
+        |FROM r WHERE rn <= 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}

@@ -39,12 +39,105 @@ object SimilarityOps {
   private def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** quantized + norm²-annotated view of the corpus (public: specs
+    * build exact ground truth from the same integer vectors). */
+  def vecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id"), quant(col("embedding")).as("v"))
       .withColumn("n2", nrm2(col("v")))
 
   private val dotSql =
     "CAST(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * ev[i+1])) AS BIGINT)"
+
+  /** md5-seeded ±1 hyperplane table for sign-random-projection LSH:
+    * `tables × planes × 64` rows (tbl, p, i, sg). Deterministic from
+    * the (tbl, p, i) triple alone, so the DuckDB oracle derives the
+    * identical planes. `tables`/`planes` are THE scale knobs: bucket
+    * count per table is 2^planes (collision rate halves per plane),
+    * recall lost to finer buckets is bought back with more tables —
+    * at a 100× corpus you raise both, not redesign (the spec
+    * demonstrates recall parity at (8,4) vs a finer (64,8)). */
+  private[queries] def signTable(s: SparkSession, tables: Int, planes: Int): DataFrame =
+    s.range(tables.toLong * planes * 64).toDF("id")
+      .select(expr(s"id DIV ${planes * 64}").as("tbl"),
+        expr(s"id DIV 64 % $planes").as("p"), expr("id % 64").as("i"))
+      .withColumn("sg",
+        when(conv(substring(md5(concat_ws("_", col("tbl"), col("p"),
+          col("i"))), 1, 2), 16, 10).cast("long")
+          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
+
+  /** (vec_id, tbl, b): per-table LSH bucket of every vector — a
+    * posexplode → broadcast plane join → two hash-aggs; every stage
+    * keyed, nothing quadratic. */
+  private[queries] def lshBuckets(all: DataFrame, signs: DataFrame): DataFrame = {
+    val proj = all
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("tbl"), col("p"))
+      .agg(sum(col("sg") * col("x")).as("pr"))
+    proj.groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("pr") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
+        .as("b"))
+  }
+
+  /** Parameterized ANN top-k: multi-table sign-LSH candidates + exact
+    * cosine re-rank on candidates only. q41 pins (8, 4); the recall
+    * spec runs a finer setting against brute-force ground truth. */
+  def knnLsh(s: SparkSession, dir: String, tables: Int, planes: Int): DataFrame = {
+    val all = vecs(s, dir)
+    val buckets = lshBuckets(all, signTable(s, tables, planes))
+    val qBuckets = buckets.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("tbl").as("qtbl"),
+        col("b").as("qb"))
+    val cand = buckets
+      .join(broadcast(qBuckets),
+        col("tbl") === col("qtbl") && col("b") === col("qb")
+          && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(all.select(col("vec_id"), col("v").as("ev"), col("n2").as("en2")),
+        "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS (the dedup mode over
+    * embeddings): LSH bucket SELF-join for candidates — any pair
+    * sharing a (table, bucket) — then exact cosine verification at
+    * `minCosine`. The all-pairs step never exists; candidate cost is
+    * Σ_bucket size² per table, tuned by `planes` exactly like a
+    * shingle-df cap. Output is (da, db, cosine), da < db — the keep/
+    * drop decision is a trivial downstream `min(da)` group. */
+  def embedNearDupPairs(s: SparkSession, dir: String, tables: Int,
+      planes: Int, minCosine: Double): DataFrame = {
+    val all = vecs(s, dir)
+    val buckets = lshBuckets(all, signTable(s, tables, planes))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.b") === col("y.b")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
+      .distinct()
+    cand
+      .join(all.select(col("vec_id").as("da"), col("v").as("av"),
+        col("n2").as("an2")), "da")
+      .join(all.select(col("vec_id").as("db"), col("v").as("bv"),
+        col("n2").as("bn2")), "db")
+      .select(col("da"), col("db"),
+        cosine(dot(col("av"), col("bv")), col("an2"), col("bn2")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("da"), col("db"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -102,48 +195,7 @@ object SimilarityOps {
     // collapses when true neighbors sit near 70°, as here). At scale
     // every stage is an equi join/agg keyed on (table, bucket).
     QueryDef("q41_knn_lsh",
-      (s, dir) => {
-        val all = vecs(s, dir)
-        val signs = s.range(8 * 4 * 64).toDF("id")
-          .select(expr("id DIV 256").as("tbl"),
-            expr("id DIV 64 % 4").as("p"), expr("id % 64").as("i"))
-          .withColumn("sg",
-            when(conv(substring(md5(concat_ws("_", col("tbl"), col("p"),
-              col("i"))), 1, 2), 16, 10).cast("long")
-              .bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        val proj = all
-          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-          .join(broadcast(signs), "i")
-          .groupBy(col("vec_id"), col("tbl"), col("p"))
-          .agg(sum(col("sg") * col("x")).as("pr"))
-        val buckets = proj.groupBy(col("vec_id"), col("tbl"))
-          .agg(sum(when(col("pr") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
-            .as("b"))
-        val qBuckets = buckets.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("tbl").as("qtbl"),
-            col("b").as("qb"))
-        val cand = buckets
-          .join(broadcast(qBuckets),
-            col("tbl") === col("qtbl") && col("b") === col("qb")
-              && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id")).distinct()
-        val queries = all.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-        val scored = cand
-          .join(all.select(col("vec_id"), col("v").as("ev"), col("n2").as("en2")),
-            "vec_id")
-          .join(broadcast(queries), "qid")
-          .select(col("qid"), col("vec_id"),
-            cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("cosine"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      (s, dir) => knnLsh(s, dir, tables = 8, planes = 4),
       Some(s"""WITH qv AS (
         |  SELECT vec_id, $quantSql AS v FROM embeddings),
         |normed AS (
@@ -273,6 +325,53 @@ object SimilarityOps {
         |SELECT qid, probed_label, CAST(rank AS BIGINT) AS rank, vec_id, cosine
         |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup pairs — the dedup mode over the
+    // embedding column: LSH-bucket self-join candidates, exact
+    // verification at cosine ≥ 0.4 (this corpus is near-isotropic —
+    // max pair ≈ 0.51 — so 0.4 marks the "suspiciously close" tail).
+    // 2 planes here vs q41's 4: near-dup wants high recall on
+    // moderate-angle pairs, so coarser buckets + the verify stage
+    // carrying the precision. The oracle replicates the identical
+    // deterministic pipeline (md5 planes → buckets → verify), so this
+    // checks the algorithm end-to-end, not just the final filter.
+    QueryDef("q60_embed_neardup",
+      (s, dir) => embedNearDupPairs(s, dir, tables = 8, planes = 2,
+        minCosine = 0.4),
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |signs AS (
+        |  SELECT tbl, p, i,
+        |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(range(8)) AS tbl),
+        |       (SELECT unnest(range(2)) AS p),
+        |       (SELECT unnest(range(64)) AS i)),
+        |proj AS (
+        |  SELECT n.vec_id, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
+        |  FROM normed n CROSS JOIN signs s
+        |  GROUP BY n.vec_id, s.tbl, s.p),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
+        |  FROM proj GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS da, y.vec_id AS db
+        |  FROM buckets x JOIN buckets y
+        |    ON x.tbl = y.tbl AND x.b = y.b AND x.vec_id < y.vec_id),
+        |scored AS (
+        |  SELECT da, db,
+        |    CAST(CAST(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+        |  FROM cand JOIN normed a ON a.vec_id = da
+        |            JOIN normed b ON b.vec_id = db)
+        |SELECT da, db, cosine FROM scored WHERE cosine >= 0.4
+        |ORDER BY da, db""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Brute-force KNN on the native codegen'd cosine Expression

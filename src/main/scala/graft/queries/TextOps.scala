@@ -67,7 +67,18 @@ object TextOps {
     * df ≤ maxDf. The window count partitions by `s` — the same key
     * the self-join shuffles on, so the cap adds no extra exchange of
     * the big table. Public + parameterized so JaccardCapSpec can
-    * drive it with a planted stop-shingle. */
+    * drive it with a planted stop-shingle.
+    *
+    * Semantics once the cap bites: `sa`/`sb` are FULL distinct-shingle
+    * sizes but the intersection `c` is counted only over kept
+    * (df ≤ maxDf) shingles, so the reported value is a LOWER BOUND on
+    * true Jaccard for any pair sharing a dropped shingle — the safe
+    * direction for dedup (never over-merges), and the convention
+    * production pipelines use: near-universal shingles carry no
+    * discriminative signal, so excluding them from the numerator
+    * while keeping honest set sizes biases against false positives.
+    * At the correctness scale factors no df exceeds the cap, so the
+    * values are exact and the oracle applies the identical rule. */
   def jaccardPairs(ex: DataFrame, maxDf: Long, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kept = ex

@@ -1,7 +1,6 @@
 package graft.sinks
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -34,25 +33,30 @@ trait RedisStreamsClient extends Serializable {
   */
 final class InMemoryRedis private () extends RedisStreamsClient {
   private val streams = new ConcurrentHashMap[String, ArrayBuffer[(String, Seq[(String, String)])]]()
-  private val lastMs = new AtomicLong(0L)
-  private val lastSeq = new AtomicLong(-1L)
+  private var lastMs = 0L
+  private var lastSeq = -1L
 
+  // id generation and buffer append happen under ONE lock: two
+  // concurrent writers to the same key must observe append order ==
+  // id order (XADD's contract — ids are monotonic in stream order),
+  // so the id can't be minted in one critical section and appended
+  // in another.
   override def xadd(key: String, fields: Seq[(String, String)]): String = {
     val buf = streams.computeIfAbsent(key, _ => new ArrayBuffer)
-    val id = synchronized {
+    synchronized {
       val now = System.currentTimeMillis()
-      if (now > lastMs.get()) { lastMs.set(now); lastSeq.set(0L) }
-      else lastSeq.incrementAndGet()
-      s"${lastMs.get()}-${lastSeq.get()}"
+      if (now > lastMs) { lastMs = now; lastSeq = 0L }
+      else lastSeq += 1
+      val id = s"$lastMs-$lastSeq"
+      buf += ((id, fields))
+      id
     }
-    buf.synchronized { buf += ((id, fields)) }
-    id
   }
 
   /** XRANGE - +: all entries of a key in append order. */
   def xrange(key: String): Seq[(String, Seq[(String, String)])] = {
     val buf = streams.get(key)
-    if (buf == null) Seq.empty else buf.synchronized(buf.toSeq)
+    if (buf == null) Seq.empty else synchronized(buf.toSeq)
   }
 
   def keys: Seq[String] = {

@@ -51,7 +51,14 @@ final class WsFeedClient(
       .buildAsync(uri, new FeedListener)
       .whenComplete { (ws, err) =>
         if (err != null) scheduleReconnect(attempt + 1)
-        else current = ws
+        else {
+          // a connect can complete after close(): publish first, then
+          // re-check `closed` and abort — whichever order close() ran
+          // in, either it sees `current` or we see `closed`, so no
+          // socket (or its daemon reader) is ever left open
+          current = ws
+          if (closed) ws.abort()
+        }
       }
   }
 

@@ -232,6 +232,14 @@ class WsReplayMicroBatchStream(props: Map[String, String])
         // readers never re-scan from byte 0
         val idx = index.get
         if (idx.lines < e) idx.refresh() // restart: rebuild index once
+        // fail fast if the file shrank below a committed offset — a
+        // truncated/replaced replay file must not silently emit fewer
+        // rows than the planned range (offsets past EOF are data loss,
+        // not a quiet short read)
+        require(idx.lines >= e,
+          s"replay file $p has ${idx.lines} complete lines but the " +
+            s"batch plans through offset $e — file truncated or " +
+            "replaced since the offset was committed")
         val n = math.min(numPartitions.toLong, e - s).toInt
         val step = (e - s + n - 1) / n
         (0 until n).flatMap { i =>

@@ -1,16 +1,18 @@
 package graft
 
 /** Catalog-wide physical-plan guard: no unpartitioned cartesian
-  * products anywhere, and BroadcastNestedLoopJoin only in the three
-  * KNN queries that intentionally broadcast a tiny query set against
-  * the corpus. Catches accidental join-condition regressions (a
-  * dropped equi key silently turns a hash join into a cross product
-  * that only explodes at scale).
+  * products anywhere, and BroadcastNestedLoopJoin only where a
+  * broadcast cross/theta against a tiny side is the intended design
+  * (the three KNN queries broadcasting a 10-vector query set, and the
+  * pure theta join broadcasting 5 price tiers). Catches accidental
+  * join-condition regressions (a dropped equi key silently turns a
+  * hash join into a cross product that only explodes at scale).
   */
 class PlanAuditSpec extends SparkSpec {
 
   private val intendedBroadcastCross =
-    Set("q40_knn_bruteforce", "q43_knn_native", "q44_knn_ivf")
+    Set("q40_knn_bruteforce", "q43_knn_native", "q44_knn_ivf",
+      "q55_theta_join")
 
   test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
