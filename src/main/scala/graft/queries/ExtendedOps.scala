@@ -162,6 +162,86 @@ object ExtendedOps {
         |  max(CASE WHEN rn = 2 THEN value END) AS v2,
         |  max(CASE WHEN rn = 3 THEN value END) AS v3
         |FROM r WHERE rn <= 3
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Statistical moments the way they survive 100 TB: mean/variance/
+    // stddev/skewness derived from EXACT integer power sums
+    // (quantized value → DECIMAL(12,0); q, q², q³ summed in
+    // DECIMAL(38,0)). Spark's built-in stddev/skewness stream a
+    // float accumulator whose result depends on partition order —
+    // useless under a determinism gate and unstable under AQE
+    // re-planning; power sums are associative/commutative integers,
+    // so ONE map-side-combinable shuffle yields bit-identical moments
+    // at any parallelism (q³ ≤ 1.2e20 per row here; the (38,0) sum
+    // holds ~10¹⁸ such rows). Skewness is computed on the quantized
+    // scale — it's scale-invariant, so no rescale is needed; the
+    // final float expressions are written with identical
+    // parenthesization in both engines (same IEEE ops on the same
+    // exact operands → same bits).
+    QueryDef("q65_exact_moments",
+      (s, dir) => {
+        val qd = floor(col("value") * 10000 + lit(0.5)).cast("decimal(12,0)")
+        val agg = events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(qd).as("s1"),
+            sum(qd * qd).as("s2"), sum(qd * qd * qd).as("s3"))
+          .select(col("event_type"), col("n"),
+            col("n").cast("double").as("nd"),
+            col("s1").cast("double").as("s1d"),
+            col("s2").cast("double").as("s2d"),
+            col("s3").cast("double").as("s3d"))
+        val (nd, s1, s2, s3) = (col("nd"), col("s1d"), col("s2d"), col("s3d"))
+        agg.select(col("event_type"), col("n"),
+          (s1 / nd / lit(1e4)).as("mean"),
+          ((nd * s2 - s1 * s1) / (nd * (nd - lit(1))) / lit(1e8)).as("var_samp"),
+          sqrt((nd * s2 - s1 * s1) / (nd * (nd - lit(1))) / lit(1e8)).as("stddev_samp"),
+          ((s3 / nd - lit(3) * (s1 / nd) * (s2 / nd)
+            + lit(2) * (s1 / nd) * (s1 / nd) * (s1 / nd))
+            / pow(s2 / nd - (s1 / nd) * (s1 / nd), lit(1.5))).as("skewness"))
+          .orderBy(col("event_type"))
+      },
+      // DuckDB caps DECIMAL multiply widening at 18 digits, so the
+      // oracle carries the power sums in HUGEINT (int128) instead —
+      // the same exact integers either way
+      Some("""WITH q AS (
+        |  SELECT event_type, CAST(floor(value*10000 + 0.5) AS HUGEINT) AS q
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(q) AS s1, sum(q*q) AS s2, sum(q*q*q) AS s3
+        |  FROM q GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |    CAST(s3 AS DOUBLE) AS s3
+        |  FROM agg)
+        |SELECT event_type, n,
+        |  s1 / nd / 1e4 AS mean,
+        |  (nd*s2 - s1*s1) / (nd*(nd - 1)) / 1e8 AS var_samp,
+        |  sqrt((nd*s2 - s1*s1) / (nd*(nd - 1)) / 1e8) AS stddev_samp,
+        |  (s3/nd - 3*(s1/nd)*(s2/nd) + 2*(s1/nd)*(s1/nd)*(s1/nd))
+        |    / pow(s2/nd - (s1/nd)*(s1/nd), 1.5) AS skewness
+        |FROM d ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Histogram binning (the profiling primitive for value
+    // distributions): fixed-width buckets via floor division — a
+    // plain hash-agg on the bin key, output bounded by the bin count
+    // regardless of input size.
+    QueryDef("q66_histogram",
+      (s, dir) => events(s, dir)
+        .select(floor(col("value") / 50).cast("long").as("bin"), col("value"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(dec(col("value")))).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(value/50) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

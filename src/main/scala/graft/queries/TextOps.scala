@@ -93,8 +93,11 @@ object TextOps {
         col("c").cast("double") / (col("sa") + col("sb") - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
+  // NOTE: no internal ORDER BY — a global sort range-partitions by
+  // SAMPLING its input, which executes the whole pair pipeline twice.
+  // Callers that emit pairs directly (q35) sort at the very end;
+  // callers that consume pairs (q63/q64 drop sets) must not pay it.
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -229,7 +232,8 @@ object TextOps {
     // re-introduce the quadratic blowup; the oracle applies the
     // identical cap.
     QueryDef("q35_jaccard_pairs",
-      (s, dir) => jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.5),
+      (s, dir) => jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.5)
+        .orderBy(col("da"), col("db")),
       Some(s"""WITH $shingleSql,
         |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
         |ex AS (SELECT doc_id, sz, s FROM (
@@ -344,21 +348,22 @@ object TextOps {
       (s, dir) => {
         val bands = 6; val bandBits = 10
         val sig = simhashSig(s, dir, bits = 60)
-        val banded = sig.select(col("doc_id"),
+        // the signature rides along through the band explode, so the
+        // verify popcount reads it straight off the self-join output —
+        // no join back to sig, which would re-execute the 60-sum
+        // aggregate two more times (simhash is functionally dependent
+        // on doc_id, so the pair distinct is unaffected)
+        val banded = sig.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("simhash"), b * bandBits)
               .bitwiseAND((1L << bandBits) - 1)): _*))
             .as(Seq("band", "bval")))
-        val cand = banded.as("x").join(banded.as("y"),
+        banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
             && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
           .distinct()
-        cand
-          .join(sig.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
-          .join(sig.select(col("doc_id").as("db"), col("simhash").as("hb")), "db")
-          .select(col("da"), col("db"),
-            expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
           .filter(col("hamming") <= 5)
           .orderBy(col("da"), col("db"))
       },
