@@ -242,6 +242,138 @@ object ExtendedOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q3-shaped shipping priority: selective filters on BOTH
+    // fact-side tables pushed to the scans, customer dim broadcast,
+    // orders⋈lineitem as the one genuine shuffle, then agg + top-10.
+    // The filters-before-join ordering is Catalyst's job — the query
+    // is declared unordered and the optimizer pushes all three
+    // predicates below the joins (plan-audited). Revenue follows the
+    // catalog DECIMAL convention.
+    QueryDef("q68_shipping_priority",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-06-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+          col("o_orderpriority"))
+        .agg(d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q5-shaped local supplier volume: the 6-table join. The
+    // dimension chain region→nation→supplier/customer broadcasts end
+    // to end; the only shuffles are the two fact joins, and the
+    // c_nationkey = s_nationkey "local" condition rides the lineitem⋈
+    // supplier join as a residual filter instead of forcing an extra
+    // exchange. This is the canonical join-graph the optimizer must
+    // get right at 100 TB: dims broadcast, facts co-partitioned.
+    QueryDef("q69_local_volume",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1999-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Window analytic tail: first_value / nth_value / cume_dist over
+    // per-customer order history — the W-analytic functions the
+    // catalog hadn't exercised yet (lag/lead/last are in q12/q22).
+    QueryDef("q70_window_extras",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(wAll).as("first_price"),
+            nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w_all AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w_all AS second_price,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Boolean / conditional aggregate surface: every/any (bool_and/
+    // bool_or), count_if, plus a deterministic any_value stand-in
+    // (min — any_value itself is nondeterministic by contract, the
+    // wrong tool under a determinism gate and flagged as such here).
+    QueryDef("q71_bool_aggs",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("every(o_totalprice > 1000)").as("all_over_1k"),
+          expr("any(o_totalprice > 400000)").as("any_over_400k"),
+          expr("count_if(o_orderstatus = 'F')").as("n_finished"),
+          min(col("o_orderstatus")).as("status_pick"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  min(o_orderstatus) AS status_pick
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
   )
 }

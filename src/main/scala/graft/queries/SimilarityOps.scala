@@ -156,6 +156,51 @@ object SimilarityOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** IVF search with multi-probe: score query↔cell-centroid cosines
+    * (centroid = per-label vector SUM — same direction as the mean,
+    * exact integers), probe the top-`nprobe` cells, exact-rank inside
+    * the probed cells only. Cells are disjoint (one label per
+    * vector), so the multi-probe candidate union needs no dedupe, and
+    * recall is MONOTONE in `nprobe` by construction — each probe adds
+    * candidates without disturbing existing ones (IvfRecallSpec pins
+    * this against brute-force ground truth). `nprobe` is the
+    * recall/cost dial every IVF index exposes; at scale the probed
+    * cells are partition-pruned scans. */
+  def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val all = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quant(col("embedding")).as("v"))
+      .withColumn("n2", nrm2(col("v")))
+    val sums = all
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("sx"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("sx")))),
+        x => x.getField("sx")).as("sv"))
+      .withColumn("sn2", nrm2(col("sv")))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cc").desc, col("label"))
+    val assigned = queries.crossJoin(broadcast(sums))
+      .select(col("qid"), col("qv"), col("label"),
+        cosine(dot(col("qv"), col("sv")), col("qn2"), col("sn2")).as("cc"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("label").as("probed_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    all.join(broadcast(assigned),
+      col("label") === col("probed_label") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), qcos(s, "qv", "v").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -283,14 +328,13 @@ object SimilarityOps {
             cosine(dot(col("qv"), col("sv")), col("qn2"), col("sn2")).as("cc"))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
-          .select(col("qid"), col("qv"), col("qn2"),
-            col("label").as("probed_label"))
+          .select(col("qid"), col("qv"), col("label").as("probed_label"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
         all.join(broadcast(assigned),
           col("label") === col("probed_label") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("probed_label"), col("vec_id"),
-            cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+            qcos(s, "qv", "v").as("cosine"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("probed_label"),
@@ -338,6 +382,57 @@ object SimilarityOps {
         |      vec_id) AS rank
         |  FROM scored)
         |SELECT qid, probed_label, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // IVF with MULTI-PROBE (the recall dial q44's single probe
+    // lacks): search the top-3 cells per query instead of 1. See
+    // [[knnIvf]] — recall is monotone in nprobe by construction,
+    // IvfRecallSpec pins it against brute force.
+    QueryDef("q67_knn_ivf_probe",
+      (s, dir) => knnIvf(s, dir, nprobe = 3),
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v
+        |  FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, label, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |sums AS (
+        |  SELECT label, i AS dim, sum(v[i + 1]) AS sx
+        |  FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i)
+        |  GROUP BY label, i),
+        |sv AS (
+        |  SELECT label, list(sx ORDER BY dim) AS sv FROM sums GROUP BY label),
+        |svn AS (
+        |  SELECT label, sv,
+        |    CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS sn2
+        |  FROM sv),
+        |assigned AS (
+        |  SELECT qid, qv, qn2, label AS probed_label FROM (
+        |    SELECT q.vec_id AS qid, q.v AS qv, q.n2 AS qn2, c.label,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CAST(CAST(list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.sv[i+1])) AS BIGINT) AS DOUBLE)
+        |          / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.sn2 AS DOUBLE)) DESC,
+        |        c.label) AS rn
+        |    FROM (SELECT * FROM normed WHERE vec_id < 10) q
+        |    CROSS JOIN svn c)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT a.qid, e.vec_id,
+        |    CAST($dotSql AS BIGINT) AS dotv, a.qn2, e.n2
+        |  FROM assigned a
+        |  JOIN (SELECT vec_id, label, v AS ev, n2 FROM normed) e
+        |    ON e.label = a.probed_label AND e.vec_id <> a.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |    CAST(dotv AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      CAST(dotv AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(n2 AS DOUBLE)) DESC,
+        |      vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cosine
         |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin)),
 

@@ -1,0 +1,31 @@
+package graft
+
+import graft.queries.SimilarityOps
+
+/** IVF multi-probe quality (sf0.001, 500 vectors, brute-force ground
+  * truth): probing more cells can only ADD candidates — cells are
+  * disjoint (one label per vector) and existing candidates keep their
+  * scores — so top-5 recall is monotone in nprobe by construction.
+  * This pins both the monotonicity (deterministic, not statistical)
+  * and that multi-probe recovers a usable share of true neighbors
+  * that single-probe misses when they sit in the #2/#3 cells.
+  */
+class IvfRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+
+  test("IVF recall is monotone in nprobe and improves with 3 probes") {
+    val truth = top5(SparkEntry.queries("q40_knn_bruteforce")(spark, sf()))
+    val p1 = top5(SimilarityOps.knnIvf(spark, sf(), nprobe = 1))
+    val p3 = top5(SimilarityOps.knnIvf(spark, sf(), nprobe = 3))
+    val r1 = (truth intersect p1).size.toDouble / truth.size
+    val r3 = (truth intersect p3).size.toDouble / truth.size
+    assert(r3 >= r1, s"recall not monotone: nprobe3=$r3 < nprobe1=$r1")
+    assert(r3 > 0.2, s"multi-probe recall unusable: $r3")
+    // single-probe results are a subset of multi-probe candidates'
+    // ranking universe, but final top-5 sets need not nest; recall is
+    // what's guaranteed monotone, asserted above
+  }
+}

@@ -12,7 +12,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private val intendedBroadcastCross =
     Set("q40_knn_bruteforce", "q43_knn_native", "q44_knn_ivf",
-      "q55_theta_join")
+      "q67_knn_ivf_probe", "q55_theta_join")
 
   test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
