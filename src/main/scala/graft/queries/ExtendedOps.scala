@@ -374,6 +374,30 @@ object ExtendedOps {
         |  min(o_orderstatus) AS status_pick
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin))
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Validity-interval construction (SCD2 / temporal-table shape):
+    // each user's event history becomes [valid_from, valid_to) rows
+    // via lead() — the standard "point-in-time join" prep. One
+    // user-keyed window, no self-join (the naive formulation is a
+    // range self-join that dies at scale); the open tail stays NULL.
+    QueryDef("q72_validity_intervals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_ms").as("valid_from_ms"),
+            lead(col("ts_ms"), 1).over(w).as("valid_to_ms"))
+          .orderBy(col("user_id"), col("valid_from_ms"), col("event_id"))
+      },
+      Some(s"""SELECT user_id, event_id, event_type,
+        |  $tsMs AS valid_from_ms,
+        |  lead($tsMs) OVER (PARTITION BY user_id
+        |    ORDER BY $tsMs, event_id) AS valid_to_ms
+        |FROM events
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin))
   )
 }

@@ -462,7 +462,42 @@ object TextOps {
         |  AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
-  )
+  ) :+ splitQueryDef
+
+  /** Deterministic train/val/test split — the reproducibility op a
+    * training pipeline needs instead of `rand()`: bucket 0..99 from
+    * the doc-id md5, 80/10/10 by bucket range. Hash-based splits are
+    * stable across runs, engines, partitionings and re-scans (random
+    * sampling is none of these), join-free, and consistent for a doc
+    * wherever it appears. Pure map + one hash-agg. */
+  // lazy: declared below `defs`, which references it at object init
+  private lazy val splitQueryDef = QueryDef("q73_hash_split",
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100).as("bucket")
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).cast("long")
+          .as("n_tokens"), bucket)
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin))
 
   /** `bits`-bit SimHash signature per doc (md5-derived token hashes,
     * per-bit majority vote, ONE hash-agg — no bit explosion; 60 bits

@@ -103,6 +103,16 @@ object Streams {
         s"r.$tsCol >= l.$tsCol AND r.$tsCol <= l.$tsCol + INTERVAL $within"))
   }
 
+  /** §2.3 stream-static enrichment join: decorate a live stream with
+    * a dimension table. The static side is broadcast — every
+    * micro-batch joins map-side with zero shuffle of the stream and
+    * zero streaming state (unlike stream-stream, nothing must be
+    * buffered: the dim is re-resolvable per batch, so at scale a
+    * refreshed dim snapshot is picked up on the next trigger). */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keyCol)
+
   /** streaming exact dedup: drop records repeating a key within the
     * watermark horizon — state is bounded by the watermark (the
     * streaming face of the batch dedup in `q30_dedup_exact`; at scale

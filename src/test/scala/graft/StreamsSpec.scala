@@ -69,6 +69,24 @@ class StreamsSpec extends SparkSpec {
     assert(last == 7L)
   }
 
+  test("stream-static enrichment joins each batch against the dim, no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val dim = Seq(("BTC", "Bitcoin"), ("ETH", "Ethereum"))
+      .toDF("symbol", "asset_name")
+    val q = Streams.streamStaticEnrich(
+      in.toDF().toDF("symbol", "price"), dim, "symbol")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(("BTC", 100.0), ("ETH", 50.0), ("DOGE", 0.1))
+    drain(q)
+    val rows = spark.table("enriched")
+      .select($"symbol", $"asset_name", $"price").collect()
+    assert(rows.length == 2) // inner join: unknown symbol dropped
+    assert(rows.exists(r => r.getString(0) == "BTC"
+      && r.getString(1) == "Bitcoin" && r.getDouble(2) == 100.0))
+  }
+
   test("stream-stream join matches within the event-time range only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
