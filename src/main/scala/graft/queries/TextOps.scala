@@ -462,7 +462,7 @@ object TextOps {
         |  AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
-  ) :+ splitQueryDef
+  ) ++ Seq(splitQueryDef, bpeQueryDef)
 
   /** Deterministic train/val/test split — the reproducibility op a
     * training pipeline needs instead of `rand()`: bucket 0..99 from
@@ -470,6 +470,38 @@ object TextOps {
     * stable across runs, engines, partitionings and re-scans (random
     * sampling is none of these), join-free, and consistent for a doc
     * wherever it appears. Pure map + one hash-agg. */
+  /** BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape,
+    * minus lookahead so Java regex and DuckDB's RE2 agree exactly):
+    * contractions, space-prefixed letter runs, digit runs, punct
+    * runs. Token COUNTING with this pattern is the unit a training
+    * pipeline budgets by — whitespace counts (q31/q32) undercount
+    * punctuation-heavy text. Pure codegen'd regexp per row, one
+    * hash-agg for the corpus rollup. */
+  private lazy val bpeQueryDef = {
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    QueryDef("q74_bpe_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(lower(trim(col("text"))), lit(pat), lit(0)))
+            .cast("long").as("n_bpe"),
+          size(toks(col("text"))).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("sum_bpe"),
+          sum(col("n_ws")).as("sum_ws"))
+        .orderBy(col("lang")),
+      Some(s"""WITH per_doc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(trim(text)),
+        |      '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe,
+        |    CAST(len($tokSql) AS BIGINT) AS n_ws
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+        |  CAST(sum(n_ws) AS BIGINT) AS sum_ws
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin))
+  }
+
   // lazy: declared below `defs`, which references it at object init
   private lazy val splitQueryDef = QueryDef("q73_hash_split",
     (s, dir) => {
