@@ -398,6 +398,41 @@ object ExtendedOps {
         |  lead($tsMs) OVER (PARTITION BY user_id
         |    ORDER BY $tsMs, event_id) AS valid_to_ms
         |FROM events
-        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin))
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q18-shaped large-volume orders: HAVING over a fact
+    // aggregate feeding an IN/semi-join back against orders+customer.
+    // The aggregate-then-semi-join shape matters at scale: the HAVING
+    // output (big spenders) is tiny, so the second join broadcasts —
+    // the fact table is aggregated once and never re-scanned.
+    QueryDef("q75_large_orders",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(d(sum(dec(col("l_quantity")))).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        t(s, dir, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150)
+        |SELECT c_name, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin))
   )
 }

@@ -462,7 +462,32 @@ object TextOps {
         |  AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
-  ) ++ Seq(splitQueryDef, bpeQueryDef)
+  ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef)
+
+  /** Count-min-sketch heavy hitters — the third sketch in the
+    * catalog's approximate family (q19 HLL distinct, q56 KLL
+    * percentiles): executors build partial sketches, the driver
+    * merges a few KB — the only way to budget token counts at 100 TB
+    * without shuffling every token. The fixed seed + additive counters
+    * make the estimates partition-order-independent (deterministic),
+    * but the sketch is engine-specific ⇒ rows-only; CmsSpec pins the
+    * one-sided CMS guarantee (never undercounts; overcount ≤ ε·N).
+    * The 20-row exact-top-k collect is the legitimate driver-side
+    * step: it sizes with k, not the corpus. */
+  private lazy val cmsQueryDef = QueryDef("q76_cms_heavy_hitters",
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+      val sketch = tk.stat.countMinSketch("token", 0.001, 0.99, 42)
+      val top = tk.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      import s.implicits._
+      top.toSeq.map { case (t, n) => (t, n, sketch.estimateCount(t)) }
+        .toDF("token", "n_exact", "n_est")
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+    None)
 
   /** Deterministic train/val/test split — the reproducibility op a
     * training pipeline needs instead of `rand()`: bucket 0..99 from
