@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Data-layout and sampling operators — the write-side half of the
+  * 100 TB story. Reading fast at scale is mostly decided before the
+  * query runs: how the files were clustered (z-order → multi-column
+  * min/max pruning) and how a reproducible subset is drawn
+  * (deterministic hash sampling, never `rand()`).
+  *
+  * The reference ingestor (`binance-di.py:155-191`) writes
+  * append-order files with no layout control at all; these operators
+  * are what its output would need before a 100 TB corpus is queryable
+  * interactively.
+  */
+object LayoutOps {
+
+  /** Morton/z-order bit-spread: the low 16 bits of `c` spaced out to
+    * even bit positions (0,2,4,…,30). Two spread values OR-ed with a
+    * 1-bit shift interleave into a z-curve address: sorting by it
+    * makes file-level min/max ranges tight on BOTH source dimensions
+    * simultaneously, so a 2-D predicate prunes files on either (or
+    * both) columns — a 1-D sort can only ever prune on its leading
+    * column. Pure integer bit-math, codegen'd, no shuffle beyond the
+    * final range partition of the write. */
+  def spreadBits16(c: Column): Column = {
+    val m = c.bitwiseAND(lit(0xFFFFL))
+    val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** z-curve address of two 16-bit dimensions. */
+  def zValue(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
+  /** Cluster a frame for writing: range-partition by z-value (files
+    * cover disjoint z ranges ⇒ disjoint 2-D tiles) and sort within
+    * partitions so parquet row-group stats are tight too. The actual
+    * pruning win is pinned by ZOrderSpec; this is the write path a
+    * 100 TB backfill would call before `.write.parquet`. */
+  def clusterByZ(df: DataFrame, x: Column, y: Column,
+      numFiles: Int): DataFrame =
+    df.withColumn("zval", zValue(x, y))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // z-order address computation over events: dimension 1 = user_id
+    // (the key queries filter on), dimension 2 = minute time bucket
+    // (the range queries filter on). Every step is exact integer
+    // bit-math, so the oracle reproduces it bit-for-bit.
+    QueryDef("q77_zorder_address",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("x", col("user_id").bitwiseAND(lit(0xFFFFL)))
+          .withColumn("y", expr("ts_ms DIV 60000").bitwiseAND(lit(0xFFFFL)))
+        ev.select(col("event_id"), col("x"), col("y"),
+            zValue(col("x"), col("y")).as("zval"))
+          .orderBy(col("zval"), col("event_id"))
+      },
+      Some("""WITH b AS (
+        |  SELECT event_id, user_id & 65535 AS x,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) & 65535 AS y
+        |  FROM events),
+        |s1 AS (SELECT event_id, x, y,
+        |  (x | (x << 8)) & 16711935 AS sx, (y | (y << 8)) & 16711935 AS sy FROM b),
+        |s2 AS (SELECT event_id, x, y,
+        |  (sx | (sx << 4)) & 252645135 AS sx, (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+        |s3 AS (SELECT event_id, x, y,
+        |  (sx | (sx << 2)) & 858993459 AS sx, (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+        |s4 AS (SELECT event_id, x, y,
+        |  (sx | (sx << 1)) & 1431655765 AS sx, (sy | (sy << 1)) & 1431655765 AS sy FROM s3)
+        |SELECT event_id, x, y, sx | (sy << 1) AS zval FROM s4
+        |ORDER BY zval, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Deterministic per-key sample — the reproducible analog of the
+    // reference's `--samples N` cap (`binance-di.py:111-115`) for
+    // batch corpora: rank within each source by a content-independent
+    // hash of the id and keep the first k. Re-running on the same
+    // corpus (any partitioning, any cluster size) picks the SAME
+    // rows — which `rand()`-sampling cannot promise — and adding
+    // documents only perturbs the sample locally. One window shuffle
+    // on source; at 100 TB the same shape runs per-partition-key.
+    QueryDef("q79_per_key_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("rn"), col("doc_id"), col("lang"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""SELECT source, rn, doc_id, lang FROM (
+        |  SELECT source, doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin))
+  )
+}

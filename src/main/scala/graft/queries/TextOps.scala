@@ -462,7 +462,64 @@ object TextOps {
         |  AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
-  ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef)
+  ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef)
+
+  /** Gopher-style repetition filters — the quality signals production
+    * corpus pipelines cut on that q31's surface stats (length, punct,
+    * stopwords) don't see: a doc that repeats one phrase thousands of
+    * times looks fine to q31 and is pure noise to a trainer. Three
+    * signals per doc: distinct-token ratio, top-token share, and
+    * duplicate-bigram fraction. Everything is explode → hash-agg on
+    * (doc_id, gram) — fully distributed, no arrays shuffled, and the
+    * two gram sizes aggregate the SAME exploded pass (one shuffle
+    * each, both keyed by doc_id at the end, where AQE coalesces). */
+  private lazy val repetitionQueryDef = QueryDef("q78_repetition",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+      val uni = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"),
+          max(col("n")).as("mx"))
+      val big = tok.filter(col("w2").isNotNull)
+        .groupBy(col("doc_id"), col("w"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("btot"), count(lit(1)).as("bnd"))
+      uni.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("tot").as("n_tokens"),
+          (col("nd").cast("double") / col("tot")).as("distinct_ratio"),
+          (col("mx").cast("double") / col("tot")).as("top_share"),
+          coalesce(lit(1.0) - col("bnd").cast("double") / col("btot"),
+            lit(0.0)).as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(a) AS w FROM tk),
+      |uni AS (
+      |  SELECT doc_id, sum(n) AS tot, count(*) AS nd, max(n) AS mx
+      |  FROM (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(len(a)-1), i -> a[i+1] || ' ' || a[i+2]))
+      |      AS b
+      |  FROM tk),
+      |big AS (
+      |  SELECT doc_id, sum(n) AS btot, count(*) AS bnd
+      |  FROM (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT uni.doc_id, tot AS n_tokens,
+      |  CAST(nd AS DOUBLE) / tot AS distinct_ratio,
+      |  CAST(mx AS DOUBLE) / tot AS top_share,
+      |  coalesce(1.0 - CAST(bnd AS DOUBLE) / btot, 0.0) AS dup_bigram_ratio
+      |FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+      |ORDER BY uni.doc_id""".stripMargin))
 
   /** Count-min-sketch heavy hitters — the third sketch in the
     * catalog's approximate family (q19 HLL distinct, q56 KLL

@@ -9,6 +9,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * with the payload as a JSON string (flat-entry discipline). */
 case class Envelope(stream: String, symbol: String, data: String)
 
+/** one keyed, event-timed record for the custom sessionizer. */
+case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** running per-key session state (bytes per key, not per event). */
+case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+/** an emitted gap-closed session. */
+case class ClosedSession(key: String, start_ms: Long, end_ms: Long,
+    n_events: Long, sum_value: Double)
+
 /** Streaming semantics of the reference (SURVEY.md §2.9) on
   * Structured Streaming: per-key sample limiting (`--samples N`,
   * `binance-di.py:111-115`), event-time windows with watermarks (the
@@ -121,6 +131,60 @@ object Streams {
       watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** T3/T4 — custom-state sessionization: gap-based sessions like
+    * `session_window` (q54's streaming face), but with a caller-shaped
+    * payload the built-in window can't produce (event count AND exact
+    * value sum AND first/last bounds, extensible to anything foldable).
+    *
+    * State per key is one [[SessionAgg]] (a few dozen bytes — bounded
+    * by key cardinality, not event volume; the event-time timeout
+    * clears keys that go quiet, so state can't grow past the live-key
+    * working set). Sessions close two ways:
+    *  - an in-batch event lands ≥ gap after the open session's end →
+    *    the old session emits immediately, a new one opens;
+    *  - the key goes silent and the watermark passes end + gap → the
+    *    event-time timeout fires and emits the final session.
+    * Exactly the reference writer's "rotate on quiet" file behavior
+    * (`binance-di.py:171-183`), generalized to event time. */
+  def sessionizeStream(ds: Dataset[SessionEvent], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[SessionEvent],
+         state: GroupState[SessionAgg]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(key, s.startMs, s.endMs, s.n, s.sum))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs < gapMs =>
+                  cur = Some(SessionAgg(s.startMs, math.max(s.endMs, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(key, s.startMs, s.endMs, s.n, s.sum)
+                  cur = Some(SessionAgg(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 
   /** T4 — per-key running counter (the writer-state pattern): emits
     * (key, runningCount) updates per batch. */

@@ -53,6 +53,39 @@ class StreamsSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(1) == 2 && r.getDouble(2) == 3.0))
   }
 
+  test("T3/T4 sessionizeStream closes on in-batch gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val ds = in.toDF().toDF("key", "ts", "value")
+      .as[graft.streaming.SessionEvent]
+    val q = Streams.sessionizeStream(ds, gapMs = 30000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: one chain [00:00, 00:20], then an in-batch gap > 30s
+    // opens a second chain at 01:00 — the first emits immediately
+    in.addData(
+      ("u1", t("2024-01-01 00:00:00"), 1.0),
+      ("u1", t("2024-01-01 00:00:20"), 2.0),
+      ("u1", t("2024-01-01 00:01:00"), 4.0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("sessions")
+      .as[graft.streaming.ClosedSession].collect()
+    assert(afterBatch1.length == 1)
+    assert(afterBatch1.head.n_events == 2 && afterBatch1.head.sum_value == 3.0)
+    assert(afterBatch1.head.end_ms - afterBatch1.head.start_ms == 20000L)
+    // batch 2: a far-future event for ANOTHER key advances the
+    // watermark past 01:00+gap — u1's held session times out and emits
+    in.addData(("u2", t("2024-01-01 01:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(("u2", t("2024-01-01 02:00:00"), 0.0))
+    drain(q)
+    val all = spark.table("sessions")
+      .as[graft.streaming.ClosedSession].collect().sortBy(_.start_ms)
+    assert(all.exists(s => s.key == "u1" && s.n_events == 1 &&
+      s.sum_value == 4.0), s"timeout session missing in ${all.toSeq}")
+  }
+
   test("T4 runningCountPerKey accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Envelope]
