@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Corpus-pipeline structure operators: transitive dedup clusters
+  * (iterative connected components), mergeable-sketch rollups (the
+  * incremental distinct-count pattern), and changelog compaction
+  * (latest-wins with tombstones) — the jobs that run BETWEEN the
+  * per-document operators in a production training-data pipeline.
+  */
+object PipelineOps {
+
+  /** HashMin connected components over an undirected edge list:
+    * every node's label converges to the smallest doc_id reachable
+    * from it. Each iteration is one join + one hash-agg (both keyed
+    * shuffles on the same key, so the Exchange is reused), and the
+    * iteration count is O(log diameter) for the min-label to travel —
+    * near-dup clusters are shallow (diameter ≤ a few hops), so 3-6
+    * rounds close 100 TB-scale graphs too; `localCheckpoint` after
+    * each round keeps the plan from growing linearly with rounds
+    * (lineage blow-up is the classic iterative-Spark failure mode).
+    * Convergence is detected by a changed-label count, which rides
+    * the same job as the next round's input materialization. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    // undirected: propagate labels both ways
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val next = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Transitive dedup clusters. q63's greedy pair rule under-merges
+    // chains (A~B, B~C but A≁C still form ONE content cluster); the
+    // principled resolution is connected components over the near-dup
+    // graph, keeping each component's smallest id as the canonical
+    // doc. Output: every clustered doc with its canonical id — the
+    // oracle reproduces the fixpoint with a recursive min-label walk.
+    QueryDef("q80_dup_components",
+      (s, dir) => {
+        val pairs = TextOps.jaccardPairs(
+            TextOps.shingleRows(s, dir), TextOps.JaccardMaxDf, 0.8)
+          .select(col("da").as("src"), col("db").as("dst"))
+        connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${TextOps.shingleSql},
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= ${TextOps.JaccardMaxDf}),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT da, db FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |edges AS (
+        |  SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |walk(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+        |SELECT node AS doc_id, min(reach) AS canonical_id
+        |FROM walk GROUP BY node
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mergeable-sketch rollup — the incremental analytics pattern for
+    // 100 TB: per-(source, lang) HLL sketches are a few KB each and
+    // UNION-merge, so per-source (or per-anything-coarser) distinct
+    // counts come from re-aggregating stored sketches, never
+    // re-scanning the corpus. The fine sketches are what a daily
+    // pipeline persists; the union here is the read-side rollup.
+    // Sketch internals are engine-specific ⇒ rows-only; SketchSpec
+    // bounds the estimate against the exact per-source count.
+    QueryDef("q81_hll_rollup",
+      (s, dir) => {
+        val fine = t(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+            count(lit(1)).as("n"))
+        fine.groupBy(col("source"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_docs_est"),
+            sum(col("n")).as("n_rows"))
+          .orderBy(col("source"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Changelog compaction — latest-wins per key with tombstones, the
+    // merge-on-read resolution every mutable-upstream ingest needs
+    // (the reference appends raw frames forever; this is how a reader
+    // sees current state). One window shuffle on the key; 'error' as
+    // the tombstone type: a key whose LAST change is a tombstone
+    // disappears from the compacted view entirely.
+    QueryDef("q82_cdc_compact",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_keys"),
+            d(sum(dec(col("value")))).as("sum_last_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n_keys,
+        |  ${sumDec("value")} AS sum_last_value
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
+  )
+}

@@ -32,7 +32,7 @@ object TextOps {
     * the document for every element access — O(tokens²) regex work
     * per doc (measured 30s for 5k docs; this form does it in <2s and
     * scales linearly). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     t(s, dir, "documents")
@@ -45,7 +45,7 @@ object TextOps {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
   }
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(len(tk)-2),

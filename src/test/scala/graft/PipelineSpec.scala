@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.PipelineOps
+
+/** Pipeline-structure operators: connected-components transitivity
+  * (the property q63's greedy pair rule lacks) and the HLL sketch
+  * rollup's error bound against exact distinct counts.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents merges transitive chains to one canonical id") {
+    // chain 1-2-3 (1~3 only transitively), separate pair 10-11,
+    // plus a longer path 20-21-22-23 fed in arbitrary edge order
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (21L, 20L), (22L, 21L), (23L, 22L))
+      .toDF("src", "dst")
+    val got = PipelineOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("q81 sketch rollup estimates within 5% of exact distinct counts") {
+    val got = SparkEntry.queries("q81_hll_rollup")(spark, sf())
+      .select($"source", $"n_docs_est", $"n_rows")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val exact = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy($"source").agg(countDistinct($"doc_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (src, est, nRows) =>
+      val ex = exact(src)
+      assert(nRows == ex) // doc_id is unique: rows == distinct
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"$src: est $est vs exact $ex")
+    }
+  }
+}
