@@ -25,9 +25,13 @@ object PipelineOps {
     * Convergence is detected by a changed-label count, which rides
     * the same job as the next round's input materialization. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
-    // undirected: propagate labels both ways
+    // undirected: propagate labels both ways. Materialized ONCE —
+    // every iteration joins against this edge list, and without the
+    // checkpoint each round would re-execute the (possibly very
+    // expensive) upstream pair-mining subtree that produced it.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
