@@ -433,6 +433,51 @@ object ExtendedOps {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey
-        |LIMIT 100""".stripMargin))
+        |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Conversion funnel: for every 'view', was there a 'purchase' by
+    // the same user within the next hour? One forward-looking
+    // conditional-min window per user — a single shuffle on user_id,
+    // NO self-join (the naive view⋈purchase range join shuffles the
+    // event table twice and explodes on active users; the window form
+    // is linear per partition and is how funnels survive 100 TB).
+    QueryDef("q83_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        events(s, dir)
+          .withColumn("next_purchase_ms",
+            min(when(col("event_type") === "purchase", col("ts_ms")))
+              .over(w))
+          .filter(col("event_type") === "view")
+          .withColumn("converted",
+            col("next_purchase_ms").isNotNull &&
+              col("next_purchase_ms") - col("ts_ms") <= 3600000L)
+          .groupBy((col("user_id") % 16).as("cohort"))
+          .agg(count(lit(1)).as("n_views"),
+            count_if(col("converted")).as("n_converted"))
+          .withColumn("cvr",
+            col("n_converted").cast("double") / col("n_views"))
+          .orderBy(col("cohort"))
+      },
+      Some(s"""SELECT user_id % 16 AS cohort, count(*) AS n_views,
+        |  count(*) FILTER (WHERE next_purchase_ms IS NOT NULL
+        |    AND next_purchase_ms - ts_ms <= 3600000) AS n_converted,
+        |  CAST(count(*) FILTER (WHERE next_purchase_ms IS NOT NULL
+        |    AND next_purchase_ms - ts_ms <= 3600000) AS DOUBLE)
+        |    / count(*) AS cvr
+        |FROM (
+        |  SELECT user_id, event_type, $tsMs AS ts_ms,
+        |    min(CASE WHEN event_type = 'purchase' THEN $tsMs END)
+        |      OVER (PARTITION BY user_id ORDER BY $tsMs, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_purchase_ms
+        |  FROM events)
+        |WHERE event_type = 'view'
+        |GROUP BY cohort
+        |ORDER BY cohort""".stripMargin))
   )
 }

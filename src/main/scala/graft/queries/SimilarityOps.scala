@@ -531,6 +531,87 @@ object SimilarityOps {
         |  CAST(sum(x) AS DOUBLE) / count(*) / 10000 AS centroid,
         |  count(*) AS n
         |FROM exploded GROUP BY label, dim
-        |ORDER BY label, dim""".stripMargin))
+        |ORDER BY label, dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Product quantization + asymmetric distance (the third ANN scale
+    // path next to sign-LSH q41 and IVF q44/q67): vectors compress to
+    // m=4 subspace codes (4 bytes vs 256 float bytes — the reason PQ
+    // is how billion-vector indexes fit in RAM), and query-to-corpus
+    // distance becomes m table lookups + adds instead of a 64-dim
+    // dot. Codebook = per-(label, subspace) mean subvector (k=10
+    // deterministic centroids — the same training shortcut q42/q44
+    // use); scoring joins the corpus CODES against a broadcast
+    // per-query ADC lookup table and hash-aggregates — the corpus
+    // vectors themselves are touched only for the exact top-`rerank`
+    // re-rank. Sketch internals ⇒ rows-only; PqRecallSpec measures
+    // recall@5 against exact brute force.
+    QueryDef("q84_knn_pq",
+      (s, dir) => knnPq(s, dir, shortlist = 50), None)
   )
+
+  /** PQ-ADC KNN: encode, look up, shortlist, exact re-rank. */
+  def knnPq(s: SparkSession, dir: String, m: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val sub = dim / m
+    val all = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quant(col("embedding")).as("v"))
+    // codebook: mean subvector per (label, subspace), in quantized units
+    val cb = all
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("sp", (col("d") / sub).cast("int"))
+      .groupBy(col("label"), col("sp"), col("d"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label"), col("sp"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, t) => acc + t)
+    // subvector rows (vec, subspace) — one slice per subspace
+    val sv = all
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sp"))
+      .withColumn("x", slice(col("v"), col("sp") * sub + 1, lit(sub)))
+    // encode: nearest centroid per (vec, subspace); ties break on label
+    val wEnc = Window.partitionBy(col("vec_id"), col("sp"))
+      .orderBy(col("dist"), col("label"))
+    val codes = sv.join(broadcast(cb), "sp")
+      .withColumn("dist", l2(col("x"), col("cv")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sp"), col("label").as("code"))
+    // per-query ADC lookup table: distance to EVERY centroid per subspace
+    val adc = sv.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sp"), col("x"))
+      .join(broadcast(cb), "sp")
+      .select(col("qid"), col("sp"), col("label").as("code"),
+        l2(col("x"), col("cv")).as("qdist"))
+    // approximate distance = sum of m lookups; shortlist per query
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("vec_id"))
+    val cands = codes.join(broadcast(adc), Seq("sp", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adist"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank of the shortlist only
+    val queries = all.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .filter(col("qid") < 10)
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(broadcast(queries), "qid")
+      .join(all.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("qid"), col("vec_id"), qcos(s, "qv", "v").as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }
