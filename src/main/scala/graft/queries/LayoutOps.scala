@@ -106,6 +106,45 @@ object LayoutOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM documents)
         |WHERE rn <= 5
-        |ORDER BY source, rn""".stripMargin))
+        |ORDER BY source, rn""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Weighted data mixture — training runs don't consume sources at
+    // their natural rates; each source gets a sampling rate and the
+    // selection must be reproducible across runs, engines, and
+    // partitionings. Same md5-bucket recipe as q73's fixed split, but
+    // with per-stratum rates: keep a doc iff its hash bucket falls
+    // under its source's rate. Pure map + one hash-agg — join-free,
+    // and adding a source never perturbs another source's selection.
+    QueryDef("q86_mixture_sample",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 100
+        // per-source rate 20..97, derived from the source id (a real
+        // pipeline reads these from a mixture config; the formula just
+        // gives every stratum a distinct rate to exercise)
+        val rate = lit(20) +
+          (substring(col("source"), 4, 10).cast("int") * 7) % 78
+        t(s, dir, "documents")
+          .withColumn("kept", bucket < rate)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            count_if(col("kept")).as("n_kept"),
+            (count_if(col("kept")).cast("double") / count(lit(1)))
+              .as("realized_rate"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_total,
+        |  count(*) FILTER (WHERE kept) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE kept) AS DOUBLE) / count(*)
+        |    AS realized_rate
+        |FROM (
+        |  SELECT source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100
+        |    < 20 + (CAST(substring(source, 4) AS INTEGER) * 7) % 78 AS kept
+        |  FROM documents)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin))
   )
 }

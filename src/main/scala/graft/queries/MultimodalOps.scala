@@ -36,6 +36,38 @@ object MultimodalOps {
         |FROM documents,
         |  (SELECT unnest(range(0, 1000)) AS frame_idx)
         |WHERE frame_idx <= least((n_chars * 100) // 1000, 4)
-        |ORDER BY media_id, frame_idx""".stripMargin))
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Content-addressable dedup accounting: the storage decision a
+    // multimodal corpus runs before anything else — group payloads by
+    // content hash (bytes never shuffle, only the 128-bit digest +
+    // size), then per mime type report how many assets, how many
+    // distinct payloads, and how many bytes dedup would reclaim.
+    // Two hash-aggs; the first keys on (mime, digest) so identical
+    // payloads collapse map-side before anything wide moves.
+    QueryDef("q85_media_dedup",
+      (s, dir) => {
+        val perHash = Multimodal.byteMetadata(
+            Multimodal.mediaFromDocuments(s, dir))
+          .groupBy(col("mime"), col("content_md5"))
+          .agg(count(lit(1)).as("n"), min(col("n_bytes")).as("b"))
+        perHash.groupBy(col("mime"))
+          .agg(sum(col("n")).as("n_assets"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("n") * col("b")).as("total_bytes"),
+            sum((col("n") - 1) * col("b")).as("reclaimable_bytes"))
+          .orderBy(col("mime"))
+      },
+      Some("""WITH perhash AS (
+        |  SELECT 'image/fake-' || lang AS mime, md5(text) AS h,
+        |    count(*) AS n,
+        |    CAST(octet_length(CAST(min(text) AS BLOB)) AS BIGINT) AS b
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT mime, CAST(sum(n) AS BIGINT) AS n_assets, count(*) AS n_distinct,
+        |  CAST(sum(n * b) AS BIGINT) AS total_bytes,
+        |  CAST(sum((n - 1) * b) AS BIGINT) AS reclaimable_bytes
+        |FROM perhash GROUP BY mime
+        |ORDER BY mime""".stripMargin))
   )
 }
