@@ -478,6 +478,105 @@ object ExtendedOps {
         |  FROM events)
         |WHERE event_type = 'view'
         |GROUP BY cohort
-        |ORDER BY cohort""".stripMargin))
+        |ORDER BY cohort""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Statistical QC: per-event-type robust z-score outliers. The
+    // mean/stddev per type is a tiny aggregate (broadcast back), so
+    // the flag pass is a map-side join — two scans, zero wide shuffle
+    // of the fact table. DECIMAL sums keep mean/std partition-order
+    // deterministic; population stddev (not sample) so both engines
+    // agree on the formula exactly.
+    QueryDef("q87_outliers",
+      (s, dir) => {
+        val stats = events(s, dir)
+          .groupBy(col("event_type"))
+          .agg((d(sum(dec(col("value")))) / count(lit(1))).as("mu"),
+            (d(sum(dec(col("value")) * dec(col("value")))) / count(lit(1)))
+              .as("ex2"))
+          .withColumn("sigma", sqrt(col("ex2") - col("mu") * col("mu")))
+          .drop("ex2")
+        events(s, dir)
+          .join(broadcast(stats), "event_type")
+          .filter(abs(col("value") - col("mu")) > col("sigma") * 3)
+          .select(col("event_id"), col("event_type"), col("value"),
+            ((col("value") - col("mu")) / col("sigma")).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mu,
+        |    sqrt(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) - (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+        |      * (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, events.event_type, value,
+        |  (value - mu) / sigma AS z
+        |FROM events JOIN stats ON events.event_type = stats.event_type
+        |WHERE abs(value - mu) > sigma * 3
+        |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cohort retention: users grouped by first-seen day, tracked by
+    // how many distinct users of each cohort return N days later.
+    // First-seen is a per-user min (one hash-agg), activity days a
+    // distinct-agg — both shuffles are on user_id and the join is
+    // user-keyed too, so AQE reuses the partitioning. The output
+    // (cohort × day-offset matrix) is tiny at any corpus size.
+    QueryDef("q88_retention",
+      (s, dir) => {
+        val days = events(s, dir)
+          .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+          .distinct()
+        val first = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(first, "user_id")
+          .withColumn("offset", col("day") - col("cohort_day"))
+          .filter(col("offset") <= 7)
+          .groupBy(col("cohort_day"), col("offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("offset"))
+      },
+      Some("""WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS "offset",
+        |  count(DISTINCT days.user_id) AS n_users
+        |FROM days JOIN first ON days.user_id = first.user_id
+        |WHERE day - cohort_day <= 7
+        |GROUP BY cohort_day, "offset"
+        |ORDER BY cohort_day, "offset"""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Skew diagnostics — the report you run BEFORE a 100 TB join to
+    // decide broadcast/salt/AQE strategy: per-key row counts reduced
+    // to distributional facts (max, p99, mean, skew ratio). One
+    // hash-agg to per-key counts, then a tiny percentile agg; nothing
+    // wide ever leaves the executors.
+    QueryDef("q89_skew_report",
+      (s, dir) => {
+        val perKey = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        perKey.agg(
+            count(lit(1)).as("n_keys"),
+            max(col("n")).as("max_rows"),
+            percentile_approx(col("n"), lit(0.99), lit(10000))
+              .cast("long").as("p99_rows"),
+            (d(sum(dec(col("n")))) / count(lit(1))).as("mean_rows"))
+          .withColumn("skew_ratio",
+            col("max_rows").cast("double") / col("mean_rows"))
+      },
+      Some("""WITH perkey AS (
+        |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        |SELECT count(*) AS n_keys, max(n) AS max_rows,
+        |  CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows,
+        |  CAST(sum(CAST(n AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_rows,
+        |  CAST(max(n) AS DOUBLE)
+        |    / (CAST(sum(CAST(n AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+        |    AS skew_ratio
+        |FROM perkey""".stripMargin))
   )
 }
