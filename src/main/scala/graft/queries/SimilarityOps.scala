@@ -576,14 +576,15 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sp"))
       .withColumn("x", slice(col("v"), col("sp") * sub + 1, lit(sub)))
-    // encode: nearest centroid per (vec, subspace); ties break on label
-    val wEnc = Window.partitionBy(col("vec_id"), col("sp"))
-      .orderBy(col("dist"), col("label"))
+    // encode: nearest centroid per (vec, subspace); ties break on
+    // label. min_by over a (dist, label) struct, NOT a row_number
+    // window: the argmin becomes a partial-aggregable hash-agg
+    // (combines map-side) instead of a sort within every group.
     val codes = sv.join(broadcast(cb), "sp")
       .withColumn("dist", l2(col("x"), col("cv")))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sp"), col("label").as("code"))
+      .groupBy(col("vec_id"), col("sp"))
+      .agg(min_by(col("label"), struct(col("dist"), col("label")))
+        .as("code"))
     // per-query ADC lookup table: distance to EVERY centroid per subspace
     val adc = sv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("sp"), col("x"))

@@ -132,9 +132,9 @@ object TextOps {
           length(col("text")).cast("long").as("n_chars_m"),
           size(tk).cast("long").as("n_tokens"),
           (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
-            / size(tk)).as("avg_token_len"),
+            / nullif(size(tk), lit(0))).as("avg_token_len"),
           (size(filter(tk, x => x.isInCollection(stop))).cast("double")
-            / size(tk)).as("stopword_ratio"),
+            / nullif(size(tk), lit(0))).as("stopword_ratio"),
           when(size(tk).between(10, 1000) &&
             size(filter(tk, x => x.isInCollection(stop))).cast("double")
               / size(tk) < 0.5, 1L).otherwise(0L).as("quality_ok"))
@@ -144,9 +144,9 @@ object TextOps {
         |  CAST(length(text) AS BIGINT) AS n_chars_m,
         |  CAST(len(tk) AS BIGINT) AS n_tokens,
         |  CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-        |    / len(tk) AS avg_token_len,
+        |    / nullif(len(tk), 0) AS avg_token_len,
         |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
-        |    / len(tk) AS stopword_ratio,
+        |    / nullif(len(tk), 0) AS stopword_ratio,
         |  CASE WHEN len(tk) BETWEEN 10 AND 1000
         |    AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
         |      / len(tk) < 0.5
