@@ -577,6 +577,90 @@ object ExtendedOps {
         |  CAST(max(n) AS DOUBLE)
         |    / (CAST(sum(CAST(n AS DECIMAL(18,4))) AS DOUBLE) / count(*))
         |    AS skew_ratio
-        |FROM perkey""".stripMargin))
+        |FROM perkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Fuzzy string matching as a BLOCKED join: candidates are pairs
+    // sharing a blocking key (the name's last token), verified with
+    // codegen'd levenshtein — never an all-pairs edit-distance cross.
+    // Blocking is the only fuzzy-join shape that survives scale: cost
+    // is Σ_block |block|², the same inverted-index discipline as
+    // q35's shingle join, with the same cap lever if a block
+    // explodes. Rolled up per block so output stays distributional.
+    QueryDef("q90_fuzzy_pairs",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+        p.as("a").join(p.as("b"),
+            col("a.blk") === col("b.blk") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .withColumn("dist",
+            levenshtein(col("a.p_name"), col("b.p_name")))
+          .groupBy(col("a.blk").as("block"))
+          .agg(count(lit(1)).as("n_candidates"),
+            count_if(col("dist") <= 3).as("n_fuzzy"),
+            min(col("dist")).cast("long").as("min_dist"))
+          .orderBy(col("block"))
+      },
+      Some("""WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS blk
+        |  FROM part)
+        |SELECT a.blk AS block, count(*) AS n_candidates,
+        |  count(*) FILTER (WHERE levenshtein(a.p_name, b.p_name) <= 3)
+        |    AS n_fuzzy,
+        |  CAST(min(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |GROUP BY a.blk
+        |ORDER BY block""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Time-series gap-fill + forward fill over a dense minute grid
+    // (2024-01-01): the resampling op between raw ticks and any
+    // model input. The grid is generated per key with
+    // sequence+explode (no cross join), observations aggregate
+    // DECIMAL-exactly, and the fill is one last(ignoreNulls) window
+    // per key — a single shuffle on the series key, linear per
+    // partition; minutes before the first observation stay null in
+    // both engines.
+    QueryDef("q91_gapfill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m0 = 1704067200000L / 60000 // 2024-01-01T00:00Z minute index
+        val obs = events(s, dir)
+          .withColumn("minute", expr("ts_ms DIV 60000"))
+          .filter(col("minute") >= m0 && col("minute") < m0 + 1440)
+          .groupBy(col("event_type"), col("minute"))
+          .agg((d(sum(dec(col("value")))) / count(lit(1))).as("v"),
+            count(lit(1)).as("n"))
+        val grid = events(s, dir).select(col("event_type")).distinct()
+          .select(col("event_type"),
+            explode(sequence(lit(m0), lit(m0 + 1439L))).as("minute"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("event_type", "minute"), "left")
+          .select(col("event_type"), (col("minute") * 60000).as("minute_ms"),
+            coalesce(col("n"), lit(0L)).as("n_obs"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy(col("event_type"), col("minute_ms"))
+      },
+      Some(s"""WITH obs AS (
+        |  SELECT event_type, $tsMs // 60000 AS minute,
+        |    ${sumDec("value")} / count(*) AS v, count(*) AS n
+        |  FROM events
+        |  WHERE $tsMs // 60000 >= 28401120 AND $tsMs // 60000 < 28402560
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, g.minute
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (SELECT unnest(range(28401120, 28402560)) AS minute) g)
+        |SELECT grid.event_type, grid.minute * 60000 AS minute_ms,
+        |  coalesce(n, 0) AS n_obs,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY grid.event_type
+        |    ORDER BY grid.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM grid LEFT JOIN obs
+        |  ON grid.event_type = obs.event_type AND grid.minute = obs.minute
+        |ORDER BY grid.event_type, minute_ms""".stripMargin))
   )
 }
