@@ -118,11 +118,18 @@ object CosineSimilarity {
   * `cosine_sim(a, b)` to SQL — the SparkSessionExtensions mechanism
   * reserved for operators Spark lacks. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sq_l2_dist"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SquaredL2].getName, "sq_l2_dist"),
+      (children: Seq[Expression]) =>
+        SquaredL2(children(0), children(1))))
+  }
 }

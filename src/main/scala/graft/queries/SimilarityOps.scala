@@ -568,9 +568,12 @@ object SimilarityOps {
       .groupBy(col("label"), col("sp"))
       .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("cv"))
+    // native codegen'd squared L2 (same left-to-right double
+    // accumulation as the HOF formulation — FunctionsSpec pins exact
+    // parity; HOFs evaluate interpreted, this fuses into codegen)
+    graft.functions.SquaredL2.register(s)
     def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, t) => acc + t)
+      expr(s"sq_l2_dist(${a.toString}, ${b.toString})")
     // subvector rows (vec, subspace) — one slice per subspace
     val sv = all
       .select(col("vec_id"), col("v"),

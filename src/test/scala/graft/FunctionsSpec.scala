@@ -28,6 +28,27 @@ class FunctionsSpec extends SparkSpec {
     assert(diff < 1e-12, s"max diff $diff")
   }
 
+  test("codegen sq_l2_dist matches the zip_with/aggregate formulation exactly") {
+    graft.functions.SquaredL2.register(spark)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      // mixed element types on purpose: long quantized vs float raw
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("q"),
+        $"embedding")
+    val pairs = emb.crossJoin(emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qf")))
+      .filter($"vec_id" =!= $"qid")
+    val hof = aggregate(
+      zip_with($"q", $"qf", (a, b) => (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = pairs
+      .select((expr("sq_l2_dist(q, qf)") - hof).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff == 0.0, s"max diff $diff") // identical IEEE op sequence
+  }
+
   test("null input yields null, zero vector yields 0.0") {
     CosineSimilarity.register(spark)
     val df = Seq(
