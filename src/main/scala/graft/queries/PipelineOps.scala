@@ -17,9 +17,12 @@ object PipelineOps {
     * every node's label converges to the smallest doc_id reachable
     * from it. Each iteration is one join + one hash-agg (both keyed
     * shuffles on the same key, so the Exchange is reused), and the
-    * iteration count is O(log diameter) for the min-label to travel —
-    * near-dup clusters are shallow (diameter ≤ a few hops), so 3-6
-    * rounds close 100 TB-scale graphs too; `localCheckpoint` after
+    * iteration count is O(graph diameter) — the min label moves one
+    * hop per round. Near-dup clusters are shallow (diameter ≤ a few
+    * hops), so a handful of rounds closes 100 TB-scale dedup graphs
+    * too; for genuinely deep graphs the upgrade is star-contraction /
+    * pointer-doubling (O(log d) rounds, same per-round join shape).
+    * `localCheckpoint` after
     * each round keeps the plan from growing linearly with rounds
     * (lineage blow-up is the classic iterative-Spark failure mode).
     * Convergence is detected by a changed-label count, which rides

@@ -168,8 +168,11 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs < gapMs =>
-                  cur = Some(SessionAgg(s.startMs, math.max(s.endMs, t),
-                    s.n + 1, s.sum + e.value))
+                  // min on start too: an out-of-order event from a
+                  // previous batch (still within the watermark) may
+                  // precede the session's current bounds
+                  cur = Some(SessionAgg(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += ClosedSession(key, s.startMs, s.endMs, s.n, s.sum)
                   cur = Some(SessionAgg(t, t, 1L, e.value))
