@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** one multiplexed record of the ingest queue — the
   * `(stream_key, symbol, payload)` triple of `binance-di.py:109,125`,
@@ -18,6 +18,54 @@ case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
 /** an emitted gap-closed session. */
 case class ClosedSession(key: String, start_ms: Long, end_ms: Long,
     n_events: Long, sum_value: Double)
+
+/** one change-log record for the streaming CDC materialization. */
+case class KeyedChange(key: Long, ts_ms: Long, kind: String, value: Double)
+
+/** current materialized state of one key. */
+case class KeyedState(key: Long, ts_ms: Long, value: Double, n_changes: Long)
+
+/** q82's merge-on-read compaction as CONTINUOUSLY MAINTAINED state,
+  * on the `transformWithState` arbitrary-state API (the successor to
+  * `mapGroupsWithState`: typed named state cells, optional TTL,
+  * timers; requires the RocksDB state store — which is also the
+  * 100 TB answer, since state lives off-heap/on-disk per executor
+  * instead of in JVM maps). Latest-wins by event time, so
+  * out-of-order changes never regress the view; a 'delete' tombstone
+  * clears the key's state entirely.
+  */
+class LatestStateProcessor
+    extends StatefulProcessor[Long, KeyedChange, KeyedState] {
+
+  @transient private var st: ValueState[KeyedState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[KeyedState]("latest",
+      Encoders.product[KeyedState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedChange],
+      timerValues: TimerValues): Iterator[KeyedState] = {
+    val prev = if (st.exists()) Option(st.get()) else None
+    val newest = rows.reduceOption { (a, b) =>
+      if (b.ts_ms > a.ts_ms || (b.ts_ms == a.ts_ms && b.value > a.value)) b
+      else a
+    }
+    newest match {
+      case Some(c) if prev.forall(_.ts_ms <= c.ts_ms) =>
+        if (c.kind == "delete") { st.clear(); Iterator.empty }
+        else {
+          val next = KeyedState(key, c.ts_ms, c.value,
+            prev.map(_.n_changes).getOrElse(0L) + 1)
+          st.update(next)
+          Iterator.single(next)
+        }
+      case Some(_) => // stale batch: count it, keep the newer view
+        prev.foreach(p => st.update(p.copy(n_changes = p.n_changes + 1)))
+        Iterator.empty
+      case None => Iterator.empty
+    }
+  }
+}
 
 /** Streaming semantics of the reference (SURVEY.md §2.9) on
   * Structured Streaming: per-key sample limiting (`--samples N`,
@@ -187,6 +235,16 @@ object Streams {
             closed.result().iterator
           }
         })
+  }
+
+  /** streaming CDC materialization on transformWithState — see
+    * [[LatestStateProcessor]]. Update output mode: each batch emits
+    * the keys whose materialized state changed. */
+  def latestStateStream(ds: Dataset[KeyedChange]): Dataset[KeyedState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .transformWithState(new LatestStateProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** T4 — per-key running counter (the writer-state pattern): emits

@@ -86,6 +86,42 @@ class StreamsSpec extends SparkSpec {
       s.sum_value == 4.0), s"timeout session missing in ${all.toSeq}")
   }
 
+  test("transformWithState CDC view: latest-wins, stale drops, tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store (also the
+    // at-scale choice: state off-heap per executor, not JVM maps)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[graft.streaming.KeyedChange]
+      val q = Streams.latestStateStream(in.toDS())
+        .writeStream.format("memory").queryName("cdcview")
+        .outputMode("update").start()
+      import graft.streaming.KeyedChange
+      in.addData(KeyedChange(1L, 100L, "upsert", 1.0),
+        KeyedChange(1L, 200L, "upsert", 2.0),
+        KeyedChange(2L, 100L, "upsert", 9.0))
+      q.processAllAvailable()
+      // stale change (older ts) must not regress key 1's view
+      in.addData(KeyedChange(1L, 150L, "upsert", 7.0))
+      q.processAllAvailable()
+      // tombstone clears key 2
+      in.addData(KeyedChange(2L, 300L, "delete", 0.0))
+      drain(q)
+      val rows = spark.table("cdcview")
+        .as[graft.streaming.KeyedState].collect()
+      // batch 1 emitted the merged newest per key; later batches
+      // emitted nothing (stale drop, tombstone)
+      assert(rows.length == 2, rows.toSeq.toString)
+      val k1 = rows.find(_.key == 1L).get
+      assert(k1.ts_ms == 200L && k1.value == 2.0)
+      assert(rows.find(_.key == 2L).get.value == 9.0)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("T4 runningCountPerKey accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Envelope]
