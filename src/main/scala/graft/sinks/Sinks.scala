@@ -68,6 +68,41 @@ object Sinks {
       struct(dataCols.map(col).toIndexedSeq: _*).as("data"))).as("value"))
   }
 
+  /** Small-files compaction — the maintenance pass every streaming
+    * ingest needs: micro-batches produce files sized by TRIGGER
+    * cadence, not by optimal scan granularity, and a year of 10-second
+    * triggers is ~3M files whose open/footer costs dominate reads.
+    * Rewrites a parquet directory into files of ~`targetBytes`,
+    * sizing from the actual on-disk footprint (listing, not a data
+    * scan). `coalesce`, not `repartition`: compaction must not pay a
+    * full shuffle of the corpus — input splits merge locally. Writes
+    * to `outDir` (swap-on-success is the caller's atomic-publish
+    * step; compacting in place would lose data on failure).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(path, true)
+    var nFiles = 0
+    var totalBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        nFiles += 1; totalBytes += f.getLen
+      }
+    }
+    val nOut = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val outFiles = fs.listFiles(new org.apache.hadoop.fs.Path(outDir), true)
+    var nAfter = 0
+    while (outFiles.hasNext) {
+      if (outFiles.next().getPath.getName.endsWith(".parquet")) nAfter += 1
+    }
+    (nFiles, nAfter)
+  }
+
   /** S11 streaming — multi-format fan-out off one source via
     * `foreachBatch`: idempotent per-batch writes + checkpointing give
     * exactly-once to files (strictly stronger than the reference's

@@ -37,6 +37,21 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 1000)
   }
 
+  test("compact rewrites a fragmented directory into few files, same rows") {
+    val in = freshDir() + "/frag"
+    val out = freshDir() + "/compacted"
+    // 32 micro-batch-sized fragments (repartition forces 32 files)
+    spark.range(10000).select($"id", ($"id" % 7).as("k"))
+      .repartition(32).write.parquet(in)
+    val (before, after) = Sinks.compact(spark, in, out, targetBytes = 1L << 20)
+    assert(before == 32, s"expected 32 input files, saw $before")
+    assert(after < 8, s"compaction left $after files")
+    // content identical: same rows, same checksum
+    val a = spark.read.parquet(in).agg(count(lit(1)), sum($"id")).head()
+    val b = spark.read.parquet(out).agg(count(lit(1)), sum($"id")).head()
+    assert(a == b)
+  }
+
   test("S11 fan-out writes every format from one persisted batch") {
     val dir = freshDir()
     Sinks.fanOutBatch(sample(100), dir, Seq("json", "csv", "parquet", "orc"))
