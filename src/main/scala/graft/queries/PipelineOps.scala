@@ -147,6 +147,51 @@ object PipelineOps {
         |  FROM events)
         |WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Train/test contamination check — the eval-integrity op every
+    // training pipeline runs before trusting a benchmark number: how
+    // much of each held-out doc's n-gram content also appears in the
+    // training split? Composes the deterministic md5 split (q73's
+    // rule) with the shingle index (q35's), as a LEFT SEMI join from
+    // test shingles into the distinct train-shingle set — at scale
+    // both sides shuffle once on the shingle hash, never on text,
+    // and the train side is distinct-collapsed before the join.
+    QueryDef("q92_contamination",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 100
+        val sh = TextOps.shingleRows(s, dir).withColumn("bucket", bucket)
+        val trainShingles = sh.filter(col("bucket") < 80)
+          .select(col("s")).distinct()
+        val test = sh.filter(col("bucket") >= 90)
+        val hits = test.join(trainShingles, Seq("s"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        test.groupBy(col("doc_id")).agg(max(col("sz")).as("n_shingles"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("n_shingles")).as("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${TextOps.shingleSql},
+        |ex AS (
+        |  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM sh),
+        |train AS (SELECT DISTINCT s FROM ex WHERE bucket < 80),
+        |test AS (SELECT doc_id, sz, s FROM ex WHERE bucket >= 90),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hit FROM test
+        |  WHERE s IN (SELECT s FROM train) GROUP BY doc_id),
+        |base AS (SELECT doc_id, max(sz) AS n_shingles FROM test GROUP BY doc_id)
+        |SELECT base.doc_id, n_shingles,
+        |  coalesce(n_hit, 0) AS n_contaminated,
+        |  CAST(coalesce(n_hit, 0) AS DOUBLE) / n_shingles AS contamination
+        |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+        |ORDER BY base.doc_id""".stripMargin))
   )
 }
