@@ -105,4 +105,34 @@ object Projections {
       .select(col("symbol") +: payloadSchema.fieldNames.toIndexedSeq
         .map(f => col(s"data.$f").as(f)): _*)
   }
+
+  /** Dead-letter split: partition raw lines into (parsed, quarantine)
+    * by envelope parseability. A malformed frame must neither kill
+    * the job (the reference's bare `json.loads` would throw,
+    * `binance-di.py:124`) nor silently vanish: the quarantine side
+    * keeps the RAW line + why it failed, ready for a dead-letter
+    * sink. Uses PERMISSIVE mode's corrupt-record column (`from_json`
+    * yields an all-null struct on bad JSON, so a plain null check
+    * can't tell broken JSON from valid JSON missing the envelope
+    * keys). Both branches stay pure column expressions over the same
+    * scan, so this splits a 100 TB backfill without custom
+    * partitioning. */
+  def deadLetterSplit(lines: DataFrame): (DataFrame, DataFrame) = {
+    val schema = Schemas.envelope()
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val parsed = lines.withColumn("env",
+      from_json(col("value"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")))
+    val broken = col("env._corrupt").isNotNull
+    val incomplete =
+      col("env.stream").isNull || col("env.symbol").isNull
+    val ok = parsed.filter(!broken && !incomplete)
+      .select(col("env.stream").as("stream"),
+        col("env.symbol").as("symbol"), col("env.data").as("data"))
+    val bad = parsed.filter(broken || incomplete)
+      .select(col("value").as("raw_line"),
+        when(broken, "unparseable_json")
+          .otherwise("missing_envelope_fields").as("reason"))
+    (ok, bad)
+  }
 }

@@ -109,4 +109,19 @@ class ProjectionsSpec extends SparkSpec {
       .toDF("value")
     assert(Projections.parseEnvelope(lines, "ticker").count() == 1)
   }
+
+  test("dead-letter split quarantines malformed frames with the raw line") {
+    val lines = Seq(
+      """{"stream":"ticker","symbol":"BTCUSDT","data":"{\"c\":\"1\"}"}""",
+      """{not json at all""",
+      """{"data":"{\"c\":\"2\"}"}""") // parses but has no envelope keys
+      .toDF("value")
+    val (ok, bad) = Projections.deadLetterSplit(lines)
+    assert(ok.count() == 1)
+    val quarantined = bad.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet
+    assert(quarantined == Set(
+      ("""{not json at all""", "unparseable_json"),
+      ("""{"data":"{\"c\":\"2\"}"}""", "missing_envelope_fields")))
+  }
 }
