@@ -494,7 +494,11 @@ object ExtendedOps {
           .agg((d(sum(dec(col("value")))) / count(lit(1))).as("mu"),
             (d(sum(dec(col("value")) * dec(col("value")))) / count(lit(1)))
               .as("ex2"))
-          .withColumn("sigma", sqrt(col("ex2") - col("mu") * col("mu")))
+          // greatest(0,·): E[X²]−µ² can land a hair negative in double
+          // (catastrophic cancellation on near-constant groups) —
+          // Spark would yield NaN and DuckDB hard-errors on sqrt(<0)
+          .withColumn("sigma",
+            sqrt(greatest(lit(0.0), col("ex2") - col("mu") * col("mu"))))
           .drop("ex2")
         events(s, dir)
           .join(broadcast(stats), "event_type")
@@ -506,9 +510,10 @@ object ExtendedOps {
       Some("""WITH stats AS (
         |  SELECT event_type,
         |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mu,
-        |    sqrt(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    sqrt(greatest(0.0,
+        |      CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
         |      / count(*) - (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
-        |      * (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))) AS sigma
+        |      * (CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)))) AS sigma
         |  FROM events GROUP BY event_type)
         |SELECT event_id, events.event_type, value,
         |  (value - mu) / sigma AS z
@@ -563,8 +568,11 @@ object ExtendedOps {
         perKey.agg(
             count(lit(1)).as("n_keys"),
             max(col("n")).as("max_rows"),
-            percentile_approx(col("n"), lit(0.99), lit(10000))
-              .cast("long").as("p99_rows"),
+            // exact interpolated percentile (quantile_cont semantics
+            // in both engines): an approx sketch here would disagree
+            // with the exact oracle at scale. q56 carries the
+            // approx-percentile scale path, rows-only by design.
+            percentile(col("n"), lit(0.99)).as("p99_rows"),
             (d(sum(dec(col("n")))) / count(lit(1))).as("mean_rows"))
           .withColumn("skew_ratio",
             col("max_rows").cast("double") / col("mean_rows"))
@@ -572,7 +580,7 @@ object ExtendedOps {
       Some("""WITH perkey AS (
         |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
         |SELECT count(*) AS n_keys, max(n) AS max_rows,
-        |  CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows,
+        |  quantile_cont(n, 0.99) AS p99_rows,
         |  CAST(sum(CAST(n AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_rows,
         |  CAST(max(n) AS DOUBLE)
         |    / (CAST(sum(CAST(n AS DECIMAL(18,4))) AS DOUBLE) / count(*))

@@ -27,7 +27,7 @@ object PipelineOps {
     * (lineage blow-up is the classic iterative-Spark failure mode).
     * Convergence is detected by a changed-label count, which rides
     * the same job as the next round's input materialization. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // undirected: propagate labels both ways. Materialized ONCE —
     // every iteration joins against this edge list, and without the
     // checkpoint each round would re-execute the (possibly very
@@ -51,6 +51,15 @@ object PipelineOps {
       labels = next
       iter += 1
     }
+    // fail LOUDLY on non-convergence: silently returning intermediate
+    // labels would emit wrong canonical ids (the oracle computes the
+    // exact fixpoint). HashMin needs one round per hop of min-label
+    // eccentricity, so hitting this means the graph is far deeper
+    // than a dedup graph should be — raise maxIters or switch to
+    // pointer-doubling, don't ship partial labels.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing)")
     labels
   }
 

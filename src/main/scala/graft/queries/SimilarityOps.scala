@@ -568,6 +568,10 @@ object SimilarityOps {
       .groupBy(col("label"), col("sp"))
       .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("cv"))
+      // tiny (labels × subspaces); materialized once — it feeds both
+      // the corpus encode and the per-query ADC tables, which would
+      // otherwise each re-run the two-level aggregation
+      .localCheckpoint(true)
     // native codegen'd squared L2 (same left-to-right double
     // accumulation as the HOF formulation — FunctionsSpec pins exact
     // parity; HOFs evaluate interpreted, this fuses into codegen)
@@ -579,6 +583,10 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sp"))
       .withColumn("x", slice(col("v"), col("sp") * sub + 1, lit(sub)))
+      .drop("v")
+      // read by both the encode and the ADC builder — materialize the
+      // quantize+slice once instead of re-scanning embeddings per use
+      .localCheckpoint(true)
     // encode: nearest centroid per (vec, subspace); ties break on
     // label. min_by over a (dist, label) struct, NOT a row_number
     // window: the argmin becomes a partial-aggregable hash-agg

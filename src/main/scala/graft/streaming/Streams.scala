@@ -22,8 +22,14 @@ case class ClosedSession(key: String, start_ms: Long, end_ms: Long,
 /** one change-log record for the streaming CDC materialization. */
 case class KeyedChange(key: Long, ts_ms: Long, kind: String, value: Double)
 
-/** current materialized state of one key. */
-case class KeyedState(key: Long, ts_ms: Long, value: Double, n_changes: Long)
+/** current materialized state of one key. `deleted` marks a retained
+  * tombstone: the key is absent from the view, but its delete
+  * timestamp must survive so late out-of-order upserts older than
+  * the delete cannot resurrect it (production systems GC tombstones
+  * after a retention window — the TTLConfig on the state cell is the
+  * hook for that). */
+case class KeyedState(key: Long, ts_ms: Long, value: Double,
+    n_changes: Long, deleted: Boolean = false)
 
 /** q82's merge-on-read compaction as CONTINUOUSLY MAINTAINED state,
   * on the `transformWithState` arbitrary-state API (the successor to
@@ -50,10 +56,20 @@ class LatestStateProcessor
       if (b.ts_ms > a.ts_ms || (b.ts_ms == a.ts_ms && b.value > a.value)) b
       else a
     }
+    // strictly-newer test, with the SAME (ts, value) tiebreak as the
+    // in-batch reduce — so the final state is independent of how the
+    // stream was chopped into micro-batches (replay-deterministic)
+    def newer(c: KeyedChange) = prev.forall(p =>
+      c.ts_ms > p.ts_ms || (c.ts_ms == p.ts_ms && c.value > p.value))
     newest match {
-      case Some(c) if prev.forall(_.ts_ms <= c.ts_ms) =>
-        if (c.kind == "delete") { st.clear(); Iterator.empty }
-        else {
+      case Some(c) if newer(c) =>
+        if (c.kind == "delete") {
+          // retained tombstone, not clear(): a late upsert older than
+          // the delete must not resurrect the key
+          st.update(KeyedState(key, c.ts_ms, 0.0,
+            prev.map(_.n_changes).getOrElse(0L) + 1, deleted = true))
+          Iterator.empty
+        } else {
           val next = KeyedState(key, c.ts_ms, c.value,
             prev.map(_.n_changes).getOrElse(0L) + 1)
           st.update(next)
@@ -215,15 +231,23 @@ object Streams {
             evs.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.endMs < gapMs =>
-                  // min on start too: an out-of-order event from a
-                  // previous batch (still within the watermark) may
-                  // precede the session's current bounds
+                // within gap of the open session on either side: an
+                // out-of-order event from a previous batch (still
+                // within the watermark) may precede the session's
+                // current bounds, hence min on start too
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs < gapMs =>
                   cur = Some(SessionAgg(math.min(s.startMs, t),
                     math.max(s.endMs, t), s.n + 1, s.sum + e.value))
-                case Some(s) =>
+                case Some(s) if t - s.endMs >= gapMs =>
                   closed += ClosedSession(key, s.startMs, s.endMs, s.n, s.sum)
                   cur = Some(SessionAgg(t, t, 1L, e.value))
+                case Some(_) =>
+                  // a gap or more BEFORE the open session: its own
+                  // earlier session, emitted immediately (events that
+                  // could have bridged it arrive even later and start
+                  // fresh — the bounded-lateness tradeoff vs holding
+                  // every historic session open)
+                  closed += ClosedSession(key, t, t, 1L, e.value)
                 case None =>
                   cur = Some(SessionAgg(t, t, 1L, e.value))
               }

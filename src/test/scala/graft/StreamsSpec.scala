@@ -86,6 +86,30 @@ class StreamsSpec extends SparkSpec {
       s.sum_value == 4.0), s"timeout session missing in ${all.toSeq}")
   }
 
+  test("sessionizeStream: an event a gap before the open session is its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val ds = in.toDF().toDF("key", "ts", "value")
+      .as[graft.streaming.SessionEvent]
+    val q = Streams.sessionizeStream(ds, gapMs = 30000L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("oosessions")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    in.addData(("u1", t("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // within the watermark but > gap BEFORE the open session's start:
+    // must NOT be glued into [12:00, ...] (that session would carry a
+    // 5-minute internal silence) — it closes alone immediately
+    in.addData(("u1", t("2024-01-01 11:55:00"), 8.0))
+    drain(q)
+    val rows = spark.table("oosessions")
+      .as[graft.streaming.ClosedSession].collect()
+    assert(rows.length == 1, rows.toSeq.toString)
+    assert(rows.head.start_ms == rows.head.end_ms &&
+      rows.head.sum_value == 8.0, rows.toSeq.toString)
+  }
+
   test("transformWithState CDC view: latest-wins, stale drops, tombstones") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
@@ -109,11 +133,15 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       // tombstone clears key 2
       in.addData(KeyedChange(2L, 300L, "delete", 0.0))
+      q.processAllAvailable()
+      // late upsert OLDER than the delete must NOT resurrect key 2
+      // (the tombstone is retained state, not a bare clear)
+      in.addData(KeyedChange(2L, 250L, "upsert", 5.0))
       drain(q)
       val rows = spark.table("cdcview")
         .as[graft.streaming.KeyedState].collect()
       // batch 1 emitted the merged newest per key; later batches
-      // emitted nothing (stale drop, tombstone)
+      // emitted nothing (stale drop, tombstone, post-delete stale)
       assert(rows.length == 2, rows.toSeq.toString)
       val k1 = rows.find(_.key == 1L).get
       assert(k1.ts_ms == 200L && k1.value == 2.0)
