@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** one multiplexed record of the ingest queue — the
   * `(stream_key, symbol, payload)` triple of `binance-di.py:109,125`,
@@ -21,6 +21,72 @@ case class ClosedSession(key: String, start_ms: Long, end_ms: Long,
 
 /** one change-log record for the streaming CDC materialization. */
 case class KeyedChange(key: Long, ts_ms: Long, kind: String, value: Double)
+
+/** one funnel step ("view" or "purchase") for [[FunnelProcessor]]. */
+case class FunnelEvent(key: Long, ts: java.sql.Timestamp, kind: String)
+
+/** an emitted view→purchase conversion. */
+case class Conversion(key: Long, view_ms: Long, purchase_ms: Long,
+    latency_ms: Long)
+
+/** q83's conversion funnel as LIVE state — pending views per user in
+  * a ListState, matched on purchase within `withinMs`, garbage-
+  * collected by event-time TIMERS once the watermark proves they can
+  * no longer convert. The timer is what bounds state at 100 TB: a
+  * user who views and never buys costs a list entry only until
+  * watermark > view + withinMs, with no scan-all-keys sweep — the
+  * state store calls back exactly the expired keys.
+  */
+class FunnelProcessor(withinMs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, Conversion] {
+
+  @transient private var pending: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pending = getHandle.getListState[Long]("views",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  private def persist(alive: Seq[Long]): Unit = {
+    pending.clear()
+    if (alive.nonEmpty) {
+      alive.foreach(pending.appendValue)
+      // one timer at the earliest possible expiry; stale extra timers
+      // from earlier batches are harmless (the handler re-derives
+      // liveness from the watermark)
+      getHandle.registerTimer(alive.min + withinMs)
+    }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+      timerValues: TimerValues): Iterator[Conversion] = {
+    val views = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (pending.exists()) views ++= pending.get()
+    val out = Seq.newBuilder[Conversion]
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      e.kind match {
+        case "view" => views += t
+        case "purchase" =>
+          val (matched, kept) = views.partition(v => t >= v && t - v <= withinMs)
+          matched.foreach(v => out += Conversion(key, v, t, t - v))
+          views.clear(); views ++= kept
+        case _ => ()
+      }
+    }
+    val wm = timerValues.getCurrentWatermarkInMs()
+    persist(views.filter(_ + withinMs >= wm).toSeq)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Conversion] = {
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val alive = if (pending.exists())
+      pending.get().filter(_ + withinMs >= wm).toSeq else Seq.empty
+    persist(alive)
+    Iterator.empty
+  }
+}
 
 /** current materialized state of one key. `deleted` marks a retained
   * tombstone: the key is absent from the view, but its delete
@@ -269,6 +335,18 @@ object Streams {
     ds.groupByKey(_.key)
       .transformWithState(new LatestStateProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** q83's funnel as live state — see [[FunnelProcessor]]. Event-time
+    * mode: timers fire off the watermark, so the `withWatermark` on
+    * the input is what drives state GC. */
+  def funnelStream(ds: Dataset[FunnelEvent], withinMs: Long,
+      watermark: String = "10 minutes"): Dataset[Conversion] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .transformWithState(new FunnelProcessor(withinMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** T4 — per-key running counter (the writer-state pattern): emits

@@ -150,6 +150,40 @@ class StreamsSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
+  test("transformWithState funnel: converts within window, times out pending views") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val ds = in.toDF().toDF("key", "ts", "kind")
+        .as[graft.streaming.FunnelEvent]
+      val q = Streams.funnelStream(ds, withinMs = 60000L,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("conversions")
+        .outputMode("append").start()
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // u1 converts within 60s; u2 views and never buys
+      in.addData((1L, t("2024-01-01 12:00:00"), "view"),
+        (1L, t("2024-01-01 12:00:30"), "purchase"),
+        (2L, t("2024-01-01 12:00:10"), "view"))
+      q.processAllAvailable()
+      // push the watermark far past u2's window (timer fires, view
+      // GC'd), then a too-late purchase must NOT convert
+      in.addData((3L, t("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      in.addData((2L, t("2024-01-01 13:00:01"), "purchase"))
+      drain(q)
+      val rows = spark.table("conversions")
+        .as[graft.streaming.Conversion].collect()
+      assert(rows.length == 1, rows.toSeq.toString)
+      assert(rows.head.key == 1L && rows.head.latency_ms == 30000L)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("T4 runningCountPerKey accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Envelope]
