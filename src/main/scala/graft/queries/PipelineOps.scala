@@ -201,6 +201,33 @@ object PipelineOps {
         |  coalesce(n_hit, 0) AS n_contaminated,
         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / n_shingles AS contamination
         |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
-        |ORDER BY base.doc_id""".stripMargin))
+        |ORDER BY base.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Rolling 7-day distinct users — the query that makes sketches
+    // NECESSARY at scale: exact rolling distinct needs every (day,
+    // user) pair replicated into each of 7 windows (a 7× shuffle of
+    // the identity stream). Instead: one HLL sketch per day (a few KB
+    // each), then a range self-join over the TINY per-day sketch
+    // table and a union-merge per window — the fact table is scanned
+    // once, ever. Sketch internals ⇒ rows-only; SketchWindowSpec
+    // bounds the estimates against exact rolling counts.
+    QueryDef("q93_rolling_distinct",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(expr("ts_ms DIV 86400000").as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events"))
+        daily.as("a").join(daily.as("b"),
+            col("b.day").between(col("a.day") - 6, col("a.day")))
+          .groupBy(col("a.day").as("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("b.sk")))
+            .as("n_users_7d_est"),
+            sum(col("b.n_events")).as("n_events_7d"))
+          .select((col("day") * 86400000).as("day_ms"),
+            col("n_users_7d_est"), col("n_events_7d"))
+          .orderBy(col("day_ms"))
+      },
+      None)
   )
 }

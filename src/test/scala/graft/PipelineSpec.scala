@@ -23,6 +23,27 @@ class PipelineSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("q93 rolling sketch-union estimates within 5% of exact rolling distinct") {
+    val got = SparkEntry.queries("q93_rolling_distinct")(spark, sf())
+      .select($"day_ms", $"n_users_7d_est")
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // exact rolling distinct, small-scale reference implementation
+    // (Q.events for the nanos-as-long convention the table needs)
+    val dayUser = graft.queries.Q.events(spark, sf())
+      .select(expr("ts_ms DIV 86400000").as("day"), $"user_id").distinct()
+    val exact = dayUser.as("a").join(dayUser.as("b"),
+        $"b.day".between($"a.day" - 6, $"a.day"))
+      .groupBy($"a.day".as("day"))
+      .agg(countDistinct($"b.user_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (day, ex) =>
+      val est = got(day * 86400000)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"day $day: est $est vs exact $ex")
+    }
+  }
+
   test("q81 sketch rollup estimates within 5% of exact distinct counts") {
     val got = SparkEntry.queries("q81_hll_rollup")(spark, sf())
       .select($"source", $"n_docs_est", $"n_rows")
