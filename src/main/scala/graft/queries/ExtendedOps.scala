@@ -669,6 +669,34 @@ object ExtendedOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM grid LEFT JOIN obs
         |  ON grid.event_type = obs.event_type AND grid.minute = obs.minute
-        |ORDER BY grid.event_type, minute_ms""".stripMargin))
+        |ORDER BY grid.event_type, minute_ms""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // UNPIVOT/melt — the inverse reshape of q57's pivot: wide
+    // per-source metrics to long (source, metric, value) triples, the
+    // shape metric stores and plotting layers ingest. `stack` is a
+    // generator expression (no shuffle at all beyond the input agg);
+    // the metric count is plan-time constant, so 100 TB in means the
+    // same tiny aggregated table out, 3× taller.
+    QueryDef("q94_unpivot",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(avg(col("n_chars")).as("avg_chars"),
+            count(lit(1)).cast("double").as("n_docs"),
+            countDistinct(col("lang")).cast("double").as("n_langs"))
+          .select(col("source"), expr(
+            """stack(3, 'avg_chars', avg_chars, 'n_docs', n_docs,
+              |'n_langs', n_langs) AS (metric, value)""".stripMargin))
+          .orderBy(col("source"), col("metric"))
+      },
+      Some("""WITH wide AS (
+        |  SELECT source, avg(n_chars) AS avg_chars,
+        |    CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (avg_chars, n_docs, n_langs))
+        |ORDER BY source, metric""".stripMargin))
   )
 }
