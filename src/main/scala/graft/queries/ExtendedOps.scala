@@ -502,7 +502,11 @@ object ExtendedOps {
           .drop("ex2")
         events(s, dir)
           .join(broadcast(stats), "event_type")
-          .filter(abs(col("value") - col("mu")) > col("sigma") * 3)
+          // sigma > 0: a (near-)constant group clamps to sigma = 0,
+          // where EVERY fp-jittered row would pass abs(·) > 0 and z
+          // would be ±Infinity — no dispersion means no outliers
+          .filter(col("sigma") > 0 &&
+            abs(col("value") - col("mu")) > col("sigma") * 3)
           .select(col("event_id"), col("event_type"), col("value"),
             ((col("value") - col("mu")) / col("sigma")).as("z"))
           .orderBy(col("event_id"))
@@ -518,7 +522,7 @@ object ExtendedOps {
         |SELECT event_id, events.event_type, value,
         |  (value - mu) / sigma AS z
         |FROM events JOIN stats ON events.event_type = stats.event_type
-        |WHERE abs(value - mu) > sigma * 3
+        |WHERE sigma > 0 AND abs(value - mu) > sigma * 3
         |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
@@ -696,7 +700,8 @@ object ExtendedOps {
         |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
         |  FROM documents GROUP BY source)
         |SELECT source, metric, value
-        |FROM wide UNPIVOT (value FOR metric IN (avg_chars, n_docs, n_langs))
+        |FROM wide UNPIVOT INCLUDE NULLS
+        |  (value FOR metric IN (avg_chars, n_docs, n_langs))
         |ORDER BY source, metric""".stripMargin))
   )
 }

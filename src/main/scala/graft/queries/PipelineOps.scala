@@ -218,6 +218,12 @@ object PipelineOps {
           .groupBy(expr("ts_ms DIV 86400000").as("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"),
             count(lit(1)).as("n_events"))
+          // materialized once: the self-join feeds this tiny table
+          // into a broadcast subtree AND a probe subtree — without
+          // the checkpoint both would re-scan events and rebuild the
+          // per-day sketches (exchange reuse doesn't cross a
+          // broadcast boundary)
+          .localCheckpoint(true)
         daily.as("a").join(daily.as("b"),
             col("b.day").between(col("a.day") - 6, col("a.day")))
           .groupBy(col("a.day").as("day"))

@@ -29,61 +29,86 @@ case class FunnelEvent(key: Long, ts: java.sql.Timestamp, kind: String)
 case class Conversion(key: Long, view_ms: Long, purchase_ms: Long,
     latency_ms: Long)
 
-/** q83's conversion funnel as LIVE state — pending views per user in
-  * a ListState, matched on purchase within `withinMs`, garbage-
-  * collected by event-time TIMERS once the watermark proves they can
-  * no longer convert. The timer is what bounds state at 100 TB: a
-  * user who views and never buys costs a list entry only until
-  * watermark > view + withinMs, with no scan-all-keys sweep — the
-  * state store calls back exactly the expired keys.
+/** q83's conversion funnel as LIVE state — pending views AND recent
+  * purchases per user in ListStates, matched within `withinMs` in
+  * either arrival order (a view arriving after its purchase, across
+  * batches, still converts — output is independent of micro-batch
+  * chopping up to watermark semantics), garbage-collected by
+  * event-time TIMERS once the watermark proves no future match. The
+  * timer is what bounds state at 100 TB: a user who views and never
+  * buys costs a list entry only until watermark > view + withinMs,
+  * with no scan-all-keys sweep — the state store calls back exactly
+  * the expired keys.
   */
 class FunnelProcessor(withinMs: Long)
     extends StatefulProcessor[Long, FunnelEvent, Conversion] {
 
-  @transient private var pending: ListState[Long] = _
+  @transient private var pendingViews: ListState[Long] = _
+  @transient private var pendingBuys: ListState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    pending = getHandle.getListState[Long]("views",
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pendingViews = getHandle.getListState[Long]("views",
       Encoders.scalaLong, TTLConfig.NONE)
+    pendingBuys = getHandle.getListState[Long]("buys",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
-  private def persist(alive: Seq[Long]): Unit = {
-    pending.clear()
-    if (alive.nonEmpty) {
-      alive.foreach(pending.appendValue)
-      // one timer at the earliest possible expiry; stale extra timers
-      // from earlier batches are harmless (the handler re-derives
-      // liveness from the watermark)
-      getHandle.registerTimer(alive.min + withinMs)
-    }
+  private def persist(views: Seq[Long], buys: Seq[Long]): Unit = {
+    pendingViews.clear()
+    views.foreach(pendingViews.appendValue)
+    pendingBuys.clear()
+    buys.foreach(pendingBuys.appendValue)
+    // one timer at the earliest possible expiry; stale extra timers
+    // from earlier batches are harmless (the handler re-derives
+    // liveness from the watermark)
+    val expiries = views.map(_ + withinMs) ++ buys.map(_ + 1)
+    if (expiries.nonEmpty) getHandle.registerTimer(expiries.min)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
       timerValues: TimerValues): Iterator[Conversion] = {
     val views = scala.collection.mutable.ArrayBuffer.empty[Long]
-    if (pending.exists()) views ++= pending.get()
+    val buys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (pendingViews.exists()) views ++= pendingViews.get()
+    if (pendingBuys.exists()) buys ++= pendingBuys.get()
     val out = Seq.newBuilder[Conversion]
     rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       e.kind match {
-        case "view" => views += t
+        case "view" =>
+          // an out-of-order view may follow its purchase across
+          // batches: buffered purchases make the match independent of
+          // micro-batch chopping (a purchase matches MANY views, so
+          // it is never consumed — the buffer drains by watermark)
+          buys.filter(b => b >= t && b - t <= withinMs).sorted.headOption
+            match {
+            case Some(b) => out += Conversion(key, t, b, b - t)
+            case None    => views += t
+          }
         case "purchase" =>
           val (matched, kept) = views.partition(v => t >= v && t - v <= withinMs)
           matched.foreach(v => out += Conversion(key, v, t, t - v))
           views.clear(); views ++= kept
+          buys += t
         case _ => ()
       }
     }
     val wm = timerValues.getCurrentWatermarkInMs()
-    persist(views.filter(_ + withinMs >= wm).toSeq)
+    // a purchase older than the watermark can never match again:
+    // any view it could convert would itself be late and dropped
+    persist(views.filter(_ + withinMs >= wm).toSeq,
+      buys.filter(_ >= wm).toSeq)
     out.result().iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[Conversion] = {
     val wm = timerValues.getCurrentWatermarkInMs()
-    val alive = if (pending.exists())
-      pending.get().filter(_ + withinMs >= wm).toSeq else Seq.empty
-    persist(alive)
+    val views = if (pendingViews.exists())
+      pendingViews.get().filter(_ + withinMs >= wm).toSeq else Seq.empty
+    val buys = if (pendingBuys.exists())
+      pendingBuys.get().filter(_ >= wm).toSeq else Seq.empty
+    persist(views, buys)
     Iterator.empty
   }
 }
@@ -131,8 +156,11 @@ class LatestStateProcessor
       case Some(c) if newer(c) =>
         if (c.kind == "delete") {
           // retained tombstone, not clear(): a late upsert older than
-          // the delete must not resurrect the key
-          st.update(KeyedState(key, c.ts_ms, 0.0,
+          // the delete must not resurrect the key. Keeps c.value so
+          // the (ts, value) tiebreak stays IDENTICAL to the in-batch
+          // reduce — otherwise an equal-ts upsert would win against
+          // the tombstone across batches but lose within one.
+          st.update(KeyedState(key, c.ts_ms, c.value,
             prev.map(_.n_changes).getOrElse(0L) + 1, deleted = true))
           Iterator.empty
         } else {
@@ -291,38 +319,30 @@ object Streams {
             state.remove()
             Iterator(ClosedSession(key, s.startMs, s.endMs, s.n, s.sum))
           } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within gap of the open session on either side: an
-                // out-of-order event from a previous batch (still
-                // within the watermark) may precede the session's
-                // current bounds, hence min on start too
-                case Some(s) if t >= s.startMs - gapMs && t - s.endMs < gapMs =>
-                  cur = Some(SessionAgg(math.min(s.startMs, t),
-                    math.max(s.endMs, t), s.n + 1, s.sum + e.value))
-                case Some(s) if t - s.endMs >= gapMs =>
-                  closed += ClosedSession(key, s.startMs, s.endMs, s.n, s.sum)
-                  cur = Some(SessionAgg(t, t, 1L, e.value))
-                case Some(_) =>
-                  // a gap or more BEFORE the open session: its own
-                  // earlier session, emitted immediately (events that
-                  // could have bridged it arrive even later and start
-                  // fresh — the bounded-lateness tradeoff vs holding
-                  // every historic session open)
-                  closed += ClosedSession(key, t, t, 1L, e.value)
-                case None =>
-                  cur = Some(SessionAgg(t, t, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.result().iterator
+            // interval merge: this batch's events (as point
+            // intervals) plus the open session, sorted by start, then
+            // folded — adjacent intervals merge iff their gap is
+            // strictly under gapMs (one rule for before AND after the
+            // open session, so out-of-order chains merge among
+            // themselves too). All but the latest merged session
+            // close now; only the latest can still grow from
+            // in-order arrivals — an earlier chain could only grow
+            // from ever-later stragglers, the bounded-lateness
+            // tradeoff vs holding every historic session open.
+            val intervals = (it.map(e =>
+                SessionAgg(e.ts.getTime, e.ts.getTime, 1L, e.value)) ++
+              state.getOption.iterator).toSeq.sortBy(s => (s.startMs, s.endMs))
+            val merged = intervals.foldLeft(List.empty[SessionAgg]) {
+              case (prev :: rest, nxt) if nxt.startMs - prev.endMs < gapMs =>
+                SessionAgg(prev.startMs, math.max(prev.endMs, nxt.endMs),
+                  prev.n + nxt.n, prev.sum + nxt.sum) :: rest
+              case (acc, nxt) => nxt :: acc
+            }.reverse
+            val cur = merged.last
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endMs + gapMs)
+            merged.init.iterator.map(s =>
+              ClosedSession(key, s.startMs, s.endMs, s.n, s.sum))
           }
         })
   }

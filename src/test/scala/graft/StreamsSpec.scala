@@ -86,7 +86,7 @@ class StreamsSpec extends SparkSpec {
       s.sum_value == 4.0), s"timeout session missing in ${all.toSeq}")
   }
 
-  test("sessionizeStream: an event a gap before the open session is its own session") {
+  test("sessionizeStream: an out-of-order chain before the open session closes as ONE session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp, Double)]
     val ds = in.toDF().toDF("key", "ts", "value")
@@ -100,14 +100,17 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable()
     // within the watermark but > gap BEFORE the open session's start:
     // must NOT be glued into [12:00, ...] (that session would carry a
-    // 5-minute internal silence) — it closes alone immediately
-    in.addData(("u1", t("2024-01-01 11:55:00"), 8.0))
+    // 5-minute internal silence), and the two early events — within
+    // gap of EACH OTHER — must merge into one session, not two
+    // singletons
+    in.addData(("u1", t("2024-01-01 11:55:00"), 8.0),
+      ("u1", t("2024-01-01 11:55:10"), 2.0))
     drain(q)
     val rows = spark.table("oosessions")
       .as[graft.streaming.ClosedSession].collect()
     assert(rows.length == 1, rows.toSeq.toString)
-    assert(rows.head.start_ms == rows.head.end_ms &&
-      rows.head.sum_value == 8.0, rows.toSeq.toString)
+    assert(rows.head.n_events == 2 && rows.head.sum_value == 10.0 &&
+      rows.head.end_ms - rows.head.start_ms == 10000L, rows.toSeq.toString)
   }
 
   test("transformWithState CDC view: latest-wins, stale drops, tombstones") {
@@ -161,25 +164,37 @@ class StreamsSpec extends SparkSpec {
       val ds = in.toDF().toDF("key", "ts", "kind")
         .as[graft.streaming.FunnelEvent]
       val q = Streams.funnelStream(ds, withinMs = 60000L,
-          watermark = "0 seconds")
+          watermark = "5 minutes")
         .writeStream.format("memory").queryName("conversions")
         .outputMode("append").start()
       def t(s: String) = java.sql.Timestamp.valueOf(s)
-      // u1 converts within 60s; u2 views and never buys
+      // u1 converts within 60s; u2 views and never buys; u4's
+      // purchase arrives BEFORE its view (cross-batch out-of-order)
       in.addData((1L, t("2024-01-01 12:00:00"), "view"),
         (1L, t("2024-01-01 12:00:30"), "purchase"),
-        (2L, t("2024-01-01 12:00:10"), "view"))
+        (2L, t("2024-01-01 12:00:10"), "view"),
+        (4L, t("2024-01-01 12:05:00"), "purchase"))
       q.processAllAvailable()
-      // push the watermark far past u2's window (timer fires, view
-      // GC'd), then a too-late purchase must NOT convert
-      in.addData((3L, t("2024-01-01 13:00:00"), "view"))
+      // the late view still converts against the buffered purchase —
+      // output must not depend on which batch each side landed in
+      in.addData((4L, t("2024-01-01 12:04:40"), "view"))
       q.processAllAvailable()
-      in.addData((2L, t("2024-01-01 13:00:01"), "purchase"))
+      // push the watermark far past every pending window (timers
+      // fire, state GC'd), then a too-late purchase cannot convert
+      in.addData((3L, t("2024-01-01 13:30:00"), "view"))
+      q.processAllAvailable()
+      in.addData((2L, t("2024-01-01 13:30:01"), "purchase"))
       drain(q)
       val rows = spark.table("conversions")
-        .as[graft.streaming.Conversion].collect()
-      assert(rows.length == 1, rows.toSeq.toString)
-      assert(rows.head.key == 1L && rows.head.latency_ms == 30000L)
+        .as[graft.streaming.Conversion].collect().sortBy(_.key)
+      assert(rows.map(_.key).toSeq == Seq(1L, 4L), rows.toSeq.toString)
+      assert(rows(0).latency_ms == 30000L)
+      assert(rows(1).latency_ms == 20000L)
+      // pin the timer GC itself: the state store reported removals
+      // when the watermark passed the pending windows
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "expected timer-driven state GC to remove rows")
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
