@@ -145,6 +145,40 @@ object LayoutOps {
         |    < 20 + (CAST(substring(source, 4) AS INTEGER) * 7) % 78 AS kept
         |  FROM documents)
         |GROUP BY source
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Scalable global row numbering — "give every training example a
+    // stable id". The naive `row_number() OVER (ORDER BY key)` plans
+    // a SINGLE-partition window (the whole corpus through one task —
+    // dead at 100 TB). The scalable equivalent: range-bucket the key,
+    // rank WITHIN buckets (parallel), and add per-bucket offsets
+    // computed from a bucket-count cumsum — a window over only
+    // n_buckets rows, broadcast back. Same answer as the naive form,
+    // which is exactly what the oracle runs.
+    QueryDef("q95_global_index",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("bucket", (col("doc_id") / 100).cast("long"))
+        val offsets = docs.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wInBucket = Window.partitionBy(col("bucket"))
+          .orderBy(col("doc_id"))
+        docs.join(broadcast(offsets), "bucket")
+          .withColumn("idx",
+            col("offset") + row_number().over(wInBucket) - 1)
+          .select(col("doc_id"), col("source"), col("idx"))
+          .orderBy(col("idx"))
+      },
+      Some("""SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS idx
+        |FROM documents
+        |ORDER BY idx""".stripMargin))
   )
 }
