@@ -159,10 +159,21 @@ object LayoutOps {
     QueryDef("q95_global_index",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"))
-          .withColumn("bucket", (col("doc_id") / 100).cast("long"))
-        val offsets = docs.groupBy(col("bucket"))
+        // FIXED bucket count (not fixed width): the offsets table and
+        // its cumsum window stay nBuckets rows no matter the corpus
+        // size. The width comes from a 1-row min/max agg — a
+        // column-pruned pass; like zipWithIndex this is inherently a
+        // two-pass algorithm, and re-scanning one pruned column beats
+        // materializing the corpus.
+        val nBuckets = 256L
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val Array(minId, maxId) = docs
+          .agg(min(col("doc_id")), max(col("doc_id")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+        val bucketed = docs.withColumn("bucket",
+          ((col("doc_id") - minId) / width).cast("long"))
+        val offsets = bucketed.groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"))
           .withColumn("offset",
             coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
@@ -170,7 +181,7 @@ object LayoutOps {
           .select(col("bucket"), col("offset"))
         val wInBucket = Window.partitionBy(col("bucket"))
           .orderBy(col("doc_id"))
-        docs.join(broadcast(offsets), "bucket")
+        bucketed.join(broadcast(offsets), "bucket")
           .withColumn("idx",
             col("offset") + row_number().over(wInBucket) - 1)
           .select(col("doc_id"), col("source"), col("idx"))

@@ -67,38 +67,31 @@ class FunnelProcessor(withinMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
       timerValues: TimerValues): Iterator[Conversion] = {
-    val views = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val buys = scala.collection.mutable.ArrayBuffer.empty[Long]
-    if (pendingViews.exists()) views ++= pendingViews.get()
-    if (pendingBuys.exists()) buys ++= pendingBuys.get()
-    val out = Seq.newBuilder[Conversion]
-    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
-      e.kind match {
-        case "view" =>
-          // an out-of-order view may follow its purchase across
-          // batches: buffered purchases make the match independent of
-          // micro-batch chopping (a purchase matches MANY views, so
-          // it is never consumed — the buffer drains by watermark)
-          buys.filter(b => b >= t && b - t <= withinMs).sorted.headOption
-            match {
-            case Some(b) => out += Conversion(key, t, b, b - t)
-            case None    => views += t
-          }
-        case "purchase" =>
-          val (matched, kept) = views.partition(v => t >= v && t - v <= withinMs)
-          matched.foreach(v => out += Conversion(key, v, t, t - v))
-          views.clear(); views ++= kept
-          buys += t
-        case _ => ()
-      }
-    }
+    val batch = rows.toSeq
+    // union state + batch on BOTH sides before matching, so the
+    // result is the same regardless of how the stream was chopped
+    // into micro-batches: each view converts against the EARLIEST
+    // qualifying purchase known so far (q83's batch attribution; a
+    // purchase matches many views and is never consumed — its buffer
+    // drains by watermark). An out-of-order purchase arriving after
+    // a view already converted can still change attribution — the
+    // bounded-lateness tradeoff of incremental emission.
+    val views = ((if (pendingViews.exists()) pendingViews.get().toSeq
+      else Seq.empty) ++
+      batch.collect { case e if e.kind == "view" => e.ts.getTime }).sorted
+    val buys = ((if (pendingBuys.exists()) pendingBuys.get().toSeq
+      else Seq.empty) ++
+      batch.collect { case e if e.kind == "purchase" => e.ts.getTime }).sorted
+    val out = views.flatMap(v =>
+      buys.find(b => b >= v && b - v <= withinMs) // sorted ⇒ earliest
+        .map(b => Conversion(key, v, b, b - v)))
+    val convertedViews = out.map(_.view_ms).toSet
     val wm = timerValues.getCurrentWatermarkInMs()
     // a purchase older than the watermark can never match again:
     // any view it could convert would itself be late and dropped
-    persist(views.filter(_ + withinMs >= wm).toSeq,
-      buys.filter(_ >= wm).toSeq)
-    out.result().iterator
+    persist(views.filterNot(convertedViews).filter(_ + withinMs >= wm),
+      buys.filter(_ >= wm))
+    out.iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
