@@ -199,6 +199,53 @@ class StreamsSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
+  test("transformWithState survives a checkpointed stop/restart (T6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-tws-ckpt").toString
+      val in = MemoryStream[graft.streaming.KeyedChange]
+      import graft.streaming.KeyedChange
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val got =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]
+      def start() = Streams.latestStateStream(in.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.KeyedState],
+           _: Long) =>
+            batch.collect().foreach(s => got.add((s.ts_ms, s.value, s.n_changes)))
+            ()
+        }
+        .start()
+      val q1 = start()
+      in.addData(KeyedChange(7L, 100L, "upsert", 1.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // restart from the same checkpoint: the RocksDB state must
+      // come back, so a STALE change (older ts) is still rejected
+      val q2 = start()
+      in.addData(KeyedChange(7L, 50L, "upsert", 9.0))
+      q2.processAllAvailable()
+      in.addData(KeyedChange(7L, 200L, "upsert", 2.0))
+      drain(q2)
+      // emitted: (100, 1.0) before restart, (200, 2.0) after; the
+      // stale (50, 9.0) emitted nothing because restored state won
+      import scala.collection.JavaConverters._
+      val rows = got.asScala.toSeq.sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2)) == Seq((100L, 1.0), (200L, 2.0)),
+        rows.toString)
+      assert(rows.last._3 == 3L) // stale change still counted
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("T4 runningCountPerKey accumulates state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Envelope]
