@@ -190,6 +190,40 @@ object LayoutOps {
       Some("""SELECT doc_id, source,
         |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS idx
         |FROM documents
-        |ORDER BY idx""".stripMargin))
+        |ORDER BY idx""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Curriculum ordering — rank documents by a quality signal WITHIN
+    // each source (percent_rank ∈ [0,1]), the sort key curriculum
+    // training samples by ("easy/clean first"). Per-source windows
+    // partition naturally, so unlike q95's global index this is one
+    // ordinary partitioned window; the quality signal here is the
+    // stopword-ratio × length heuristic from q31.
+    QueryDef("q96_curriculum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = split(trim(lower(col("text"))), "\\s+")
+        val stop = Seq("the", "a", "of", "and", "to")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("quality",
+            (size(filter(tk, x => x.isInCollection(stop))).cast("double")
+              / size(tk)) * least(size(tk), lit(400)).cast("double"))
+          .select(col("source"), col("doc_id"), col("quality"),
+            percent_rank().over(w).as("curriculum_pct"))
+          .orderBy(col("source"), col("curriculum_pct"), col("doc_id"))
+      },
+      Some("""SELECT source, doc_id, quality,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS curriculum_pct
+        |FROM (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      AS DOUBLE) / len(tk) * least(len(tk), 400) AS quality
+        |  FROM (SELECT source, doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |    FROM documents))
+        |ORDER BY source, curriculum_pct, doc_id""".stripMargin))
   )
 }
