@@ -128,4 +128,32 @@ class WsReplaySourceSpec extends SparkSpec {
     assert(r.getAs[String]("last_price") == "7.0")
     assert(r.getAs[String]("symbol") == "BTCUSDT")
   }
+
+  test("ingest chain with quarantine: good frames sink keyed, bad frames dead-letter") {
+    val f = Files.createTempFile("ws-dlq", ".jsonl")
+    val lines = (1 to 5).map(envelopeLine) ++ Seq(
+      "{broken frame", """{"data":"{\"c\":\"9\"}"}""")
+    Files.writeString(f, lines.mkString("", "\n", "\n"))
+    val out = Files.createTempDirectory("dlq-out").toString
+    val stream = spark.readStream.format("ws-replay")
+      .option("path", f.toString).load()
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (ok, bad) = graft.ingest.Projections.deadLetterSplit(batch)
+        graft.sinks.Sinks.writeKeyed(ok, s"$out/good")
+        bad.write.mode("append").json(s"$out/dead")
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val good = spark.read.parquet(s"$out/good")
+    assert(good.count() == 5)
+    // keyed layout preserved for partition pruning downstream
+    assert(good.filter($"symbol" === "BTCUSDT").count() == 5)
+    val dead = spark.read.json(s"$out/dead")
+    assert(dead.count() == 2)
+    assert(dead.filter($"reason" === "unparseable_json").count() == 1)
+    assert(dead.filter($"reason" === "missing_envelope_fields").count() == 1)
+  }
 }
