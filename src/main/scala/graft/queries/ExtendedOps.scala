@@ -702,6 +702,48 @@ object ExtendedOps {
         |SELECT source, metric, value
         |FROM wide UNPIVOT INCLUDE NULLS
         |  (value FOR metric IN (avg_chars, n_docs, n_langs))
-        |ORDER BY source, metric""".stripMargin))
+        |ORDER BY source, metric""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (q10/q11 cover the set forms, which collapse
+    // duplicates): the semantics that matter when rows ARE counts,
+    // e.g. comparing two ingest snapshots where a doubled frame is a
+    // real discrepancy. Spark plans both as a single hash-aggregated
+    // count-comparison per key — one shuffle, no join explosion.
+    QueryDef("q97_bag_ops",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"))
+        val a = ev.filter(col("user_id") % 3 =!= 0)
+        val b = ev.filter(col("user_id") % 2 === 0)
+        val both = a.intersectAll(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_common"))
+        val onlyA = a.exceptAll(b).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_only_a"))
+        both.join(onlyA, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            coalesce(col("n_only_a"), lit(0L)).as("n_only_a"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH a AS (
+        |  SELECT user_id, event_type FROM events WHERE user_id % 3 <> 0),
+        |b AS (
+        |  SELECT user_id, event_type FROM events WHERE user_id % 2 = 0),
+        |common AS (
+        |  SELECT event_type, count(*) AS n_common
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  GROUP BY event_type),
+        |onlya AS (
+        |  SELECT event_type, count(*) AS n_only_a
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  GROUP BY event_type)
+        |SELECT coalesce(common.event_type, onlya.event_type) AS event_type,
+        |  coalesce(n_common, 0) AS n_common,
+        |  coalesce(n_only_a, 0) AS n_only_a
+        |FROM common FULL OUTER JOIN onlya
+        |  ON common.event_type = onlya.event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }
