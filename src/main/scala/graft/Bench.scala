@@ -64,6 +64,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(line)
+    // the full line (90+ queries) exceeds the driver's tail-capture
+    // window, which truncates from the FRONT — so the leading
+    // "metric":"total" gets cut and parsing fails. Emit a short
+    // summary line LAST so the tail always ends in parseable JSON;
+    // the full per-query map remains above and in the file.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_failed":${failures.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","detail":"bench_metrics.json"}"""
+    println(summary)
+    // the file stays a single JSON document (full detail) so a plain
+    // json.load keeps working; the short line is a stdout-only tail.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_metrics.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -13,16 +13,29 @@ import graft.sources.WsFeedClient
   *
   * {{{
   * --symbol BTCUSDT,ETHUSDT      required, comma list
-  * --load ticker,trades          default: all four stream types
+  * --load ticker,trades          default: ticker,trades,order-book
+  *                               (binance-di.py:220; klines opt-in)
   * --output json,csv,parquet,orc default: none (no file sinks)
-  * --output-dir DIR              default: output (reference OUTPUT_DIR)
+  * --output-dir DIR              default: data (binance-di.py:223)
   * --samples N                   per-(stream,symbol) cap
   * --interval 1m                 kline interval suffix
   * --print                       human mode: banner + record per frame
   * --print-only                  machine mode: envelope JSON lines only,
   *                               no file sinks (`--silent` implied; the
-  *                               reference's pipe-to-jq surface)
+  *                               reference's pipe-to-jq surface).
+  *                               Mutually exclusive with --print
+  *                               (binance-di.py:229-231)
   * --max-frames-per-trigger N    admission control (engine addition)
+  * --checkpoint DIR              durable checkpoint root (engine
+  *                               addition): live runs resume instead of
+  *                               replaying; default is a temp dir that
+  *                               is deleted on exit
+  * --testnet                     accepted for argv parity
+  *                               (binance-di.py:222); endpoint selection
+  *                               is the live client's concern — recorded
+  *                               on Parsed for the caller to act on
+  * --log [PATH]                  file status logging (binance-di.py:226);
+  *                               PATH optional, default binance-di.log
   * --replay PATH                 offline frame source (line file)
   * --ws-url wss://...            live source via WsFeedClient
   * }}}
@@ -40,12 +53,15 @@ object IngestCli {
       wsUrl: Option[String],
       printHuman: Boolean,
       printOnly: Boolean,
-      interval: String)
+      interval: String,
+      checkpoint: Option[String] = None,
+      testnet: Boolean = false,
+      log: Option[String] = None)
 
   private val Usage =
     "usage: graft-ingest --symbol SYMS [--load TYPES] [--output FMTS] " +
-      "[--output-dir DIR] [--samples N] [--interval 1m] [--print] " +
-      "[--print-only] [--max-frames-per-trigger N] " +
+      "[--output-dir DIR] [--samples N] [--interval 1m] [--print | " +
+      "--print-only] [--max-frames-per-trigger N] [--checkpoint DIR] " +
       "(--replay PATH | --ws-url URL)"
 
   private val StreamTypes = Set("ticker", "order-book", "trades", "klines")
@@ -61,9 +77,10 @@ object IngestCli {
     * comma-list normalization at `binance-di.py:234-236,273`). */
   def parseArguments(args: Array[String]): Parsed = {
     var symbols = Seq.empty[String]
-    var load = Seq("ticker", "order-book", "trades", "klines")
+    // reference default: klines is opt-in (binance-di.py:220)
+    var load = Seq("ticker", "trades", "order-book")
     var formats = Seq.empty[String]
-    var outputDir = "output" // reference OUTPUT_DIR, binance-di.py:246
+    var outputDir = "data" // reference default, binance-di.py:223
     var samples = Option.empty[Int]
     var maxPerTrigger = Option.empty[Long]
     var interval = "1m"
@@ -71,6 +88,9 @@ object IngestCli {
     var printOnly = false
     var replay = Option.empty[String]
     var wsUrl = Option.empty[String]
+    var checkpoint = Option.empty[String]
+    var testnet = false
+    var log = Option.empty[String]
 
     def num[T](flag: String, v: String, f: String => T): T =
       try f(v) catch { case _: NumberFormatException =>
@@ -99,6 +119,12 @@ object IngestCli {
       case "--print" :: tail => printHuman = true; tail
       case "--print-only" :: tail => printOnly = true; tail
       case "--silent" :: tail => tail // implied by --print-only, accepted
+      case "--testnet" :: tail => testnet = true; tail
+      // argparse nargs='?': value optional (binance-di.py:226)
+      case "--log" :: v :: tail if !v.startsWith("--") =>
+        log = Some(v); tail
+      case "--log" :: tail => log = Some("binance-di.log"); tail
+      case "--checkpoint" :: v :: tail => checkpoint = Some(v); tail
       case "--replay" :: v :: tail => replay = Some(v); tail
       case "--ws-url" :: v :: tail => wsUrl = Some(v); tail
       case other :: _ => fail(s"unknown or incomplete argument '$other'")
@@ -106,6 +132,9 @@ object IngestCli {
     }
 
     if (symbols.isEmpty) fail("--symbol is required")
+    // argparse mutually-exclusive group, binance-di.py:229-231
+    if (printHuman && printOnly)
+      fail("--print and --print-only are mutually exclusive")
     if (replay.isDefined == wsUrl.isDefined)
       fail("exactly one of --replay or --ws-url is required")
     if (formats.isEmpty && !printOnly && !printHuman)
@@ -115,7 +144,8 @@ object IngestCli {
       IngestConfig(symbols = symbols, loadTypes = load,
         outputDir = outputDir, formats = formats,
         samplesPerKey = samples, maxFramesPerTrigger = maxPerTrigger),
-      replay, wsUrl, printHuman, printOnly, interval)
+      replay, wsUrl, printHuman, printOnly, interval, checkpoint,
+      testnet, log)
   }
 
   /** the multiplexed frame stream for the chosen source. */
@@ -134,8 +164,16 @@ object IngestCli {
     * is interrupted (the reference's Ctrl-C loop).
     *
     * Console modes are driver-serial by design — they exist to feed a
-    * human terminal or a Unix pipe (`binance-di.py:127-141`), the one
-    * place a collect to the driver is the point, not a scale bug.
+    * human terminal or a Unix pipe (`binance-di.py:127-141`), so rows
+    * MUST reach the driver; `toLocalIterator` streams them one
+    * partition at a time instead of materializing the whole
+    * micro-batch in driver memory (a live burst can make one batch
+    * arbitrarily large).
+    *
+    * Checkpoints: with `--checkpoint DIR` the console streams get
+    * stable subdirectories under DIR, so a killed live run resumes
+    * from its offsets instead of replaying. Without it, temp dirs are
+    * created and deleted on exit — a throwaway run leaves no litter.
     */
   def run(spark: SparkSession, p: Parsed,
       emit: String => Unit = println): Unit = {
@@ -144,7 +182,32 @@ object IngestCli {
       val c = new WsFeedClient(new URI(url), feedName)
       c.connect(); c
     }
+    // --log: append status lines (the reference's logging.basicConfig
+    // file handler surface, binance-di.py:226) — start/stop markers
+    // plus the effective source + sink config
+    def statusLog(msg: String): Unit = p.log.foreach { path =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"${java.time.Instant.now()} graft-ingest $msg\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: java.io.IOException => () }
+    }
+    val tempCkpts = collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def ckptDir(name: String): String = p.checkpoint match {
+      case Some(root) => s"$root/$name"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory(s"cli-ckpt-$name")
+        tempCkpts += d
+        d.toString
+    }
+    def emitBatch(batch: DataFrame)(f: String => Unit): Unit = {
+      val it = batch.select(col("value")).toLocalIterator()
+      while (it.hasNext) f(it.next().getString(0))
+    }
     try {
+      statusLog(s"start symbols=${p.config.symbols.mkString(",")} " +
+        s"load=${p.config.loadTypes.mkString(",")} " +
+        s"source=${p.replay.map("replay:" + _).orElse(p.wsUrl).getOrElse("")}")
       val frames = lines(spark, p, feedName)
       val queries =
         if (p.printOnly) {
@@ -152,23 +215,18 @@ object IngestCli {
           // (frames are already the `{"stream","symbol","data"}`
           // envelope the reference prints, binance-di.py:130-132)
           Seq(frames.writeStream.outputMode("append")
-            .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory("cli-ckpt").toString)
+            .option("checkpointLocation", ckptDir("print-only"))
             .foreachBatch { (batch: DataFrame, _: Long) =>
-              batch.select(col("value")).collect()
-                .foreach(r => emit(r.getString(0)))
+              emitBatch(batch)(emit)
             }.queryName("cli-print-only").start())
         } else {
           val human =
             if (!p.printHuman) Seq.empty
             else Seq(frames.writeStream.outputMode("append")
-              .option("checkpointLocation",
-                java.nio.file.Files.createTempDirectory("cli-ckpt").toString)
+              .option("checkpointLocation", ckptDir("print"))
               .foreachBatch { (batch: DataFrame, _: Long) =>
                 // S9 human mode: banner + record (binance-di.py:134-136)
-                batch.select(col("value")).collect().foreach { r =>
-                  emit("-" * 40); emit(r.getString(0))
-                }
+                emitBatch(batch) { v => emit("-" * 40); emit(v) }
               }.queryName("cli-print").start())
           val sinks =
             if (p.config.formats.isEmpty) Seq.empty
@@ -179,7 +237,18 @@ object IngestCli {
         queries.foreach(_.processAllAvailable())
         queries.foreach(_.stop())
       } else queries.foreach(_.awaitTermination())
-    } finally client.foreach(_.close())
+    } finally {
+      statusLog("stop")
+      client.foreach(_.close())
+      tempCkpts.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

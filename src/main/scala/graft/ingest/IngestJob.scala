@@ -13,7 +13,8 @@ import graft.streaming.{Envelope, Streams}
   * mode passthrough (`--print-only`). */
 case class IngestConfig(
     symbols: Seq[String],
-    loadTypes: Seq[String] = Seq("ticker", "order-book", "trades", "klines"),
+    // reference default: klines is opt-in (binance-di.py:220)
+    loadTypes: Seq[String] = Seq("ticker", "trades", "order-book"),
     outputDir: String,
     formats: Seq[String] = Seq("parquet"),
     samplesPerKey: Option[Int] = None,

@@ -117,13 +117,14 @@ object ExtendedOps {
     // Regex field extraction over the semi-structured `props` column
     // (F-class string surface beyond the reference's split/concat):
     // pull the numeric "k" attribute out of the JSON-ish payload and
-    // aggregate by it. regexp_extract is codegen'd; the cast of a
-    // non-match ('') yields NULL in both engines, so malformed rows
-    // degrade identically.
+    // aggregate by it. regexp_extract is codegen'd. Under Spark 4's
+    // default ANSI mode a plain cast of the non-match result ('')
+    // THROWS, so the extract goes through try_cast: malformed rows
+    // degrade to NULL exactly like the oracle's permissive CAST.
     QueryDef("q59_regex_extract",
       (s, dir) => events(s, dir)
         .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-          .cast("long").as("k"), col("value"))
+          .try_cast("long").as("k"), col("value"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"),
           d(sum(dec(col("value")))).as("sum_value"))
@@ -147,10 +148,13 @@ object ExtendedOps {
         events(s, dir)
           .groupBy(col("event_type"))
           .agg(top3(col("value")).as("t3"))
+          // try_element_at: under ANSI mode element_at throws when a
+          // group has < 3 rows; try_ degrades to NULL like the
+          // oracle's conditional max over missing ranks.
           .select(col("event_type"),
-            element_at(col("t3"), 1).as("v1"),
-            element_at(col("t3"), 2).as("v2"),
-            element_at(col("t3"), 3).as("v3"))
+            try_element_at(col("t3"), lit(1)).as("v1"),
+            try_element_at(col("t3"), lit(2)).as("v2"),
+            try_element_at(col("t3"), lit(3)).as("v3"))
           .orderBy(col("event_type"))
       },
       Some("""WITH r AS (
@@ -258,8 +262,10 @@ object ExtendedOps {
         .join(t(s, dir, "orders")
           .filter(col("o_orderdate") < lit("1998-06-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")
-          .filter(col("c_mktsegment") === "BUILDING")),
+        // customer scales with SF — no hint; AQE broadcasts the
+        // BUILDING slice at bench SF and falls back to SMJ at 100 TB.
+        .join(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
@@ -282,22 +288,25 @@ object ExtendedOps {
         |LIMIT 10""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // TPC-H Q5-shaped local supplier volume: the 6-table join. The
-    // dimension chain region→nation→supplier/customer broadcasts end
-    // to end; the only shuffles are the two fact joins, and the
-    // c_nationkey = s_nationkey "local" condition rides the lineitem⋈
-    // supplier join as a residual filter instead of forcing an extra
-    // exchange. This is the canonical join-graph the optimizer must
-    // get right at 100 TB: dims broadcast, facts co-partitioned.
+    // TPC-H Q5-shaped local supplier volume: the 6-table join. Only
+    // the genuinely bounded dims (region: 5 rows, nation: 25 rows —
+    // constant at every scale factor) carry explicit broadcast hints;
+    // customer and supplier GROW linearly with SF, so their join
+    // strategy is left to AQE: at bench SF it picks broadcast from
+    // runtime sizes (asserted in PlanAuditSpec), and at 100 TB it
+    // degrades to shuffled SMJ/SHJ instead of OOMing the driver the
+    // way a forced hint would. The c_nationkey = s_nationkey "local"
+    // condition rides the lineitem⋈supplier join as a residual
+    // filter instead of forcing an extra exchange.
     QueryDef("q69_local_volume",
       (s, dir) => t(s, dir, "lineitem")
         .join(t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01") &&
             col("o_orderdate") < lit("1999-01-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t(s, dir, "nation")),
@@ -402,10 +411,14 @@ object ExtendedOps {
 
     // ------------------------------------------------------------------
     // TPC-H Q18-shaped large-volume orders: HAVING over a fact
-    // aggregate feeding an IN/semi-join back against orders+customer.
-    // The aggregate-then-semi-join shape matters at scale: the HAVING
-    // output (big spenders) is tiny, so the second join broadcasts —
-    // the fact table is aggregated once and never re-scanned.
+    // aggregate feeding a join back against orders+customer. The
+    // aggregate-then-join shape matters at scale: the fact table is
+    // aggregated once and never re-scanned. No broadcast hints —
+    // `big` is a roughly constant FRACTION of orders (not a constant
+    // size) and customer grows with SF, so both joins are left to
+    // AQE: broadcast at bench SF from measured sizes (PlanAuditSpec
+    // asserts this), shuffled SMJ/SHJ at 100 TB instead of a
+    // hint-forced driver OOM.
     QueryDef("q75_large_orders",
       (s, dir) => {
         val big = t(s, dir, "lineitem")
@@ -413,8 +426,8 @@ object ExtendedOps {
           .agg(d(sum(dec(col("l_quantity")))).as("total_qty"))
           .filter(col("total_qty") > 150)
         t(s, dir, "orders")
-          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(t(s, dir, "customer")),
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("o_orderkey"),
             unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),

@@ -63,6 +63,73 @@ object PipelineOps {
     labels
   }
 
+  /** Pointer-doubling connected components — the O(log diameter)
+    * upgrade path for graphs too deep for HashMin's one-hop-per-round
+    * walk. Each round does (a) the same HashMin edge propagation,
+    * then (b) a pointer JUMP: every node also adopts its label's own
+    * label (labels are node ids, so `labels ⨝ labels` on
+    * label = node resolves label∘label in one equi join). The jump
+    * composes reach: after round k a node sees the min over distance
+    * ≥ 2^k, so a 64-deep chain closes in ~6 rounds instead of 64.
+    * Per-round cost is one extra self-join of the SMALL label table
+    * (2 cols, one row per node) — cheap insurance against deep
+    * graphs; for known-shallow dedup graphs plain HashMin does less
+    * work per round, which is why q80 keeps it. Same checkpoint
+    * discipline: every round's output is materialized and the
+    * lineage cut, so plans stay constant-size across rounds. */
+  def connectedComponentsDoubling(edges: DataFrame,
+      maxIters: Int = 20): DataFrame =
+    connectedComponentsDoublingStats(edges, maxIters)._1
+
+  /** same, returning (labels, rounds) so specs can pin the O(log d)
+    * round count. */
+  private[graft] def connectedComponentsDoublingStats(edges: DataFrame,
+      maxIters: Int): (DataFrame, Int) = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // checkpointed before the self-join: a Union-bearing plan joined
+      // against itself trips Catalyst's constraint rewrite (missing
+      // attribute in UnionBase.rewriteConstraints), and the cut also
+      // keeps the jump from recomputing the propagation twice
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // jump: label ← label(label). Inner join is total: every label
+      // value is a node id present in `prop` (labels start as node
+      // ids and only ever move to a smaller REACHABLE node's id).
+      val jumped = prop.as("x")
+        .join(prop.as("y"), col("x.label") === col("y.node"))
+        .select(col("x.node").as("node"),
+          least(col("x.label"), col("y.label")).as("label"))
+      // rebuilt via createDataFrame, NOT checkpointed directly: a
+      // localCheckpoint of a self-join output carries Catalyst
+      // constraints referencing the join's non-output attributes,
+      // and next round's Union over this table then dies in
+      // UnionBase.rewriteConstraints ("key not found: node#…").
+      // createDataFrame sheds the stale constraints; the RDD reuses
+      // the checkpoint blocks, so nothing recomputes.
+      val next = edges.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponentsDoubling did not converge in $maxIters rounds " +
+        s"($changed labels still changing)")
+    (labels, iter)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------

@@ -99,6 +99,26 @@ object TextOps {
   // Callers that emit pairs directly (q35) sort at the very end;
   // callers that consume pairs (q63/q64 drop sets) must not pay it.
 
+  /** The near-dup DROP SET (docs losing the smallest-id-wins rule),
+    * mined once per (session, dataset) and `localCheckpoint`ed: q63
+    * (resolution) and q64 (corpus clean) both anti-join against it,
+    * and without sharing, each re-runs the full inverted-index pair
+    * mining — the most expensive stage of either query. Same pattern
+    * as q80's edge-list checkpoint: materialize the small derived
+    * set once, cut the lineage, reuse the blocks. The checkpoint is
+    * lazy (materializes on first action) and the set is tiny (the
+    * dup tail), so caching it is driver-safe; keyed by dataset dir so
+    * different SFs never cross-contaminate. */
+  private val dropSetCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def nearDupDropSet(s: SparkSession, dir: String): DataFrame =
+    dropSetCache.synchronized {
+      dropSetCache.getOrElseUpdate((s, dir),
+        jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.8)
+          .select(col("db").as("doc_id")).distinct()
+          .localCheckpoint(false))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -392,8 +412,7 @@ object TextOps {
     // broadcasts it and the corpus never shuffles.
     QueryDef("q63_dedup_resolve",
       (s, dir) => {
-        val drops = jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.8)
-          .select(col("db").as("doc_id")).distinct()
+        val drops = nearDupDropSet(s, dir)
         t(s, dir, "documents")
           .join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"),
@@ -427,8 +446,7 @@ object TextOps {
       (s, dir) => {
         val tk = toks(col("text"))
         val stop = Seq("the", "a", "of", "and", "to")
-        val drops = jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.8)
-          .select(col("db").as("doc_id")).distinct()
+        val drops = nearDupDropSet(s, dir)
         t(s, dir, "documents")
           .join(drops, Seq("doc_id"), "left_anti")
           .filter(size(tk).between(10, 1000) &&
@@ -514,7 +532,7 @@ object TextOps {
       |  SELECT doc_id, sum(n) AS btot, count(*) AS bnd
       |  FROM (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2)
       |  GROUP BY doc_id)
-      |SELECT uni.doc_id, tot AS n_tokens,
+      |SELECT uni.doc_id, CAST(tot AS BIGINT) AS n_tokens,
       |  CAST(nd AS DOUBLE) / tot AS distinct_ratio,
       |  CAST(mx AS DOUBLE) / tot AS top_share,
       |  coalesce(1.0 - CAST(bnd AS DOUBLE) / btot, 0.0) AS dup_bigram_ratio

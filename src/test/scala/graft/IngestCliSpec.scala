@@ -16,14 +16,26 @@ class IngestCliSpec extends SparkSpec {
       "--symbol", "btcusdt,ethusdt", "--output", "json,parquet",
       "--samples", "7", "--replay", "/tmp/x.jsonl"))
     assert(p.config.symbols == Seq("BTCUSDT", "ETHUSDT"))
-    // --load defaults to all four stream types (binance-di.py:279-286)
-    assert(p.config.loadTypes ==
-      Seq("ticker", "order-book", "trades", "klines"))
+    // reference defaults: klines is opt-in (binance-di.py:220),
+    // output dir is 'data' (binance-di.py:223)
+    assert(p.config.loadTypes == Seq("ticker", "trades", "order-book"))
     assert(p.config.formats == Seq("json", "parquet"))
     assert(p.config.samplesPerKey.contains(7))
-    assert(p.config.outputDir == "output")
+    assert(p.config.outputDir == "data")
     assert(p.interval == "1m")
     assert(!p.printHuman && !p.printOnly)
+    assert(p.checkpoint.isEmpty)
+    assert(!p.testnet && p.log.isEmpty)
+  }
+
+  test("parseArguments: reference-only flags accepted (--testnet, --log)") {
+    val p = IngestCli.parseArguments(Array(
+      "--symbol", "X", "--print", "--replay", "f",
+      "--testnet", "--log"))
+    assert(p.testnet && p.log.contains("binance-di.log"))
+    val q = IngestCli.parseArguments(Array(
+      "--symbol", "X", "--print", "--log", "custom.log", "--replay", "f"))
+    assert(q.log.contains("custom.log"))
   }
 
   test("parseArguments: rejects bad input") {
@@ -40,6 +52,9 @@ class IngestCliSpec extends SparkSpec {
     assert(bad("--symbol", "X", "--samples", "many", "--output", "json",
       "--replay", "f").contains("number"))
     assert(bad("--symbol", "X", "--replay", "f").contains("nothing to do"))
+    // argparse mutually-exclusive group parity (binance-di.py:229-231)
+    assert(bad("--symbol", "X", "--print", "--print-only", "--replay", "f")
+      .contains("mutually exclusive"))
     assert(bad("--wat").contains("--wat"))
   }
 
@@ -79,6 +94,41 @@ class IngestCliSpec extends SparkSpec {
 
     assert(emitted.toSeq == frames)
     assert(!new java.io.File(s"$out/stream=trades").exists())
+  }
+
+  test("print-only streams a large batch through the driver intact") {
+    // the console path uses toLocalIterator, not a whole-batch
+    // collect — this drives a batch far bigger than any spec above
+    // and checks order + completeness survive the partition-at-a-time
+    // delivery
+    val replay = Files.createTempFile("cli-big", ".jsonl")
+    val frames = (1 to 20000).map(i => frame("trades", "BTCUSDT", i))
+    Files.writeString(replay, frames.mkString("", "\n", "\n"))
+
+    val emitted = collection.mutable.ArrayBuffer.empty[String]
+    IngestCli.run(spark, IngestCli.parseArguments(Array(
+      "--symbol", "BTCUSDT", "--load", "trades", "--print-only",
+      "--replay", replay.toString)),
+      (s: String) => emitted.synchronized { emitted += s })
+
+    assert(emitted.size == frames.size)
+    assert(emitted.toSeq == frames)
+  }
+
+  test("--checkpoint gives console streams a durable, stable location") {
+    val replay = Files.createTempFile("cli-ckpt", ".jsonl")
+    Files.writeString(replay,
+      (1 to 3).map(i => frame("trades", "BTCUSDT", i))
+        .mkString("", "\n", "\n"))
+    val ckpt = Files.createTempDirectory("cli-ckpt-root").toString
+
+    IngestCli.run(spark, IngestCli.parseArguments(Array(
+      "--symbol", "BTCUSDT", "--load", "trades", "--print-only",
+      "--checkpoint", ckpt, "--replay", replay.toString)), _ => ())
+
+    // offsets written under the named subdir → a restart resumes
+    assert(new java.io.File(s"$ckpt/print-only/offsets").listFiles()
+      .nonEmpty)
   }
 
   test("human print mode banners each record") {

@@ -23,6 +23,30 @@ class PipelineSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("pointer-doubling CC: 64-deep chain converges in ≤7 rounds") {
+    // a planted path 0-1-2-…-64 has min-label eccentricity 64: plain
+    // HashMin needs 64 rounds (more than its default maxIters), while
+    // the doubling variant composes reach each round and must close
+    // in O(log d) — the property this spec pins.
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) =
+      PipelineOps.connectedComponentsDoublingStats(chain, maxIters = 8)
+    assert(rounds <= 7, s"took $rounds rounds for a 64-deep chain")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 65 && got.values.forall(_ == 0L))
+  }
+
+  test("pointer-doubling CC agrees with HashMin on a multi-component graph") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (21L, 20L), (22L, 21L), (23L, 22L), (7L, 7L))
+      .toDF("src", "dst")
+    val slow = PipelineOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val fast = PipelineOps.connectedComponentsDoubling(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == slow)
+  }
+
   test("q93 rolling sketch-union estimates within 5% of exact rolling distinct") {
     val got = SparkEntry.queries("q93_rolling_distinct")(spark, sf())
       .select($"day_ms", $"n_users_7d_est")

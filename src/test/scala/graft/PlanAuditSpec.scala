@@ -29,6 +29,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The TPC-H-shaped join graphs carry NO broadcast hints on sides
+    * that grow with scale factor (customer, supplier, the q75 HAVING
+    * output) — a forced hint bypasses Spark's size checks and OOMs
+    * the driver at 100 TB, where the correct degradation is a
+    * shuffled SMJ/SHJ. This asserts the other half of the contract:
+    * at bench SF, AQE still CHOOSES broadcast for those sides from
+    * measured runtime sizes, so dropping the hints cost nothing. */
+  test("q68/q69/q75: AQE picks broadcast joins at bench SF without hints") {
+    Seq("q68_shipping_priority", "q69_local_volume", "q75_large_orders")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf())
+        df.collect() // materialize so AQE finalizes the adaptive plan
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name: AQE chose no broadcast join at bench SF:\n$plan")
+        assert(!plan.contains("CartesianProduct"), s"$name cartesian")
+      }
+  }
+
   test("scans prune columns: no query reads full lineitem width") {
     val full = spark.read.parquet(s"${sf()}/lineitem.parquet").columns.length
     Seq("q04_topk_per_key", "q06_join_revenue", "q18_distinct_agg")
