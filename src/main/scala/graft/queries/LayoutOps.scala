@@ -224,6 +224,64 @@ object LayoutOps {
         |  FROM (SELECT source, doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
         |    FROM documents))
-        |ORDER BY source, curriculum_pct, doc_id""".stripMargin))
+        |ORDER BY source, curriculum_pct, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Sequence PACKING — fill fixed token-budget training sequences
+    // (budget 256) by a deterministic doc order (md5 of doc_id: a
+    // stable shuffle, the same reproducibility rule as q73's split).
+    // A doc's bin = its exclusive cumulative token count div budget —
+    // the standard streaming-pack rule (docs straddle boundaries;
+    // offset_in_bin says where each starts). The global cumsum is the
+    // q95 pattern, NOT a single-partition window: the md5-prefix
+    // bucket (256 buckets) preserves the hash order, cumsums run
+    // per-bucket in parallel, and only the 256-row bucket-total table
+    // pays a global window before broadcasting back.
+    QueryDef("q99_sequence_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 256L
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+              .as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("bucket", substring(col("h"), 1, 2))
+        val offsets = docs.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("tot"))
+          .withColumn("bucket_off",
+            coalesce(sum(col("tot")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("bucket_off"))
+        val wInBucket = Window.partitionBy(col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.join(broadcast(offsets), "bucket")
+          .withColumn("cum_before",
+            col("bucket_off") + coalesce(sum(col("n_tokens"))
+              .over(wInBucket), lit(0L)))
+          .select(col("doc_id"), col("n_tokens"),
+            // integer DIV, not double `/`: exact at any magnitude
+            expr(s"cum_before DIV $budget").as("bin"),
+            (col("cum_before") % budget).as("offset_in_bin"))
+          .orderBy(col("bin"), col("offset_in_bin"), col("doc_id"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // 256 AS BIGINT) AS bin,
+        |  CAST(cum_before % 256 AS BIGINT) AS offset_in_bin
+        |FROM c
+        |ORDER BY bin, offset_in_bin, doc_id""".stripMargin))
   )
 }

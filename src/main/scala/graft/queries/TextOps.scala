@@ -480,7 +480,61 @@ object TextOps {
         |  AND CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
-  ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef)
+  ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
+    chunkQueryDef)
+
+  /** Overlapping token-window CHUNKING — the doc→training-example /
+    * RAG-retrieval prep op: size-64 windows at stride 48, a chunk
+    * starting at every stride boundary below the doc's token count
+    * (trailing windows run short). Built the scale-safe way: ONE
+    * posexplode of the tokens (never `slice(split(...))` per chunk —
+    * Catalyst re-inlines the split into every slice, the O(n²) trap
+    * documented on [[shingleRows]]), each token mapped to its ≤2
+    * owning chunks by integer arithmetic, then one hash-agg keyed
+    * (doc_id, chunk). Per-chunk state is bounded by the window size
+    * (64 tokens), so the collect_list is safe at any corpus scale,
+    * and the chunk md5 gives a content address downstream dedup /
+    * retrieval can key on (both engines hash the identical
+    * space-joined window). */
+  private lazy val chunkQueryDef = {
+    val size64 = 64L; val stride = 48L
+    QueryDef("q98_doc_chunks",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(toks(col("text"))).as(Seq("p", "w")))
+          .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
+        // token at pos belongs to chunks [lo, hi]: j*stride ≤ pos <
+        // j*stride+size ⇒ lo = max(0,(pos-size+stride)) div stride,
+        // hi = pos div stride. stride < size ⇒ at most 2 chunks.
+        val lo = greatest(lit(0L), col("pos") - (size64 - stride)) / stride
+        val hi = col("pos") / stride
+        tok
+          .select(col("doc_id"), col("pos"), col("w"),
+            explode(sequence(lo.cast("long"), hi.cast("long")))
+              .as("chunk_id"))
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ")).as("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH tk AS (
+        |  SELECT doc_id, $tokSql AS a FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(len(a))) AS pos, unnest(a) AS w
+        |  FROM tk),
+        |cm AS (
+        |  SELECT doc_id, pos, w,
+        |    unnest(range(greatest(0, pos - ${size64 - stride}) // $stride,
+        |      pos // $stride + 1)) AS chunk_id
+        |  FROM tok)
+        |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+        |FROM cm GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin))
+  }
 
   /** Gopher-style repetition filters — the quality signals production
     * corpus pipelines cut on that q31's surface stats (length, punct,
