@@ -141,8 +141,10 @@ object PipelineOps {
     // oracle reproduces the fixpoint with a recursive min-label walk.
     QueryDef("q80_dup_components",
       (s, dir) => {
-        val pairs = TextOps.jaccardPairs(
-            TextOps.shingleRows(s, dir), TextOps.JaccardMaxDf, 0.8)
+        // shared mined-pair table (q35/q63/q64), filtered up to the
+        // dedup threshold — no re-run of the inverted-index self-join
+        val pairs = TextOps.minedPairs(s, dir)
+          .filter(col("jaccard") >= 0.8)
           .select(col("da").as("src"), col("db").as("dst"))
         connectedComponents(pairs)
           .select(col("node").as("doc_id"), col("label").as("canonical_id"))

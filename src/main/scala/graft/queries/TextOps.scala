@@ -99,25 +99,33 @@ object TextOps {
   // Callers that emit pairs directly (q35) sort at the very end;
   // callers that consume pairs (q63/q64 drop sets) must not pay it.
 
-  /** The near-dup DROP SET (docs losing the smallest-id-wins rule),
-    * mined once per (session, dataset) and `localCheckpoint`ed: q63
-    * (resolution) and q64 (corpus clean) both anti-join against it,
-    * and without sharing, each re-runs the full inverted-index pair
-    * mining — the most expensive stage of either query. Same pattern
-    * as q80's edge-list checkpoint: materialize the small derived
-    * set once, cut the lineage, reuse the blocks. The checkpoint is
-    * lazy (materializes on first action) and the set is tiny (the
-    * dup tail), so caching it is driver-safe; keyed by dataset dir so
+  /** The Jaccard pair table, mined ONCE per (session, dataset) and
+    * `localCheckpoint`ed at the LOWEST threshold any consumer uses
+    * (q35's 0.5); higher-threshold consumers (q63/q64's drop set,
+    * q80's edge list at 0.8) apply their filter on top — the
+    * threshold is the final, free stage of the pipeline, so sharing
+    * loses nothing. Without this, four catalog queries each re-run
+    * the inverted-index self-join — the most expensive text stage.
+    * Same pattern as q80's per-round checkpoints: materialize the
+    * small derived set once, cut the lineage, reuse the blocks. The
+    * checkpoint is lazy (materializes on first action), the pair set
+    * is df-cap-bounded, and the cache is keyed by dataset dir so
     * different SFs never cross-contaminate. */
-  private val dropSetCache =
+  private val pairsCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def nearDupDropSet(s: SparkSession, dir: String): DataFrame =
-    dropSetCache.synchronized {
-      dropSetCache.getOrElseUpdate((s, dir),
-        jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.8)
-          .select(col("db").as("doc_id")).distinct()
+  private[queries] def minedPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.getOrElseUpdate((s, dir),
+        jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.5)
           .localCheckpoint(false))
     }
+
+  /** the near-dup DROP SET (docs losing the smallest-id-wins rule)
+    * at the dedup threshold 0.8, derived from [[minedPairs]]; q63
+    * (resolution) and q64 (corpus clean) both anti-join against it. */
+  private def nearDupDropSet(s: SparkSession, dir: String): DataFrame =
+    minedPairs(s, dir).filter(col("jaccard") >= 0.8)
+      .select(col("db").as("doc_id")).distinct()
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -252,7 +260,7 @@ object TextOps {
     // re-introduce the quadratic blowup; the oracle applies the
     // identical cap.
     QueryDef("q35_jaccard_pairs",
-      (s, dir) => jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.5)
+      (s, dir) => minedPairs(s, dir)
         .orderBy(col("da"), col("db")),
       Some(s"""WITH $shingleSql,
         |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),

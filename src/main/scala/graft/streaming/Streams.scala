@@ -25,6 +25,24 @@ case class KeyedChange(key: Long, ts_ms: Long, kind: String, value: Double)
 /** one funnel step ("view" or "purchase") for [[FunnelProcessor]]. */
 case class FunnelEvent(key: Long, ts: java.sql.Timestamp, kind: String)
 
+/** a document's signature on the wire for streaming near-dup
+  * detection: id + 60-bit simhash + event time. The signature is a
+  * per-row batch projection (TextOps' simhash pipeline / any
+  * upstream featurizer); the streaming op is the stateful matching. */
+case class SigDoc(doc_id: Long, simhash: Long, ts: java.sql.Timestamp)
+
+/** internal: one (band-bucket, doc) row after the LSH band explode. */
+case class BandedSig(bandKey: Long, docId: Long, simhash: Long,
+    ts: java.sql.Timestamp)
+
+/** internal: a band bucket's retained signatures (bounded). */
+case class BandBucket(entries: Seq[BandEntry])
+case class BandEntry(docId: Long, simhash: Long, tsMs: Long)
+
+/** an emitted streaming near-duplicate: `doc_id` shared ≥1 simhash
+  * band with the earlier `dup_of` and verified Hamming ≤ maxDist. */
+case class DupHit(doc_id: Long, dup_of: Long, hamming: Int)
+
 /** an emitted view→purchase conversion. */
 case class Conversion(key: Long, view_ms: Long, purchase_ms: Long,
     latency_ms: Long)
@@ -282,6 +300,72 @@ object Streams {
       watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-dup detection — the stateful face of q62's batch
+    * SimHash pipeline: each doc's 60-bit signature is banded into
+    * `bands` × `bandBits` keys; state per (band, value) bucket holds
+    * the recent signatures that hashed there; an arriving doc is
+    * verified (XOR popcount ≤ maxDist) against exactly its bucket
+    * peers — never all docs. Recall below Hamming distance
+    * `bands·bandBits − 59` is exact by pigeonhole (≤ 5 for 6×10),
+    * same as the batch op.
+    *
+    * Scale bounds, in order: the watermark bounds how late a doc can
+    * arrive; `ttlMs` bounds how far back a doc is compared (entries
+    * older than watermark − ttl are pruned, and a quiet bucket's
+    * whole state is cleared by its event-time timeout); and
+    * `maxPerBucket` caps a hot bucket (a near-constant band value —
+    * the df-cap analog from the batch Jaccard index: an over-full
+    * bucket carries no discriminative signal, so the oldest entries
+    * age out first). A pair sharing k bands emits k hits — chain
+    * [[dedupStream]] on (doc_id, dup_of) for distinct pairs; the
+    * composition is itself watermark-bounded.
+    */
+  def nearDupStream(ds: Dataset[SigDoc], bands: Int = 6, bandBits: Int = 10,
+      maxDist: Int = 5, watermark: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L,
+      maxPerBucket: Int = 1000): Dataset[DupHit] = {
+    import ds.sparkSession.implicits._
+    val nb = bands; val bb = bandBits
+    val banded = ds.flatMap { d =>
+      (0 until nb).iterator.map { b =>
+        val bval = (d.simhash >>> (b * bb)) & ((1L << bb) - 1)
+        BandedSig(b.toLong * (1L << bb) + bval, d.doc_id, d.simhash, d.ts)
+      }
+    }
+    banded.withWatermark("ts", watermark)
+      .groupByKey(_.bandKey)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[BandedSig],
+         state: GroupState[BandBucket]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val horizon = state.getCurrentWatermarkMs() - ttlMs
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= horizon)
+            val hits = Seq.newBuilder[DupHit]
+            var maxTs = 0L
+            // deterministic within-batch order: event time, then id
+            it.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+              val tsMs = d.ts.getTime
+              maxTs = math.max(maxTs, tsMs)
+              entries.foreach { e =>
+                if (e.docId != d.docId && e.tsMs >= tsMs - ttlMs &&
+                  java.lang.Long.bitCount(e.simhash ^ d.simhash) <= maxDist)
+                  hits += DupHit(d.docId, e.docId,
+                    java.lang.Long.bitCount(e.simhash ^ d.simhash))
+              }
+              entries = (BandEntry(d.docId, d.simhash, tsMs) +: entries)
+                .take(maxPerBucket)
+            }
+            state.update(BandBucket(entries))
+            state.setTimeoutTimestamp(math.max(maxTs,
+              state.getCurrentWatermarkMs()) + ttlMs)
+            hits.result().iterator
+          }
+        })
+  }
 
   /** T3/T4 — custom-state sessionization: gap-based sessions like
     * `session_window` (q54's streaming face), but with a caller-shaped

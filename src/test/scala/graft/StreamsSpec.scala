@@ -32,6 +32,37 @@ class StreamsSpec extends SparkSpec {
     assert(got.count(e => e.stream == "trades") == 2) // under the cap
   }
 
+  test("nearDupStream flags cross-batch simhash near-dups, respects TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{SigDoc, DupHit}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = 0x0123456789ABCDL        // arbitrary 56-bit signature
+    val near = base ^ 0x29L             // 3 bits flipped → Hamming 3
+    val far = base ^ 0x3FFFFFFF0L       // 30 bits flipped
+    val in = MemoryStream[SigDoc]
+    val q = Streams.nearDupStream(in.toDS(), ttlMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    // batch 1: the base doc and a far doc — no pairs yet
+    in.addData(SigDoc(1L, base, t("2024-01-01 10:00:00")),
+      SigDoc(3L, far, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: a near-dup arrives a minute later → must match doc 1
+    // ACROSS the batch boundary (state, not in-batch comparison)
+    in.addData(SigDoc(2L, near, t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // batch 3: same signature but past the 10-min TTL window → silent
+    in.addData(SigDoc(5L, near, t("2024-01-01 10:30:00")))
+    drain(q)
+    val hits = spark.table("neardup").as[DupHit].collect()
+    val pairs = hits.map(h => (h.doc_id, h.dup_of)).toSet
+    assert(pairs == Set((2L, 1L)), s"got $pairs")
+    assert(hits.forall(_.hamming == 3))
+    // a pair sharing k bands emits k hits — ≥1 here, deduped by the
+    // documented dedupStream composition downstream
+    assert(hits.nonEmpty)
+  }
+
   test("T2/T3 tumbling window with watermark emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
