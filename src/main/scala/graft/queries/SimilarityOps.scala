@@ -54,10 +54,27 @@ object SimilarityOps {
   }
 
   /** quantized + norm²-annotated view of the corpus (public: specs
-    * build exact ground truth from the same integer vectors). */
+    * build exact ground truth from the same integer vectors).
+    *
+    * Memoized per (session, dataset) behind a lazy `localCheckpoint`:
+    * the quantization (64 floor-mults per row) and the interpreted
+    * norm aggregate feed every similarity query, and q60's pair
+    * pipeline alone reads the table three times (bucket build + both
+    * verify sides) — without the cut each read re-runs the scan +
+    * quantize subtree. The quantized corpus is exactly what a
+    * production vector pipeline materializes as its index input; at
+    * 100 TB this is a parquet intermediate, here it lives in the
+    * block store for the session. */
+  private val vecsCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   def vecs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"), quant(col("embedding")).as("v"))
-      .withColumn("n2", nrm2(col("v")))
+    vecsCache.synchronized {
+      vecsCache.getOrElseUpdate((s, dir),
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), quant(col("embedding")).as("v"))
+          .withColumn("n2", nrm2(col("v")))
+          .localCheckpoint(false))
+    }
 
   private val dotSql =
     "CAST(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * ev[i+1])) AS BIGINT)"
