@@ -506,7 +506,72 @@ object TextOps {
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
-    chunkQueryDef)
+    chunkQueryDef, spanDupQueryDef)
+
+  /** Cross-document SPAN duplication — the exact-substring dedup
+    * signal (the "train-set memorization" class that near-dup misses:
+    * two long docs sharing one copy-pasted paragraph are far apart in
+    * Jaccard/simhash but the span itself is verbatim-duplicated).
+    * Every 8-token rolling window is hashed (md5 — the gram TEXT
+    * never shuffles, only 128-bit keys), window hashes with df ≥ 2
+    * across the corpus mark their positions as duplicated, and each
+    * doc reports its duplicated-position fraction — the score a
+    * pipeline thresholds to route docs into span-level (vs whole-doc)
+    * dedup. Shape: one posexplode + 7 same-window leads, then
+    * hash-agg and semi-join both keyed on the gram hash — the
+    * exchange is reused, so the corpus shuffles once. */
+  private lazy val spanDupQueryDef = {
+    val k = 8 // gram width in tokens
+    QueryDef("q100_span_dup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
+          d.withColumn(s"w$i", lead(col("w"), i).over(w))
+        }
+        val gram = withLeads
+          .filter(col(s"w${k - 1}").isNotNull)
+          .select(col("doc_id"),
+            md5(concat_ws(" ",
+              col("w") +: (1 until k).map(i => col(s"w$i")): _*)).as("g"))
+        val shared = gram.groupBy(col("g"))
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2).select(col("g"))
+        val perDoc = gram.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val dup = gram.join(shared, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        perDoc.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double")
+              / col("n_grams")).as("dup_fraction"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+        |  SELECT doc_id, $tokSql AS a FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(a) - ${k - 1}),
+        |    i -> md5(${(0 until k).map(j => s"a[i+${j + 1}]")
+          .mkString(" || ' ' || ")}))) AS g
+        |  FROM tk),
+        |shared AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+        |  WHERE df >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |dup AS (
+        |  SELECT doc_id, count(*) AS n_dup FROM g
+        |  WHERE g IN (SELECT g FROM shared) GROUP BY doc_id)
+        |SELECT per.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams AS dup_fraction
+        |FROM per LEFT JOIN dup ON per.doc_id = dup.doc_id
+        |ORDER BY per.doc_id""".stripMargin))
+  }
 
   /** Overlapping token-window CHUNKING — the doc→training-example /
     * RAG-retrieval prep op: size-64 windows at stride 48, a chunk
