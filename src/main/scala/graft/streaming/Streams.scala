@@ -351,10 +351,22 @@ object Streams {
               val tsMs = d.ts.getTime
               maxTs = math.max(maxTs, tsMs)
               entries.foreach { e =>
-                if (e.docId != d.docId && e.tsMs >= tsMs - ttlMs &&
-                  java.lang.Long.bitCount(e.simhash ^ d.simhash) <= maxDist)
-                  hits += DupHit(d.docId, e.docId,
+                // |Δt| ≤ ttl BOTH ways: a late arrival (inside the
+                // watermark but > ttl older than a stored entry) must
+                // not pair with it. dup_of is the EVENT-TIME-earlier
+                // doc (id tiebreak), not merely the earlier ARRIVAL —
+                // late data would otherwise invert the keep/drop
+                // direction downstream.
+                if (e.docId != d.docId &&
+                  math.abs(e.tsMs - tsMs) <= ttlMs &&
+                  java.lang.Long.bitCount(e.simhash ^ d.simhash) <= maxDist) {
+                  val dNewer = tsMs > e.tsMs ||
+                    (tsMs == e.tsMs && d.docId > e.docId)
+                  val (newer, older) =
+                    if (dNewer) (d.docId, e.docId) else (e.docId, d.docId)
+                  hits += DupHit(newer, older,
                     java.lang.Long.bitCount(e.simhash ^ d.simhash))
+                }
               }
               entries = (BandEntry(d.docId, d.simhash, tsMs) +: entries)
                 .take(maxPerBucket)

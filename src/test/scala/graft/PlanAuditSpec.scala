@@ -33,17 +33,27 @@ class PlanAuditSpec extends SparkSpec {
     * that grow with scale factor (customer, supplier, the q75 HAVING
     * output) — a forced hint bypasses Spark's size checks and OOMs
     * the driver at 100 TB, where the correct degradation is a
-    * shuffled SMJ/SHJ. This asserts the other half of the contract:
-    * at bench SF, AQE still CHOOSES broadcast for those sides from
-    * measured runtime sizes, so dropping the hints cost nothing. */
-  test("q68/q69/q75: AQE picks broadcast joins at bench SF without hints") {
+    * shuffled SMJ/SHJ. This asserts the other half of the contract at
+    * the BENCH scale factor (sf0.1, the driver's bench dataset): AQE
+    * still chooses broadcast for EVERY join from measured runtime
+    * sizes — no SortMergeJoin/ShuffledHashJoin anywhere in the final
+    * adaptive plan — so dropping the hints cost nothing. (A bare
+    * contains("BroadcastHashJoin") would be vacuous: the bounded
+    * nation/region dims keep explicit hints, so one broadcast always
+    * exists; the no-shuffled-join form fails the moment a de-hinted
+    * side degrades.) */
+  test("q68/q69/q75: AQE broadcasts every join at bench SF without hints") {
     Seq("q68_shipping_priority", "q69_local_volume", "q75_large_orders")
       .foreach { name =>
-        val df = SparkEntry.queries(name)(spark, sf())
+        val df = SparkEntry.queries(name)(spark, sf("sf0.1"))
         df.collect() // materialize so AQE finalizes the adaptive plan
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("BroadcastHashJoin"),
-          s"$name: AQE chose no broadcast join at bench SF:\n$plan")
+          s"$name: no broadcast join at bench SF:\n$plan")
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("ShuffledHashJoin"),
+          s"$name: a de-hinted join degraded to a shuffled join at " +
+            s"bench SF — AQE no longer picks broadcast:\n$plan")
         assert(!plan.contains("CartesianProduct"), s"$name cartesian")
       }
   }
