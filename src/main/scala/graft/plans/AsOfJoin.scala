@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.Shim
+
+/** Native backward as-of join — the whole-operator escalation tier of
+  * SURVEY.md §2.10: a custom `LogicalPlan` + `SparkStrategy` +
+  * physical `SparkPlan`, for semantics the built-in operators can
+  * only express with a union + window trick (q22) that materializes
+  * BOTH tables through one window and carries every probe column
+  * through the event stream.
+  *
+  * Semantics (left-outer, "backward"): for every left row, the LAST
+  * right row with the same key and `rightTime <= leftTime` in
+  * (key, time) sort order; left rows with no such match get nulls.
+  * This is the reference's enrich-quote-with-latest-trade shape
+  * (binance-data-ingestor joins each event against the latest known
+  * state for the symbol) and DuckDB's `ASOF JOIN`.
+  *
+  * Physical shape — exactly a sort-merge join with a different merge:
+  * both sides hash-cluster on the key (`ClusteredDistribution`, so
+  * EnsureRequirements co-partitions them and AQE can still coalesce)
+  * and sort within partitions by (key, time); the merge walks the two
+  * sorted iterators ONCE — O(|L|+|R|) per partition, one row of
+  * as-of state, no window buffering, no union. At 100 TB this is the
+  * same cost envelope as the best built-in join Spark has for the
+  * job, while the union+window form shuffles the CONCATENATION of
+  * both tables and windows over it.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
+    "as-of join needs matching, non-empty key lists")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of join time columns must share a type")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; everything else falls
+  * through to the built-in strategies. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** both children cluster on the join key: EnsureRequirements makes
+    * the two shuffles co-partitioned (same mechanism SMJ uses), and
+    * an already-suitably-partitioned child skips its exchange. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** within each partition both sides arrive sorted by (key, time) —
+    * the merge below relies on it. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  /** left rows pass through in their sorted order, so both the
+    * partitioning and the ordering survive — a downstream groupBy on
+    * the key or window over (key, time) plans with NO extra
+    * exchange/sort. */
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val nRight = rOut.size
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val outExprs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val keyOrd = GenerateOrdering.generate(keyTypes.zipWithIndex.map {
+        case (dt, i) => SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+      })
+      val timeOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, timeType, nullable = true), Ascending)))
+      // bind against NULLABLE right attrs: the null-extended row must
+      // project as nulls, not as zero-valued primitives
+      val outProj = UnsafeProjection.create(outExprs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+
+      // one row of merge state: the current right cursor plus the
+      // last right row admitted for ITS key (guarded by key equality
+      // before use, so a stale match from a previous key group can
+      // never leak).
+      var rCur: InternalRow = null
+      var rCurKey: UnsafeRow = null // aliases rKeyProj's buffer — valid until the next advance
+      var matched: InternalRow = null
+      var matchedKey: UnsafeRow = null
+      def advanceRight(): Unit =
+        if (rIter.hasNext) { rCur = rIter.next(); rCurKey = rKeyProj(rCur) }
+        else { rCur = null; rCurKey = null }
+      advanceRight()
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTime = lTimeProj(l).copy() // rTimeProj shares no buffer, but the compare loop below re-projects
+        val lTimeNull = lTime.isNullAt(0)
+        var scanning = rCur != null && !lKey.anyNull
+        while (scanning) {
+          val c = keyOrd.compare(rCurKey, lKey)
+          if (c < 0) advanceRight() // right is on an earlier key group
+          else if (c > 0) scanning = false // right has overtaken: stop
+          else {
+            // same key: admit while rightTime <= leftTime (non-null)
+            val rTime = rTimeProj(rCur)
+            if (!lTimeNull && !rTime.isNullAt(0) &&
+              timeOrd.compare(rTime, lTime) <= 0) {
+              matched = rCur.copy()
+              matchedKey = rCurKey.copy()
+              advanceRight()
+            } else if (rTime.isNullAt(0)) {
+              advanceRight() // null times sort first and never match
+            } else scanning = false
+          }
+          if (rCur == null) scanning = false
+        }
+        val hit = matched != null && !lKey.anyNull && !lTimeNull &&
+          keyOrd.compare(matchedKey, lKey) == 0
+        outProj(joined(l, if (hit) matched else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry point. Key/time columns are referenced by NAME on
+  * each side (Spark 4 `Column` no longer exposes its expression —
+  * names resolve against each child's analyzed output instead). */
+object AsOfJoin {
+
+  /** `left ASOF LEFT JOIN right ON keys AND right.time <= left.time`,
+    * taking the latest eligible right row per left row. Output =
+    * left columns ++ right columns (right side nullable); disambiguate
+    * clashing names by renaming before the call. */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    Shim.addStrategy(spark, AsOfJoinStrategy)
+    val lp = Shim.analyzed(left)
+    val rp = Shim.analyzed(right)
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
+    Shim.ofRows(spark, AsOfJoinPlan(lp, rp,
+      leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
+      resolve(lp, leftTime), resolve(rp, rightTime)))
+  }
+}

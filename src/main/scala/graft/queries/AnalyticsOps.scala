@@ -75,6 +75,45 @@ object AnalyticsOps {
         |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // §2.3 — the SAME as-of semantics through the native operator
+    // (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + SparkPlan,
+    // SURVEY.md §2.10 escalation tier (c)). One O(|L|+|R|) merge per
+    // co-partitioned (user) partition, one row of state — vs q22's
+    // union+window, which shuffles the CONCATENATION of both streams
+    // and buffers a window frame. The right side is pre-aggregated to
+    // one row per (user, ts) so "latest click at or before" is
+    // deterministic; the oracle is DuckDB's own ASOF LEFT JOIN.
+    QueryDef("q101_asof_native",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .agg(max(col("value")).as("last_click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_ms"), col("value"))
+        graft.plans.AsOfJoin.backward(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("value"), col("last_click"),
+            expr("c_ts DIV 1000000").as("click_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(value) AS last_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  epoch_ms(CAST(p.ts AS TIMESTAMP)) AS ts_ms, p.value,
+        |  c.last_click,
+        |  epoch_ms(CAST(c.c_ts AS TIMESTAMP)) AS click_ms
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+        |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // A4-A6 — best bid / best ask / mid-price / spread
     // (tests/test_redis-data-full.py:49-52) over keyed hourly windows:
     // views quote the bid side, clicks the ask side.

@@ -1,0 +1,144 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native as-of join (custom LogicalPlan + Strategy + SparkPlan)
+  * against an independent window-based reference implementation, plus
+  * edge cases the merge has to get right and a physical-plan audit.
+  */
+class AsOfJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** reference as-of: union trick — tag both sides, window by key
+    * over time, last non-null right payload at or before each left
+    * row. Independent of the exec's merge logic. */
+  private def referenceAsOf(
+      left: DataFrame, right: DataFrame): DataFrame = {
+    // left: (k, t, lv)  right: (k, t, rv); right time ties on a left
+    // time admit the right row (rt <= lt), so rights sort BEFORE
+    // lefts at equal t — side=0 for right, 1 for left.
+    val l = left.select(col("k"), col("t"), lit(1).as("side"),
+      col("lv"), lit(null).cast("long").as("rv"))
+    val r = right.select(col("k"), col("t"), lit(0).as("side"),
+      lit(null).cast("long").as("lv"), col("rv"))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("side"), col("rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("last_rv", last(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("k"), col("t"), col("lv"), col("last_rv"))
+  }
+
+  private def nativeAsOf(left: DataFrame, right: DataFrame): DataFrame =
+    AsOfJoin.backward(
+      left, right.select(col("k").as("rk"), col("t").as("rt"), col("rv")),
+      Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("k"), col("t"), col("lv"), col("rv").as("last_rv"))
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    val n = a.count()
+    assert(n == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(n > 0)
+  }
+
+  test("matches the window-based reference on a dense mixed corpus") {
+    // 40 keys x 50 left rows, right rows at every 3rd tick with
+    // deliberate duplicates-in-time removed (unique (k,t) on the
+    // right so the reference's tiebreak is immaterial).
+    val left = spark.range(2000).select(
+      (col("id") % 40).as("k"), (col("id") * 7 % 997).as("t"),
+      col("id").as("lv"))
+    val right = spark.range(700).select(
+      (col("id") % 35).as("k"), (col("id") * 13 % 491).as("t"),
+      col("id").as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    assertSame(nativeAsOf(left, right), referenceAsOf(left, right))
+  }
+
+  test("tie on time is admitted; later rights are not") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, 7L), (1L, 15L, 8L), (1L, 21L, 9L))
+      .toDF("k", "t", "rv")
+    val out = nativeAsOf(left, right)
+      .orderBy("t").select("last_rv").as[Long].collect()
+    assert(out.toSeq == Seq(7L, 8L))
+  }
+
+  test("keys with no right rows null-extend; empty right side works") {
+    val left = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 50L)).toDF("k", "t", "rv")
+    val out = nativeAsOf(left, right).orderBy("k")
+      .select("last_rv").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(out.toSeq == Seq(50L, -1L))
+    val empty = right.filter(col("t") < 0)
+    assert(nativeAsOf(left, empty).filter(col("last_rv").isNotNull).isEmpty)
+  }
+
+  test("right rows strictly after every left row never match") {
+    val left = Seq((1L, 10L, 1L)).toDF("k", "t", "lv")
+    val right = Seq((1L, 11L, 50L), (1L, 12L, 51L)).toDF("k", "t", "rv")
+    assert(nativeAsOf(left, right).filter(col("last_rv").isNotNull).isEmpty)
+  }
+
+  test("null keys and null times never match") {
+    val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some(1L), None, 3L)).toDF("k", "t", "lv")
+    val right = Seq((Some(1L), Some(5L), 50L), (None, Some(1L), 60L),
+      (Some(1L), None, 70L)).toDF("k", "t", "rv")
+    val out = nativeAsOf(left, right).orderBy("lv")
+      .select("last_rv").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    // only the fully non-null left row matches, and only the non-null
+    // right row is eligible
+    assert(out.toSeq == Seq(50L, -1L, -1L))
+  }
+
+  /** treeString of the FINALIZED plan: Spark 4 AQE wraps stages in
+    * leaf QueryStageExec nodes that `collect` can't cross, but
+    * toString renders through them. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    // AdaptiveSparkPlan renders "== Final Plan ==" then "== Initial
+    // Plan ==" — audit only the final section or every count doubles
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+  }
+
+  private def countOf(plan: String, re: String): Int =
+    re.r.findAllMatchIn(plan).size
+
+  test("physical plan is the custom exec over co-partitioned sorted children") {
+    val left = spark.range(100).select((col("id") % 5).as("k"),
+      col("id").as("t"), col("id").as("lv"))
+    val right = spark.range(50).select((col("id") % 5).as("rk"),
+      (col("id") * 2).as("rt"), col("id").as("rv"))
+    val plan = finalPlan(
+      AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt"))
+    assert(countOf(plan, """AsOfJoin \[""") == 1, plan)
+    // EnsureRequirements must have inserted per-side sorts on (key, time)
+    assert(countOf(plan, """Sort \[k#\d+L ASC NULLS FIRST, t#\d+L ASC NULLS FIRST\]""") == 1, plan)
+    assert(countOf(plan, """Sort \[rk#\d+L ASC NULLS FIRST, rt#\d+L ASC NULLS FIRST\]""") == 1, plan)
+    // ... and a hash-clustering exchange per side (EnsureRequirements
+    // co-partitions the children exactly as it would for an SMJ)
+    assert(countOf(plan, """(?<!Reused)Exchange hashpartitioning""") == 2, plan)
+  }
+
+  test("output ordering/partitioning are reusable: downstream window adds no exchange") {
+    val left = spark.range(100).select((col("id") % 5).as("k"),
+      col("id").as("t"), col("id").as("lv"))
+    val right = spark.range(50).select((col("id") % 5).as("rk"),
+      (col("id") * 2).as("rt"), col("id").as("rv"))
+    val joinedDf = AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt")
+    val plan = finalPlan(joinedDf.withColumn("rn",
+      row_number().over(Window.partitionBy("k").orderBy("t"))))
+    assert(plan.contains("Window"), plan)
+    // one exchange per side feeding the join and NOTHING above it: the
+    // window on (k, t) reuses the join's output partitioning+ordering,
+    // and no extra Sort appears beyond the two join-input sorts
+    assert(countOf(plan, """(?<!Reused)Exchange hashpartitioning""") == 2, plan)
+    assert(countOf(plan, """\bSort \[""") == 2, plan)
+  }
+}
