@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -60,12 +62,25 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; everything else falls
-  * through to the built-in strategies. */
+/** Plans [[AsOfJoinPlan]] physically, choosing between the two execs
+  * the same way Spark chooses hash-join sides: if the RIGHT side's
+  * estimated size fits under `spark.sql.autoBroadcastJoinThreshold`,
+  * use [[BroadcastAsOfJoinExec]] — the probe side then needs NO
+  * shuffle and NO sort, which at 100 TB is the difference between
+  * streaming the fact table through a projection and re-clustering
+  * all of it. Otherwise fall back to the co-partitioned merge
+  * [[AsOfJoinExec]]. Everything else falls through to the built-in
+  * strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes >= 0 &&
+        r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -176,6 +191,115 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast backward as-of join: collect the right side, group it
+  * by key with each group sorted by time, broadcast the index, and
+  * probe it per left row with a binary search. The left side keeps
+  * its partitioning AND its row order untouched — zero exchanges,
+  * zero sorts — so an as-of enrich against a bounded state table
+  * (the reference's "latest known ticker per symbol" shape) composes
+  * into a 100 TB scan pipeline without re-clustering the scan.
+  * Build cost is O(|R| log |R|) on the driver, probe is
+  * O(log group) per row.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // no requirements on either child: the whole point is that the
+  // probe side stays exactly as the scan produced it
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val nRight = rOut.size
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val outExprs = output
+
+    // ---- driver-side build: key -> rows sorted by time ------------
+    val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+    val rRowProj = UnsafeProjection.create(rOut.map(a => a: Expression), rOut)
+    val timeOrdDriver = GenerateOrdering.generate(
+      Seq(SortOrder(BoundReference(0, timeType, nullable = true), Ascending)))
+    val grouped = new java.util.HashMap[UnsafeRow, ArrayBuffer[(UnsafeRow, UnsafeRow)]]
+    right.executeCollect().foreach { row =>
+      val key = rKeyProj(row)
+      val time = rTimeProj(row)
+      // null keys / null times can never be the "latest at-or-before"
+      // match for any probe row — drop them at build
+      if (!key.anyNull && !time.isNullAt(0)) {
+        var buf = grouped.get(key)
+        if (buf == null) {
+          buf = ArrayBuffer.empty[(UnsafeRow, UnsafeRow)]
+          grouped.put(key.copy(), buf)
+        }
+        buf += ((time.copy(), rRowProj(row).copy()))
+      }
+    }
+    val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]](
+      grouped.size())
+    grouped.forEach { (k, buf) =>
+      index.put(k, buf.sortWith((a, b) => timeOrdDriver.compare(a._1, b._1) < 0).toArray)
+    }
+    val bcast = sparkContext.broadcast(index)
+
+    // ---- executor-side probe --------------------------------------
+    left.execute().mapPartitions({ lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val timeOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, timeType, nullable = true), Ascending)))
+      val outProj = UnsafeProjection.create(outExprs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val idx = bcast.value
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTime = lTimeProj(l)
+        var matched: InternalRow = null
+        if (!lKey.anyNull && !lTime.isNullAt(0)) {
+          val group = idx.get(lKey)
+          if (group != null) {
+            // last entry with time <= lTime
+            var lo = 0
+            var hi = group.length - 1
+            var hit = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(group(mid)._1, lTime) <= 0) {
+                hit = mid; lo = mid + 1
+              } else hi = mid - 1
+            }
+            if (hit >= 0) matched = group(hit)._2
+          }
+        }
+        outProj(joined(l, if (matched != null) matched else nullRight))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

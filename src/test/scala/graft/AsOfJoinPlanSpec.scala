@@ -32,11 +32,27 @@ class AsOfJoinPlanSpec extends SparkSpec {
       .select(col("k"), col("t"), col("lv"), col("last_rv"))
   }
 
+  /** run f with spark.sql.autoBroadcastJoinThreshold set: "-1" forces
+    * the co-partitioned merge exec, a large value forces broadcast. */
+  private def withThreshold[A](v: String)(f: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try f finally spark.conf.set(key, old)
+  }
+
   private def nativeAsOf(left: DataFrame, right: DataFrame): DataFrame =
     AsOfJoin.backward(
       left, right.select(col("k").as("rk"), col("t").as("rt"), col("rv")),
       Seq("k"), Seq("rk"), "t", "rt")
       .select(col("k"), col("t"), col("lv"), col("rv").as("last_rv"))
+
+  /** both physical paths must agree with the reference — the strategy
+    * picking differently at scale must never change results. */
+  private def onBothPaths(f: => Unit): Unit = {
+    withThreshold("-1")(f)      // merge exec
+    withThreshold("1073741824")(f) // broadcast exec
+  }
 
   private def assertSame(a: DataFrame, b: DataFrame): Unit = {
     val n = a.count()
@@ -45,7 +61,7 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(n > 0)
   }
 
-  test("matches the window-based reference on a dense mixed corpus") {
+  test("matches the window-based reference on a dense mixed corpus (both paths)") {
     // 40 keys x 50 left rows, right rows at every 3rd tick with
     // deliberate duplicates-in-time removed (unique (k,t) on the
     // right so the reference's tiebreak is immaterial).
@@ -56,44 +72,54 @@ class AsOfJoinPlanSpec extends SparkSpec {
       (col("id") % 35).as("k"), (col("id") * 13 % 491).as("t"),
       col("id").as("rv"))
       .groupBy("k", "t").agg(max("rv").as("rv"))
-    assertSame(nativeAsOf(left, right), referenceAsOf(left, right))
+    onBothPaths {
+      assertSame(nativeAsOf(left, right), referenceAsOf(left, right))
+    }
   }
 
-  test("tie on time is admitted; later rights are not") {
+  test("tie on time is admitted; later rights are not (both paths)") {
     val left = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lv")
     val right = Seq((1L, 10L, 7L), (1L, 15L, 8L), (1L, 21L, 9L))
       .toDF("k", "t", "rv")
-    val out = nativeAsOf(left, right)
-      .orderBy("t").select("last_rv").as[Long].collect()
-    assert(out.toSeq == Seq(7L, 8L))
+    onBothPaths {
+      val out = nativeAsOf(left, right)
+        .orderBy("t").select("last_rv").as[Long].collect()
+      assert(out.toSeq == Seq(7L, 8L))
+    }
   }
 
-  test("keys with no right rows null-extend; empty right side works") {
+  test("keys with no right rows null-extend; empty right side works (both paths)") {
     val left = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "t", "lv")
     val right = Seq((1L, 5L, 50L)).toDF("k", "t", "rv")
-    val out = nativeAsOf(left, right).orderBy("k")
-      .select("last_rv").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
-    assert(out.toSeq == Seq(50L, -1L))
-    val empty = right.filter(col("t") < 0)
-    assert(nativeAsOf(left, empty).filter(col("last_rv").isNotNull).isEmpty)
+    onBothPaths {
+      val out = nativeAsOf(left, right).orderBy("k")
+        .select("last_rv").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      assert(out.toSeq == Seq(50L, -1L))
+      val empty = right.filter(col("t") < 0)
+      assert(nativeAsOf(left, empty).filter(col("last_rv").isNotNull).isEmpty)
+    }
   }
 
-  test("right rows strictly after every left row never match") {
+  test("right rows strictly after every left row never match (both paths)") {
     val left = Seq((1L, 10L, 1L)).toDF("k", "t", "lv")
     val right = Seq((1L, 11L, 50L), (1L, 12L, 51L)).toDF("k", "t", "rv")
-    assert(nativeAsOf(left, right).filter(col("last_rv").isNotNull).isEmpty)
+    onBothPaths {
+      assert(nativeAsOf(left, right).filter(col("last_rv").isNotNull).isEmpty)
+    }
   }
 
-  test("null keys and null times never match") {
+  test("null keys and null times never match (both paths)") {
     val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
       (Some(1L), None, 3L)).toDF("k", "t", "lv")
     val right = Seq((Some(1L), Some(5L), 50L), (None, Some(1L), 60L),
       (Some(1L), None, 70L)).toDF("k", "t", "rv")
-    val out = nativeAsOf(left, right).orderBy("lv")
-      .select("last_rv").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
-    // only the fully non-null left row matches, and only the non-null
-    // right row is eligible
-    assert(out.toSeq == Seq(50L, -1L, -1L))
+    onBothPaths {
+      val out = nativeAsOf(left, right).orderBy("lv")
+        .select("last_rv").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      // only the fully non-null left row matches, and only the non-null
+      // right row is eligible
+      assert(out.toSeq == Seq(50L, -1L, -1L))
+    }
   }
 
   /** treeString of the FINALIZED plan: Spark 4 AQE wraps stages in
@@ -110,35 +136,72 @@ class AsOfJoinPlanSpec extends SparkSpec {
   private def countOf(plan: String, re: String): Int =
     re.r.findAllMatchIn(plan).size
 
-  test("physical plan is the custom exec over co-partitioned sorted children") {
-    val left = spark.range(100).select((col("id") % 5).as("k"),
-      col("id").as("t"), col("id").as("lv"))
-    val right = spark.range(50).select((col("id") % 5).as("rk"),
-      (col("id") * 2).as("rt"), col("id").as("rv"))
-    val plan = finalPlan(
-      AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt"))
-    assert(countOf(plan, """AsOfJoin \[""") == 1, plan)
-    // EnsureRequirements must have inserted per-side sorts on (key, time)
-    assert(countOf(plan, """Sort \[k#\d+L ASC NULLS FIRST, t#\d+L ASC NULLS FIRST\]""") == 1, plan)
-    assert(countOf(plan, """Sort \[rk#\d+L ASC NULLS FIRST, rt#\d+L ASC NULLS FIRST\]""") == 1, plan)
-    // ... and a hash-clustering exchange per side (EnsureRequirements
-    // co-partitions the children exactly as it would for an SMJ)
-    assert(countOf(plan, """(?<!Reused)Exchange hashpartitioning""") == 2, plan)
+  test("merge path: custom exec over co-partitioned sorted children") {
+    withThreshold("-1") {
+      val left = spark.range(100).select((col("id") % 5).as("k"),
+        col("id").as("t"), col("id").as("lv"))
+      val right = spark.range(50).select((col("id") % 5).as("rk"),
+        (col("id") * 2).as("rt"), col("id").as("rv"))
+      val plan = finalPlan(
+        AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt"))
+      assert(countOf(plan, """AsOfJoin \[""") == 1, plan)
+      // EnsureRequirements must have inserted per-side sorts on (key, time)
+      assert(countOf(plan, """Sort \[k#\d+L ASC NULLS FIRST, t#\d+L ASC NULLS FIRST\]""") == 1, plan)
+      assert(countOf(plan, """Sort \[rk#\d+L ASC NULLS FIRST, rt#\d+L ASC NULLS FIRST\]""") == 1, plan)
+      // ... and a hash-clustering exchange per side (EnsureRequirements
+      // co-partitions the children exactly as it would for an SMJ)
+      assert(countOf(plan, """(?<!Reused)Exchange hashpartitioning""") == 2, plan)
+    }
   }
 
-  test("output ordering/partitioning are reusable: downstream window adds no exchange") {
+  test("merge path: downstream window reuses ordering/partitioning, no exchange") {
+    withThreshold("-1") {
+      val left = spark.range(100).select((col("id") % 5).as("k"),
+        col("id").as("t"), col("id").as("lv"))
+      val right = spark.range(50).select((col("id") % 5).as("rk"),
+        (col("id") * 2).as("rt"), col("id").as("rv"))
+      val joinedDf = AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      val plan = finalPlan(joinedDf.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("t"))))
+      assert(plan.contains("Window"), plan)
+      // one exchange per side feeding the join and NOTHING above it: the
+      // window on (k, t) reuses the join's output partitioning+ordering,
+      // and no extra Sort appears beyond the two join-input sorts
+      assert(countOf(plan, """(?<!Reused)Exchange hashpartitioning""") == 2, plan)
+      assert(countOf(plan, """\bSort \[""") == 2, plan)
+    }
+  }
+
+  test("broadcast path: probe side runs with zero exchanges and zero sorts") {
+    withThreshold("1073741824") {
+      val left = spark.range(100).select((col("id") % 5).as("k"),
+        col("id").as("t"), col("id").as("lv"))
+      val right = spark.range(50).select((col("id") % 5).as("rk"),
+        (col("id") * 2).as("rt"), col("id").as("rv"))
+      val plan = finalPlan(
+        AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt"))
+      assert(countOf(plan, """BroadcastAsOfJoin \[""") == 1, plan)
+      // the whole point: the probe side is never re-clustered
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort ["), plan)
+    }
+  }
+
+  test("strategy picks by right-side stats: default threshold broadcasts tiny state") {
+    // default session threshold is 10MB; a 50-row right side is far
+    // under it, so the auto path must choose broadcast — and forcing
+    // -1 must flip it back to the merge exec
     val left = spark.range(100).select((col("id") % 5).as("k"),
       col("id").as("t"), col("id").as("lv"))
     val right = spark.range(50).select((col("id") % 5).as("rk"),
       (col("id") * 2).as("rt"), col("id").as("rv"))
-    val joinedDf = AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt")
-    val plan = finalPlan(joinedDf.withColumn("rn",
-      row_number().over(Window.partitionBy("k").orderBy("t"))))
-    assert(plan.contains("Window"), plan)
-    // one exchange per side feeding the join and NOTHING above it: the
-    // window on (k, t) reuses the join's output partitioning+ordering,
-    // and no extra Sort appears beyond the two join-input sorts
-    assert(countOf(plan, """(?<!Reused)Exchange hashpartitioning""") == 2, plan)
-    assert(countOf(plan, """\bSort \[""") == 2, plan)
+    val auto = finalPlan(
+      AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt"))
+    assert(countOf(auto, """BroadcastAsOfJoin \[""") == 1, auto)
+    withThreshold("-1") {
+      val merge = finalPlan(
+        AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt"))
+      assert(countOf(merge, """(?<!Broadcast)AsOfJoin \[""") == 1, merge)
+    }
   }
 }
