@@ -131,5 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SquaredL2].getName, "sq_l2_dist"),
       (children: Seq[Expression]) =>
         SquaredL2(children(0), children(1))))
+    // the native as-of join planner (graft.plans): builder-time
+    // registration; AsOfJoin.backward also self-registers via
+    // ExperimentalMethods for already-built sessions
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

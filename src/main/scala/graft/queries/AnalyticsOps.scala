@@ -114,6 +114,61 @@ object AnalyticsOps {
         |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // §2.3 — interval OVERLAP join with NO equi key, via binning: the
+    // one join shape Spark's built-ins can only plan as a nested loop.
+    // Each interval explodes to the fixed-width bins it covers (1-day
+    // bins; intervals here span ≤1 day ⇒ ≤2 bins each), the join is
+    // an EQUI join on bin + overlap predicate, and the pair is
+    // emitted exactly once by keeping only the bin containing
+    // greatest(start_a, start_b) — the standard first-overlap-bin
+    // trick, so no distinct pass. At 100 TB this turns O(|A|·|B|)
+    // into Σ_bin |A_b|·|B_b| with both sides hash-clustered on bin;
+    // bin width tunes the fan-out/selectivity trade like any range
+    // join bin hint. Shape: user-day activity intervals × per-type
+    // daily windows — "which users were active during which stream's
+    // live window".
+    QueryDef("q102_interval_overlap",
+      (s, dir) => {
+        val W = 86400000L // 1-day bins (ms)
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"))
+        val a = ev.groupBy(col("user_id"),
+            expr(s"ts_ms DIV $W").as("a_day"))
+          .agg(min(col("ts_ms")).as("a_start"), max(col("ts_ms")).as("a_end"))
+        val b = ev.groupBy(col("event_type"),
+            expr(s"ts_ms DIV $W").as("b_day"))
+          .agg(min(col("ts_ms")).as("b_start"), max(col("ts_ms")).as("b_end"))
+        val aBin = a.withColumn("bin",
+          explode(sequence(expr(s"a_start DIV $W"), expr(s"a_end DIV $W"))))
+        val bBin = b.withColumn("bin",
+          explode(sequence(expr(s"b_start DIV $W"), expr(s"b_end DIV $W"))))
+        aBin.join(bBin,
+            aBin("bin") === bBin("bin") &&
+              col("a_start") <= col("b_end") &&
+              col("b_start") <= col("a_end") &&
+              aBin("bin") === expr(s"greatest(a_start, b_start) DIV $W"))
+          .groupBy(col("event_type"), col("b_day"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"), col("b_day"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+        |a AS (
+        |  SELECT user_id, ts_ms // 86400000 AS a_day,
+        |    min(ts_ms) AS a_start, max(ts_ms) AS a_end
+        |  FROM e GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, ts_ms // 86400000 AS b_day,
+        |    min(ts_ms) AS b_start, max(ts_ms) AS b_end
+        |  FROM e GROUP BY 1, 2)
+        |SELECT b.event_type, b.b_day,
+        |  count(*) AS n_pairs, count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // A4-A6 — best bid / best ask / mid-price / spread
     // (tests/test_redis-data-full.py:49-52) over keyed hourly windows:
     // views quote the bid side, clicks the ask side.

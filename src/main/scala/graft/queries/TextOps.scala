@@ -506,7 +506,140 @@ object TextOps {
         |    / len(tk) < 0.5
         |GROUP BY source ORDER BY source""".stripMargin))
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
-    chunkQueryDef, spanDupQueryDef)
+    chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
+    sortedNeighborhoodQueryDef)
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before anything else sees the text. The corpus is digit-free
+    * word salad, so a bare scrub would be vacuous; instead each doc is
+    * AUGMENTED with deterministic canary PII derived from its id
+    * (email, E.164-ish phone, IPv4 — the standard canary-injection
+    * audit), then scrubbed: email → phone → IP, each pattern counted
+    * before its replacement. `n_digits_left` proves end-to-end removal
+    * (the source text has no digits and the placeholders add none, so
+    * any residue is a scrubber miss — 0 across the corpus, and both
+    * engines must agree on it). Pure per-row projection: no shuffle at
+    * all until the final presentation sort, so it composes into a
+    * 100 TB scan at scan cost. Patterns are lookaround-free so Java
+    * regex (Spark) and RE2 (DuckDB) match identically. */
+  private lazy val piiScrubQueryDef = {
+    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phoneRe = """\+\d[\d -]{7,}\d"""
+    val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+    QueryDef("q103_pii_scrub",
+      (s, dir) => {
+        val aug = t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit(".9 now")).as("t"))
+        aug
+          .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
+          .withColumn("t1", regexp_replace(col("t"), emailRe, "<EMAIL>"))
+          .withColumn("n_phone", regexp_count(col("t1"), lit(phoneRe)))
+          .withColumn("t2", regexp_replace(col("t1"), phoneRe, "<PHONE>"))
+          .withColumn("n_ip", regexp_count(col("t2"), lit(ipRe)))
+          .withColumn("clean", regexp_replace(col("t2"), ipRe, "<IP>"))
+          .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+            col("n_phone").cast("long").as("n_phone"),
+            col("n_ip").cast("long").as("n_ip"),
+            regexp_count(col("clean"), lit("[0-9]")).cast("long")
+              .as("n_digits_left"),
+            length(col("clean")).cast("long").as("clean_len"),
+            substring(md5(col("clean")), 1, 16).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' from 10.' ||
+        |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.9 now' AS t
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '$emailRe')) AS n_email,
+        |    regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |s2 AS (
+        |  SELECT doc_id, n_email,
+        |    len(regexp_extract_all(t1, '$phoneRe')) AS n_phone,
+        |    regexp_replace(t1, '$phoneRe', '<PHONE>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_email, n_phone,
+        |    len(regexp_extract_all(t2, '$ipRe')) AS n_ip,
+        |    regexp_replace(t2, '$ipRe', '<IP>', 'g') AS clean
+        |  FROM s2)
+        |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+        |  CAST(n_phone AS BIGINT) AS n_phone, CAST(n_ip AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(clean, '[0-9]')) AS BIGINT) AS n_digits_left,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  substring(md5(clean), 1, 16) AS clean_md5
+        |FROM s3 ORDER BY doc_id""".stripMargin))
+  }
+
+  /** Blocked SORTED-NEIGHBORHOOD dedup — the third near-dup FAMILY in
+    * the catalog (vs hashing: q36 MinHash-LSH / q37+q62 SimHash, and
+    * vs inverted-index Jaccard: q35): normalize, sort within blocks,
+    * and compare each doc only to its w=2 successors in sort order.
+    * No candidate JOIN exists at all — the shuffle is one window sort
+    * keyed by the 8-char block prefix, so worst-case work is
+    * O(n·w) comparisons however skewed the content, where LSH degrades
+    * with hot buckets. The price is recall (only sort-adjacent dups
+    * are found) — which is exactly the trade production pipelines mix
+    * methods for. Edit distance runs on the 80-char normalized
+    * prefix: bounded per-pair cost, identical in both engines. */
+  private lazy val sortedNeighborhoodQueryDef =
+    QueryDef("q104_sorted_neighborhood",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(lower(col("text")), "[^a-z0-9]+", "").as("norm"))
+          .select(col("doc_id"), substring(col("norm"), 1, 8).as("block"),
+            substring(col("norm"), 1, 40).as("sortkey"),
+            substring(col("norm"), 1, 80).as("sig"))
+        val w = Window.partitionBy(col("block"))
+          .orderBy(col("sortkey"), col("doc_id"))
+        val nb = k.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+          lead(col("doc_id"), 1).over(w).as("b1_id"),
+          lead(col("sig"), 1).over(w).as("b1_sig"),
+          lead(col("doc_id"), 2).over(w).as("b2_id"),
+          lead(col("sig"), 2).over(w).as("b2_sig"))
+        val p1 = nb.filter(col("b1_id").isNotNull)
+          .select(col("a_id"), col("b1_id").as("b_id"),
+            levenshtein(col("a_sig"), col("b1_sig")).as("dist"))
+        val p2 = nb.filter(col("b2_id").isNotNull)
+          .select(col("a_id"), col("b2_id").as("b_id"),
+            levenshtein(col("a_sig"), col("b2_sig")).as("dist"))
+        p1.unionAll(p2).filter(col("dist") <= 40)
+          .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, substring(norm, 1, 8) AS block,
+        |    substring(norm, 1, 40) AS sortkey, substring(norm, 1, 80) AS sig
+        |  FROM n),
+        |nb AS (
+        |  SELECT doc_id AS a_id, sig AS a_sig,
+        |    lead(doc_id, 1) OVER w AS b1_id, lead(sig, 1) OVER w AS b1_sig,
+        |    lead(doc_id, 2) OVER w AS b2_id, lead(sig, 2) OVER w AS b2_sig
+        |  FROM k
+        |  WINDOW w AS (PARTITION BY block ORDER BY sortkey, doc_id)),
+        |pairs AS (
+        |  SELECT a_id, b1_id AS b_id, levenshtein(a_sig, b1_sig) AS dist
+        |  FROM nb WHERE b1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT a_id, b2_id, levenshtein(a_sig, b2_sig)
+        |  FROM nb WHERE b2_id IS NOT NULL)
+        |SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist
+        |FROM pairs WHERE dist <= 40 ORDER BY a_id, b_id""".stripMargin))
 
   /** Cross-document SPAN duplication — the exact-substring dedup
     * signal (the "train-set memorization" class that near-dup misses:
