@@ -292,6 +292,41 @@ object Streams {
       keyCol: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keyCol)
 
+  /** §2.3 stream-static AS-OF enrichment: decorate each stream row
+    * with the LATEST dim version at or before its event time — the
+    * streaming face of `graft.plans.AsOfJoin`'s broadcast path (the
+    * reference's enrich-with-latest-known-state shape, but against a
+    * time-VERSIONED dimension rather than a single snapshot).
+    *
+    * The dim collapses to one row per key holding its versions sorted
+    * by time (done once per micro-batch on the static side, never on
+    * the stream), broadcast-joins map-side, and the version pick is a
+    * per-row array lookup — stateless, so it composes with any
+    * downstream streaming op and needs no watermark. State bound =
+    * broadcast dim size; versions-per-key is typically small (config
+    * history, symbol listings), which is what keeps the array scan
+    * cheap. Left rows with no version at-or-before get NULL payload
+    * (same null-extension as the batch operator).
+    *
+    * Output: stream columns + `<payloadCol>` (dim payload) +
+    * `asof_ts` (the matched version's time), both null on no-match.
+    */
+  def asOfEnrichStream(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String, streamTs: String, dimTs: String,
+      payloadCol: String): DataFrame = {
+    val versions = dim.groupBy(col(dimKey).as("__k"))
+      .agg(sort_array(collect_list(struct(
+        col(dimTs).as("t"), col(payloadCol).as("p")))).as("__vs"))
+    stream
+      .join(org.apache.spark.sql.functions.broadcast(versions),
+        col(streamKey) === col("__k"), "left")
+      .withColumn("__hit", // try_: ANSI-safe on the empty (no-match) array
+        try_element_at(filter(col("__vs"), v => v("t") <= col(streamTs)), lit(-1)))
+      .withColumn(payloadCol, col("__hit")("p"))
+      .withColumn("asof_ts", col("__hit")("t"))
+      .drop("__k", "__vs", "__hit")
+  }
+
   /** streaming exact dedup: drop records repeating a key within the
     * watermark horizon — state is bounded by the watermark (the
     * streaming face of the batch dedup in `q30_dedup_exact`; at scale

@@ -311,6 +311,48 @@ class StreamsSpec extends SparkSpec {
       && r.getString(1) == "Bitcoin" && r.getDouble(2) == 100.0))
   }
 
+  test("stream-static AS-OF enrich picks latest version at-or-before, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // time-versioned dim: BTC listed at t=10 (v=1.0), re-rated at t=20
+    // (v=2.0); ETH has one version at t=15
+    val dim = Seq(("BTC", 10L, 1.0), ("BTC", 20L, 2.0), ("ETH", 15L, 3.0))
+      .toDF("sym", "vts", "payload")
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.asOfEnrichStream(in.toDF().toDF("sym", "ts"), dim,
+      "sym", "sym", "ts", "vts", "payload")
+      .writeStream.format("memory").queryName("asof_enriched")
+      .outputMode("append").start()
+    in.addData(("BTC", 5L), ("BTC", 10L), ("BTC", 25L))
+    q.processAllAvailable()
+    in.addData(("BTC", 15L), ("ETH", 14L), ("ETH", 16L), ("XRP", 99L))
+    drain(q)
+    val got = spark.table("asof_enriched")
+      .select($"sym", $"ts", $"payload", $"asof_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got == Set(
+      ("BTC", 5L, null, null),      // before first version
+      ("BTC", 10L, 1.0, 10L),       // tie admits the version
+      ("BTC", 25L, 2.0, 20L),       // latest version wins
+      ("BTC", 15L, 1.0, 10L),       // second batch, between versions
+      ("ETH", 14L, null, null),
+      ("ETH", 16L, 3.0, 15L),
+      ("XRP", 99L, null, null)))    // unknown key null-extends
+
+    // same semantics as the native batch operator on the same data
+    val batchLeft = got.map(t => (t._1, t._2)).toSeq
+      .toDF("sym", "ts")
+    val batch = graft.plans.AsOfJoin.backward(batchLeft,
+        dim.select($"sym".as("dsym"), $"vts", $"payload"),
+        Seq("sym"), Seq("dsym"), "ts", "vts")
+      .select($"sym", $"ts", $"payload", $"vts".as("asof_ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(batch == got)
+  }
+
   test("stream-stream join matches within the event-time range only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
