@@ -68,6 +68,73 @@ object MultimodalOps {
         |  CAST(sum(n * b) AS BIGINT) AS total_bytes,
         |  CAST(sum((n - 1) * b) AS BIGINT) AS reclaimable_bytes
         |FROM perhash GROUP BY mime
-        |ORDER BY mime""".stripMargin))
+        |ORDER BY mime""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Frame-level temporal analysis — the video-summarization shape:
+    // sample frames (sequence+explode, q46's op), "decode" each
+    // frame's slice to a luma mean (the stub: mean char code of the
+    // 100-char window — a real codec slots into the same per-frame
+    // projection), detect scene changes as |Δ intensity| > 2.0 via a
+    // per-asset window lag, and aggregate per asset. Sums stay
+    // INTEGER until one final division, so the doubles are exact and
+    // order-independent; the per-frame HOF aggregate runs over ≤100
+    // chars so the interpreted lambda is bounded per row. One shuffle
+    // total: frames hash-join the text (both keyed by id), the window
+    // and final agg share the media_id clustering.
+    QueryDef("q105_frame_scenes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = Multimodal.frameOffsets(
+          Multimodal.mediaFromDocuments(s, dir))
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val f = frames.join(docs, col("media_id") === col("doc_id"))
+          .select(col("media_id"), col("frame_idx"),
+            expr("substring(text, CAST(frame_idx*100+1 AS INT), 100)").as("sub"))
+          .select(col("media_id"), col("frame_idx"),
+            expr("aggregate(split(sub, ''), 0L, (a, c) -> a + ascii(c))").as("sm"),
+            length(col("sub")).cast("long").as("n"))
+          .withColumn("intensity", when(col("n") === 0, lit(0.0))
+            .otherwise(col("sm").cast("double") / col("n")))
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        f.withColumn("delta",
+            abs(col("intensity") - lag(col("intensity"), 1).over(w)))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            when(sum(col("n")) === 0, lit(0.0))
+              .otherwise(sum(col("sm")).cast("double") / sum(col("n")))
+              .as("mean_intensity"),
+            sum(when(col("delta") > 2.0, 1L).otherwise(0L))
+              .as("n_scene_changes"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH frames AS (
+        |  SELECT doc_id AS media_id, frame_idx,
+        |    substring(text, CAST(frame_idx*100+1 AS INT), 100) AS sub
+        |  FROM documents, (SELECT unnest(range(0, 1000)) AS frame_idx)
+        |  WHERE frame_idx <= least((n_chars * 100) // 1000, 4)),
+        |f AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(list_sum(list_transform(range(len(sub)),
+        |      i -> ord(substring(sub, i+1, 1)))) AS BIGINT) AS sm,
+        |    CAST(len(sub) AS BIGINT) AS n
+        |  FROM frames),
+        |i AS (
+        |  SELECT media_id, frame_idx, sm, n,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE CAST(sm AS DOUBLE) / n END AS intensity
+        |  FROM f),
+        |d AS (
+        |  SELECT media_id, sm, n,
+        |    abs(intensity - lag(intensity) OVER (
+        |      PARTITION BY media_id ORDER BY frame_idx)) AS delta
+        |  FROM i)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CASE WHEN sum(n) = 0 THEN 0.0
+        |       ELSE CAST(sum(sm) AS DOUBLE) / sum(n) END AS mean_intensity,
+        |  CAST(sum(CASE WHEN delta > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scene_changes
+        |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin))
   )
 }
