@@ -131,9 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SquaredL2].getName, "sq_l2_dist"),
       (children: Seq[Expression]) =>
         SquaredL2(children(0), children(1))))
-    // the native as-of join planner (graft.plans): builder-time
-    // registration; AsOfJoin.backward also self-registers via
-    // ExperimentalMethods for already-built sessions
-    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // NOTE: the native as-of join strategy (graft.plans) is NOT
+    // injected here — AsOfJoin.backward registers it idempotently via
+    // ExperimentalMethods (works on already-built sessions too), and
+    // registering through both paths would have the planner consult
+    // the same strategy twice on every query
   }
 }

@@ -93,21 +93,28 @@ case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
+  import AsOfJoin.norm
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
   /** both children cluster on the join key: EnsureRequirements makes
     * the two shuffles co-partitioned (same mechanism SMJ uses), and
-    * an already-suitably-partitioned child skips its exchange. */
+    * an already-suitably-partitioned child skips its exchange.
+    * Float/double keys are NORMALIZED (-0.0→0.0, canonical NaN)
+    * before hashing/sorting/comparison — a custom plan never gets the
+    * optimizer's NormalizeFloatingNumbers rewrite that built-in joins
+    * rely on, so without this a 0.0 probe would miss a -0.0 state row
+    * (they'd even hash to different partitions). */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    ClusteredDistribution(leftKeys.map(norm)) ::
+      ClusteredDistribution(rightKeys.map(norm)) :: Nil
 
   /** within each partition both sides arrive sorted by (key, time) —
     * the merge below relies on it. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    (leftKeys.map(norm) :+ norm(leftTime)).map(SortOrder(_, Ascending)),
+    (rightKeys.map(norm) :+ norm(rightTime)).map(SortOrder(_, Ascending)))
 
   /** left rows pass through in their sorted order, so both the
     * partitioning and the ordering survive — a downstream groupBy on
@@ -115,7 +122,7 @@ case class AsOfJoinExec(
     * exchange/sort. */
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+    (leftKeys.map(norm) :+ norm(leftTime)).map(SortOrder(_, Ascending))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -123,10 +130,10 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val nRight = rOut.size
-    val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
-    val lTimeExpr = leftTime
-    val rTimeExpr = rightTime
+    val lKeyExprs = leftKeys.map(norm)
+    val rKeyExprs = rightKeys.map(norm)
+    val lTimeExpr = norm(leftTime)
+    val rTimeExpr = norm(rightTime)
     val outExprs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -161,7 +168,9 @@ case class AsOfJoinExec(
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
-        val lTime = lTimeProj(l).copy() // rTimeProj shares no buffer, but the compare loop below re-projects
+        // no copy: rTimeProj has its own buffer, nothing overwrites
+        // lTimeProj's result during the scan below
+        val lTime = lTimeProj(l)
         val lTimeNull = lTime.isNullAt(0)
         var scanning = rCur != null && !lKey.anyNull
         while (scanning) {
@@ -212,6 +221,7 @@ case class BroadcastAsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan)
   extends SparkPlan with BinaryExecNode {
+  import AsOfJoin.norm
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -221,21 +231,14 @@ case class BroadcastAsOfJoinExec(
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
-  protected override def doExecute(): RDD[InternalRow] = {
-    val lOut = left.output
+  /** driver-side build: key -> rows sorted by time, broadcast once
+    * per plan instance however many times execute() runs (the same
+    * memoization contract as BroadcastExchangeExec's relationFuture). */
+  @transient private lazy val indexBroadcast = {
     val rOut = right.output
-    val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
-    val nRight = rOut.size
-    val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
-    val lTimeExpr = leftTime
-    val rTimeExpr = rightTime
-    val outExprs = output
-
-    // ---- driver-side build: key -> rows sorted by time ------------
-    val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-    val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+    val rKeyProj = UnsafeProjection.create(rightKeys.map(norm), rOut)
+    val rTimeProj = UnsafeProjection.create(Seq(norm(rightTime)), rOut)
     val rRowProj = UnsafeProjection.create(rOut.map(a => a: Expression), rOut)
     val timeOrdDriver = GenerateOrdering.generate(
       Seq(SortOrder(BoundReference(0, timeType, nullable = true), Ascending)))
@@ -259,7 +262,18 @@ case class BroadcastAsOfJoinExec(
     grouped.forEach { (k, buf) =>
       index.put(k, buf.sortWith((a, b) => timeOrdDriver.compare(a._1, b._1) < 0).toArray)
     }
-    val bcast = sparkContext.broadcast(index)
+    sparkContext.broadcast(index)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val timeType = leftTime.dataType
+    val nRight = rOut.size
+    val lKeyExprs = leftKeys.map(norm)
+    val lTimeExpr = norm(leftTime)
+    val outExprs = output
+    val bcast = indexBroadcast
 
     // ---- executor-side probe --------------------------------------
     left.execute().mapPartitions({ lIter =>
@@ -308,10 +322,29 @@ case class BroadcastAsOfJoinExec(
   * names resolve against each child's analyzed output instead). */
 object AsOfJoin {
 
+  /** float/double join-key/time normalization (-0.0 → 0.0, canonical
+    * NaN): custom plans sit outside the optimizer's
+    * NormalizeFloatingNumbers rewrite, so both execs apply it at
+    * every key/time projection AND in the merge exec's required
+    * distribution/ordering (a -0.0 and 0.0 key must land in the SAME
+    * partition). Identity for every other type. */
+  private[plans] def norm(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => Shim.normalizeFloat(e)
+    case _ => e
+  }
+
   /** `left ASOF LEFT JOIN right ON keys AND right.time <= left.time`,
     * taking the latest eligible right row per left row. Output =
     * left columns ++ right columns (right side nullable); disambiguate
-    * clashing names by renaming before the call. */
+    * clashing names by renaming before the call.
+    *
+    * Tie contract: among several right rows sharing the SAME
+    * (key, time), which payload survives is unspecified — and may
+    * differ between the merge and broadcast paths (same contract as
+    * DuckDB ASOF JOIN and pandas merge_asof). Pre-aggregate the right
+    * side to unique (key, time) when the payload must be
+    * deterministic, as q101 does. */
   def backward(
       left: DataFrame,
       right: DataFrame,

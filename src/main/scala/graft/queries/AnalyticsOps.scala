@@ -116,20 +116,24 @@ object AnalyticsOps {
     // ------------------------------------------------------------------
     // §2.3 — interval OVERLAP join with NO equi key, via binning: the
     // one join shape Spark's built-ins can only plan as a nested loop.
-    // Each interval explodes to the fixed-width bins it covers (1-day
-    // bins; intervals here span ≤1 day ⇒ ≤2 bins each), the join is
-    // an EQUI join on bin + overlap predicate, and the pair is
-    // emitted exactly once by keeping only the bin containing
+    // Each interval explodes to the fixed-width bins it covers, the
+    // join is an EQUI join on bin + overlap predicate, and the pair
+    // is emitted exactly once by keeping only the bin containing
     // greatest(start_a, start_b) — the standard first-overlap-bin
     // trick, so no distinct pass. At 100 TB this turns O(|A|·|B|)
     // into Σ_bin |A_b|·|B_b| with both sides hash-clustered on bin;
     // bin width tunes the fan-out/selectivity trade like any range
-    // join bin hint. Shape: user-day activity intervals × per-type
-    // daily windows — "which users were active during which stream's
-    // live window".
+    // join bin hint. The BIN width (6 h) is deliberately FINER than
+    // the day-wide intervals, so every interval really does explode
+    // to ~4-5 bins and the single-emission predicate is load-bearing
+    // (the oracle's plain overlap join would expose any double
+    // emission as an inflated n_pairs). Shape: user-day activity
+    // intervals × per-type daily windows — "which users were active
+    // during which stream's live window".
     QueryDef("q102_interval_overlap",
       (s, dir) => {
-        val W = 86400000L // 1-day bins (ms)
+        val W = 86400000L  // interval grouping: 1 day (ms)
+        val Wb = 21600000L // bin width: 6 h — several bins per interval
         val ev = events(s, dir)
           .select(col("user_id"), col("event_type"), col("ts_ms"))
         val a = ev.groupBy(col("user_id"),
@@ -139,14 +143,14 @@ object AnalyticsOps {
             expr(s"ts_ms DIV $W").as("b_day"))
           .agg(min(col("ts_ms")).as("b_start"), max(col("ts_ms")).as("b_end"))
         val aBin = a.withColumn("bin",
-          explode(sequence(expr(s"a_start DIV $W"), expr(s"a_end DIV $W"))))
+          explode(sequence(expr(s"a_start DIV $Wb"), expr(s"a_end DIV $Wb"))))
         val bBin = b.withColumn("bin",
-          explode(sequence(expr(s"b_start DIV $W"), expr(s"b_end DIV $W"))))
+          explode(sequence(expr(s"b_start DIV $Wb"), expr(s"b_end DIV $Wb"))))
         aBin.join(bBin,
             aBin("bin") === bBin("bin") &&
               col("a_start") <= col("b_end") &&
               col("b_start") <= col("a_end") &&
-              aBin("bin") === expr(s"greatest(a_start, b_start) DIV $W"))
+              aBin("bin") === expr(s"greatest(a_start, b_start) DIV $Wb"))
           .groupBy(col("event_type"), col("b_day"))
           .agg(count(lit(1)).as("n_pairs"),
             count_distinct(col("user_id")).as("n_users"))

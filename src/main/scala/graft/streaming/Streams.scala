@@ -314,6 +314,13 @@ object Streams {
   def asOfEnrichStream(stream: DataFrame, dim: DataFrame,
       streamKey: String, dimKey: String, streamTs: String, dimTs: String,
       payloadCol: String): DataFrame = {
+    // fail fast instead of silently overwriting/joining ambiguously:
+    // the two output columns and the three internals must be free
+    val reserved = Seq(payloadCol, "asof_ts", "__k", "__vs", "__hit")
+    val clash = stream.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOfEnrichStream: stream already has column(s) ${clash.mkString(", ")}" +
+        " — rename them (or the payload) before enriching")
     val versions = dim.groupBy(col(dimKey).as("__k"))
       .agg(sort_array(collect_list(struct(
         col(dimTs).as("t"), col(payloadCol).as("p")))).as("__vs"))

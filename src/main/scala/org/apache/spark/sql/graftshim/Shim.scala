@@ -26,6 +26,15 @@ object Shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** float/double normalization expression (-0.0 → 0.0, canonical
+    * NaN) — the same rewrite the optimizer's NormalizeFloatingNumbers
+    * rule applies to built-in join keys; `private[sql]` upstream. */
+  def normalizeFloat(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
+
   /** idempotently add a planner strategy to the session (public
     * `ExperimentalMethods` — the documented injection point that,
     * unlike `SparkSessionExtensions`, also works on an already-built

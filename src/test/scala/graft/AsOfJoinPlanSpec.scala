@@ -136,6 +136,22 @@ class AsOfJoinPlanSpec extends SparkSpec {
   private def countOf(plan: String, re: String): Int =
     re.r.findAllMatchIn(plan).size
 
+  test("float keys normalize: -0.0 matches 0.0 and NaN matches NaN (both paths)") {
+    // custom plans sit outside NormalizeFloatingNumbers; the operator
+    // must normalize at distribution/projection itself or a 0.0 probe
+    // misses a -0.0 state row (built-in joins match them)
+    val left = Seq((0.0, 10L, 1L), (-0.0, 20L, 2L), (Double.NaN, 30L, 3L))
+      .toDF("k", "t", "lv")
+    val right = Seq((-0.0, 5L, 50L), (Double.NaN, 6L, 60L))
+      .toDF("rk", "rt", "rv")
+    onBothPaths {
+      val out = AsOfJoin.backward(left, right, Seq("k"), Seq("rk"), "t", "rt")
+        .orderBy("lv").select("rv").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      assert(out.toSeq == Seq(50L, 50L, 60L))
+    }
+  }
+
   test("merge path: custom exec over co-partitioned sorted children") {
     withThreshold("-1") {
       val left = spark.range(100).select((col("id") % 5).as("k"),
