@@ -131,8 +131,8 @@ object MultimodalOps {
         |      PARTITION BY media_id ORDER BY frame_idx)) AS delta
         |  FROM i)
         |SELECT media_id, count(*) AS n_frames,
-        |  CASE WHEN sum(n) = 0 THEN 0.0
-        |       ELSE CAST(sum(sm) AS DOUBLE) / sum(n) END AS mean_intensity,
+        |  COALESCE(CAST(sum(sm) AS DOUBLE)
+        |    / NULLIF(CAST(sum(n) AS BIGINT), 0), 0.0) AS mean_intensity,
         |  CAST(sum(CASE WHEN delta > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_scene_changes
         |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin))
