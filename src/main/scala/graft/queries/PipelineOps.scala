@@ -303,6 +303,171 @@ object PipelineOps {
             col("n_users_7d_est"), col("n_events_7d"))
           .orderBy(col("day_ms"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Incremental (new-shard vs corpus) exact dedup — the daily-ingest
+    // shape: a small arriving batch is checked against the standing
+    // corpus WITHOUT rescanning corpus text. Both sides reduce to
+    // md5 digests first (16 bytes/doc, never the text), the corpus
+    // side collapses to DISTINCT digests before the join, and the
+    // arriving batch is the small side — at 100 TB the corpus digest
+    // set shuffles once on the digest while the batch rides the same
+    // hash partitioning; AQE broadcasts the batch when it fits. The
+    // within-batch tie (two new docs with the same digest) keeps the
+    // lowest doc_id as `novel` and marks the rest `dup_batch`.
+    QueryDef("q106_incremental_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        val docs = t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+        // deterministic 10% "arriving batch" (SF-independent rule)
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+        val seen = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("fp")).distinct().withColumn("in_corpus", lit(1))
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        batch.join(seen, Seq("fp"), "left")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("status",
+            when(col("in_corpus") === 1, lit("dup_corpus"))
+              .when(col("rn") > 1, lit("dup_batch"))
+              .otherwise(lit("novel")))
+          .select(col("doc_id"), col("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM d WHERE doc_id % 10 = 7)
+        |SELECT b.doc_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM d c
+        |                    WHERE c.doc_id % 10 <> 7 AND c.fp = b.fp)
+        |         THEN 'dup_corpus'
+        |       WHEN b.rn > 1 THEN 'dup_batch'
+        |       ELSE 'novel' END AS status
+        |FROM b ORDER BY b.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Distribution-drift report — compare the value distribution of
+    // each event type between the first and second half of the time
+    // range (the data-freshness monitor a training pipeline runs
+    // before mixing a new crawl in). Fixed-width value bins (width
+    // 50, SF-independent) and an integer midpoint split keep every
+    // count exact; the proportions are single divisions of exact
+    // integers so both engines produce bit-identical doubles. One
+    // scan, one hash-agg on (type, bin), one 10-row-per-type window —
+    // no shuffle grows with the data beyond the agg itself.
+    QueryDef("q107_drift_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+          .select(col("event_type"), col("value"), col("ts_ms"))
+        val Array(mn, mx) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val mid = (mn + mx) / 2
+        val wt = Window.partitionBy(col("event_type"))
+        ev.withColumn("bin", floor(col("value") / 50.0).cast("long"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(when(col("ts_ms") <= mid, 1)).as("n_ref"),
+            count(when(col("ts_ms") > mid, 1)).as("n_cur"))
+          .withColumn("p_ref",
+            col("n_ref").cast("double") / sum(col("n_ref")).over(wt))
+          .withColumn("p_cur",
+            col("n_cur").cast("double") / sum(col("n_cur")).over(wt))
+          .withColumn("shift", col("p_cur") - col("p_ref"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, value, $tsMs AS ts_ms FROM events),
+        |mid AS (
+        |  SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM ev),
+        |binned AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    count(*) FILTER (WHERE ts_ms <= mid) AS n_ref,
+        |    count(*) FILTER (WHERE ts_ms > mid) AS n_cur
+        |  FROM ev CROSS JOIN mid GROUP BY 1, 2)
+        |SELECT event_type, bin, n_ref, n_cur,
+        |  CAST(n_ref AS DOUBLE)
+        |    / CAST(sum(n_ref) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS p_ref,
+        |  CAST(n_cur AS DOUBLE)
+        |    / CAST(sum(n_cur) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS p_cur,
+        |  CAST(n_cur AS DOUBLE)
+        |    / CAST(sum(n_cur) OVER (PARTITION BY event_type) AS BIGINT)
+        |  - CAST(n_ref AS DOUBLE)
+        |    / CAST(sum(n_ref) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS shift
+        |FROM binned ORDER BY event_type, bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Right-to-be-forgotten propagation — given a delete list (here:
+    // customers with deeply negative balances, an SF-independent
+    // predicate), report what cascades: per nation, how many
+    // customers, orders, line items and how much revenue leave the
+    // dataset. The delete list is 1% of customers, so it GROWS with
+    // the data — no broadcast hint; each fact join shuffles on its
+    // own key and AQE picks broadcast at small SF. The order-key
+    // spine is materialized once (localCheckpoint) because both the
+    // order count and the lineitem join consume it.
+    QueryDef("q108_delete_propagation",
+      (s, dir) => {
+        val del = t(s, dir, "customer")
+          .filter(col("c_acctbal") < -900)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val custAgg = del.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+        val ord = t(s, dir, "orders")
+          .join(del, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
+          .localCheckpoint(true)
+        val ordAgg = ord.groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        val liAgg = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_lineitems"),
+            d(sum(dec(col("l_extendedprice")))).as("revenue_removed"))
+        custAgg
+          .join(ordAgg, Seq("c_nationkey"), "left")
+          .join(liAgg, Seq("c_nationkey"), "left")
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("n_customers"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+            coalesce(col("revenue_removed"), lit(0.0)).as("revenue_removed"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""WITH del AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_acctbal < -900),
+        |c AS (
+        |  SELECT c_nationkey, count(*) AS n_customers FROM del GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey, c_nationkey
+        |  FROM orders JOIN del ON o_custkey = c_custkey),
+        |oa AS (
+        |  SELECT c_nationkey, count(*) AS n_orders FROM o GROUP BY 1),
+        |la AS (
+        |  SELECT c_nationkey, count(*) AS n_lineitems,
+        |    ${sumDec("l_extendedprice")} AS revenue_removed
+        |  FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT n_name, n_customers,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_lineitems, 0) AS n_lineitems,
+        |  COALESCE(revenue_removed, 0.0) AS revenue_removed
+        |FROM c
+        |LEFT JOIN oa USING (c_nationkey)
+        |LEFT JOIN la USING (c_nationkey)
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin))
   )
 }
