@@ -282,6 +282,66 @@ object LayoutOps {
         |  CAST(cum_before // 256 AS BIGINT) AS bin,
         |  CAST(cum_before % 256 AS BIGINT) AS offset_in_bin
         |FROM c
-        |ORDER BY bin, offset_in_bin, doc_id""".stripMargin))
+        |ORDER BY bin, offset_in_bin, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Token-budget corpus selection — take the best documents (q96's
+    // quality signal) until a global token budget (¼ of the corpus)
+    // is spent: the "data mixture under a compute budget" op. The
+    // ordered prefix-sum uses the q95/q99 two-phase shape, but
+    // bucketed on the ORDER KEY itself: quality lives in [0,400], so
+    // 256 fixed-width quality ranges give contiguous buckets whose
+    // ascending order IS quality-descending order — per-bucket token
+    // subtotals cumsum in a 257-row window, broadcast back, and the
+    // in-bucket window adds the remainder. No global single-partition
+    // sort at any scale; equal-quality ties land in the same bucket
+    // so the (quality DESC, doc_id) tiebreak stays entirely local.
+    QueryDef("q110_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tk = split(trim(lower(col("text"))), "\\s+")
+        val stop = Seq("the", "a", "of", "and", "to")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tk).cast("long").as("n_tokens"),
+            (size(filter(tk, x => x.isInCollection(stop))).cast("double")
+              / size(tk) * least(size(tk), lit(400)).cast("double"))
+              .as("quality"))
+        val budget = docs.agg(sum(col("n_tokens"))).head().getLong(0) / 4
+        val width = 400.0 / 256
+        val bucketed = docs.withColumn("bucket",
+          floor((lit(400.0) - col("quality")) / width).cast("long"))
+        val offsets = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("bt"))
+          .withColumn("offset",
+            coalesce(sum(col("bt")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wIn = Window.partitionBy(col("bucket"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(broadcast(offsets), "bucket")
+          .withColumn("cum", col("offset") + sum(col("n_tokens")).over(wIn))
+          .filter(col("cum") <= budget)
+          .select(col("doc_id"), col("n_tokens"), col("cum"))
+          .orderBy(col("cum"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+        |      AS DOUBLE) / len(tk) * least(len(tk), 400) AS quality
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |    FROM documents)),
+        |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 4 AS budget FROM d),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tokens, cum
+        |FROM o CROSS JOIN b WHERE cum <= budget ORDER BY cum""".stripMargin))
   )
 }

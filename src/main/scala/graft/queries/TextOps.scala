@@ -507,7 +507,120 @@ object TextOps {
         |GROUP BY source ORDER BY source""".stripMargin))
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
-    sortedNeighborhoodQueryDef)
+    sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef)
+
+  /** Per-source ADAPTIVE quality cutoff — instead of one global
+    * threshold (which over-prunes clean sources and under-prunes
+    * noisy ones), each source keeps its own top 60% by the q96
+    * quality signal. The rank is a per-source window (partitions
+    * naturally, no global sort), and the output is the per-source
+    * keep report a pipeline operator would act on. All counts are
+    * exact integers; `percent_rank` is (rank-1)/(n-1), a single
+    * integer division both engines compute bit-identically. */
+  private lazy val adaptiveCutoffQueryDef = QueryDef("q109_adaptive_cutoff",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = toks(col("text"))
+      val stop = Seq("the", "a", "of", "and", "to")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tk).cast("long").as("n_tokens"),
+          (size(filter(tk, x => x.isInCollection(stop))).cast("double")
+            / size(tk) * least(size(tk), lit(400)).cast("double"))
+            .as("quality"))
+        .withColumn("pct", percent_rank().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pct") <= 0.6, 1)).as("n_kept"),
+          sum(when(col("pct") <= 0.6, col("n_tokens")))
+            .as("sum_tokens_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to')))
+      |      AS DOUBLE) / len(tk) * least(len(tk), 400) AS quality
+      |  FROM (SELECT source, doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |    FROM documents)),
+      |p AS (
+      |  SELECT source, n_tokens,
+      |    percent_rank() OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id) AS pct
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE pct <= 0.6) AS n_kept,
+      |  CAST(sum(n_tokens) FILTER (WHERE pct <= 0.6) AS BIGINT)
+      |    AS sum_tokens_kept
+      |FROM p GROUP BY source ORDER BY source""".stripMargin))
+
+  /** BM25-family retrieval scoring over the corpus — the
+    * quality-targeted selection shape ("pick training docs relevant
+    * to a probe set"). Term and corpus statistics (N, Σdl, per-term
+    * df) come from ONE pruned pass; scoring is then a pure per-row
+    * projection over the token array — no shuffle at all until the
+    * top-k, which AQE executes as a TakeOrderedAndProject. The idf
+    * factor keeps the raw odds ratio (N-df+0.5)/(df+0.5) without the
+    * usual log: log is monotone, so rankings are unchanged, and
+    * dropping the transcendental keeps every arithmetic step an
+    * exactly-rounded IEEE op both engines reproduce bit-identically
+    * (sums of logs would be engine-order-dependent). Term count is
+    * fixed (a query, not data), so the fixed-order score sum is
+    * deterministic too. */
+  private lazy val bm25QueryDef = {
+    val terms = Seq("vector", "merge", "scan")
+    QueryDef("q112_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("tk"))
+          .withColumn("dl", size(col("tk")).cast("long"))
+        val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("tot")) ++
+          terms.map(t0 =>
+            count(when(array_contains(col("tk"), t0), 1)).as(s"df_$t0"))
+        val st = docs.agg(statCols.head, statCols.tail: _*).head()
+        val n = st.getAs[Long]("n")
+        val avgdl = st.getAs[Long]("tot").toDouble / n
+        val score = terms.map { t0 =>
+          val df = st.getAs[Long](s"df_$t0")
+          val idf = (n - df + 0.5) / (df + 0.5)
+          val tf = size(filter(col("tk"), x => x === t0)).cast("double")
+          lit(idf) * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+        }.reduce(_ + _)
+        docs.select(col("doc_id"), score.as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some(s"""WITH dd AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl
+        |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot,
+        |${terms.map(t0 =>
+          s"    count(*) FILTER (WHERE list_contains(tk, '$t0')) AS df_$t0")
+          .mkString(",\n|")}
+        |  FROM dd),
+        |sc AS (
+        |  SELECT doc_id,
+        |${terms.map(t0 =>
+          s"""    (((n - df_$t0 + 0.5) / (df_$t0 + 0.5))
+             |      * (CAST(len(list_filter(tk, x -> x = '$t0')) AS DOUBLE)
+             |         * 2.2))
+             |    / (CAST(len(list_filter(tk, x -> x = '$t0')) AS DOUBLE)
+             |       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+             |                               / (CAST(tot AS DOUBLE) / n))))"""
+            .stripMargin.split("\n").mkString("\n|"))
+          .mkString("\n|    + ")}
+        |      AS score
+        |  FROM dd CROSS JOIN st)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin))
+  }
 
   /** PII scrubbing — the redaction pass every training-data pipeline
     * runs before anything else sees the text. The corpus is digit-free
