@@ -564,8 +564,75 @@ object SimilarityOps {
     // re-rank. Sketch internals ⇒ rows-only; PqRecallSpec measures
     // recall@5 against exact brute force.
     QueryDef("q84_knn_pq",
-      (s, dir) => knnPq(s, dir, shortlist = 50), None)
+      (s, dir) => knnPq(s, dir, shortlist = 50), None),
+
+    // ------------------------------------------------------------------
+    // Lloyd k-means over the quantized corpus — the semantic-
+    // clustering step curation pipelines run for diversity sampling
+    // and cluster-balanced mixtures. The only state that crosses
+    // iterations is the k×64 centroid table (bounded model state,
+    // like the PQ codebook); each iteration is one corpus scan into
+    // one (cluster, dim) hash-agg, with WCSS riding the same shuffle
+    // as a dim-0 conditional sum. Centroids stay INTEGER (truncated
+    // means in quantized units), so every distance is an exact-
+    // integer-valued double (≤ 64·(2·10⁴)² ≪ 2^53) and assignment,
+    // WCSS, and the whole trajectory are bit-deterministic — no
+    // accumulation-order dependence anywhere. Model-internal output
+    // ⇒ rows-only; KMeansSpec pins determinism, cluster count, and
+    // objective descent.
+    QueryDef("q111_kmeans",
+      (s, dir) => kmeans(s, dir)._1, None)
   )
+
+  /** Lloyd k-means over [[vecs]]: returns the per-cluster summary
+    * (cluster, n_points, wcss) under the FINAL centroids plus the
+    * per-iteration WCSS trajectory (entry i = objective under the
+    * centroids entering iteration i). Deterministic by construction:
+    * md5-ordered init, integer centroids (truncating division),
+    * first-index tie-break on equal distances; an emptied cluster
+    * keeps its previous centroid. */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5)
+      : (DataFrame, Seq[Long]) = {
+    graft.functions.SquaredL2.register(s)
+    val all = vecs(s, dir).select(col("vec_id"), col("v"))
+    var cents: IndexedSeq[Seq[Long]] = all
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1)).toIndexedSeq
+    def assigned = {
+      val dcols = cents.map { c =>
+        expr(s"sq_l2_dist(v, array(${c.mkString("L,")}L))") }
+      val dArr = array(dcols: _*)
+      all.withColumn("dist", array_min(dArr).cast("long"))
+        .withColumn("cluster",
+          (array_position(dArr, array_min(dArr)) - 1).cast("long"))
+    }
+    val hist = collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val upd = assigned
+        .select(col("cluster"), col("dist"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
+          sum(when(col("dim") === 0, col("dist"))).as("w0"))
+        .collect()
+      hist += upd.filter(r => r.getAs[Int]("dim") == 0)
+        .map(_.getAs[Long]("w0")).sum
+      val byCluster = upd.groupBy(_.getAs[Long]("cluster"))
+      cents = (0 until k).map { c =>
+        byCluster.get(c.toLong) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("dim"))
+              .map(r => r.getAs[Long]("sx") / r.getAs[Long]("n")).toSeq
+          case None => cents(c) // emptied cluster: keep previous
+        }
+      }
+    }
+    val out = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("wcss"))
+      .orderBy(col("cluster"))
+    (out, hist.toSeq)
+  }
 
   /** PQ-ADC KNN: encode, look up, shortlist, exact re-rank. */
   def knnPq(s: SparkSession, dir: String, m: Int = 4,
