@@ -88,6 +88,59 @@ object TemporalOps {
         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
         |FROM numbered
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin))
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Rolling-window anomaly detection — flag values more than 3
+    // rolling standard deviations from the trailing-100-event mean,
+    // per event type: the streaming-shaped QC that q87's static 3σ
+    // can't do (a regime change poisons a global mean; a trailing
+    // window adapts). The entire test is EXACT INTEGER arithmetic:
+    // values quantize to 1e-4 units (v), the window keeps Σv and Σv²
+    // (both bounded: 100·(4.9e6)² < 2^53 ≪ 2^63), and
+    //   (v-μ)² > 9σ²  ⟺  (n·v − S1)² > 9·(n·S2 − S1²)
+    // clears every denominator — no float mean, no float variance,
+    // no accumulation-order dependence on either engine. One window
+    // shuffle keyed by event_type; full (n=100) windows only, so the
+    // flag never fires on cold start noise.
+    QueryDef("q114_rolling_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(-100, -1)
+        events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            round(col("value") * 10000).cast("long").as("v"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("v")).over(w))
+          .withColumn("s2", sum(col("v") * col("v")).over(w))
+          .filter(col("n") === 100)
+          .withColumn("dev", col("n") * col("v") - col("s1"))
+          .withColumn("var_n2", col("n") * col("s2") - col("s1") * col("s1"))
+          .filter(col("dev") * col("dev") > lit(9L) * col("var_n2"))
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            (col("v").cast("double") / 10000).as("value"),
+            col("s1"), col("s2"))
+          .orderBy(col("event_type"), col("ts_ms"), col("event_id"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms,
+        |    CAST(round(value * 10000) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, ts_ms, v,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(v) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(v * v) OVER w AS BIGINT) AS s2
+        |  FROM q
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, ts_ms,
+        |  CAST(v AS DOUBLE) / 10000 AS value, s1, s2
+        |FROM r
+        |WHERE n = 100
+        |  AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+        |ORDER BY event_type, ts_ms, event_id""".stripMargin))
   )
 }

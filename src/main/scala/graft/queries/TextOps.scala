@@ -507,7 +507,104 @@ object TextOps {
         |GROUP BY source ORDER BY source""".stripMargin))
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
-    sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef)
+    sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
+    tfidfQueryDef)
+
+  /** Sparse-vector retrieval: TF-IDF cosine top-10 against a FIXED
+    * probe-document set — the embedding-free sibling of q40's dense
+    * KNN (and the scoring half of a hybrid retrieval stack next to
+    * q112's BM25). Everything before the final cosine is exact
+    * integer arithmetic: idf is the N/df ratio quantized to 1e-3 and
+    * CLIPPED at 100 (the standard rare-term cap — and what keeps
+    * tf·idf products, norms, and dots inside long at any corpus
+    * size), so the one float step is dot/(√·√) — exactly-rounded
+    * IEEE ops both engines reproduce bit-identically. Scale shape:
+    * the weighted postings table materializes once (the classic
+    * search-index artifact), the probe side is a fixed literal set,
+    * and the dot-product join touches only the probes' posting rows
+    * — cost is postings-of-probe-terms, not corpus². */
+  private lazy val tfidfQueryDef = QueryDef("q113_tfidf_retrieval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val probes = Seq(0L, 100L, 200L, 300L, 400L)
+      val docs = t(s, dir, "documents")
+      val n = docs.select(col("doc_id")).count()
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .withColumn("idf_q", least(expr(s"${n}L * 1000L DIV df"),
+          lit(100000L)))
+      // the TF-IDF postings index: built once, read three times
+      // (norms, probe vectors, dot join)
+      val wt = tf.join(idf.select(col("w"), col("idf_q")), "w")
+        .select(col("doc_id"), col("w"),
+          (col("tf") * col("idf_q")).as("wt"))
+        .localCheckpoint(true)
+      val norms = wt.groupBy(col("doc_id"))
+        .agg(sum(col("wt") * col("wt")).as("n2"))
+      val probeTerms = wt.filter(col("doc_id").isin(probes: _*))
+        .select(col("doc_id").as("probe_id"), col("w"),
+          col("wt").as("pwt"))
+      val dots = wt.join(probeTerms, "w")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(sum(col("wt") * col("pwt")).as("dot"))
+      val scored = dots
+        .join(norms, "doc_id")
+        .join(norms.select(col("doc_id").as("probe_id"),
+          col("n2").as("pn2")), "probe_id")
+        .withColumn("cosine", col("dot").cast("double")
+          / (sqrt(col("pn2").cast("double"))
+            * sqrt(col("n2").cast("double"))))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some(s"""WITH tf AS (
+      |  SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+      |  GROUP BY doc_id, w),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |idf AS (
+      |  SELECT w, least((n * 1000) // count(DISTINCT doc_id), 100000)
+      |    AS idf_q
+      |  FROM tf CROSS JOIN nn GROUP BY w, n),
+      |wt AS (
+      |  SELECT doc_id, tf.w AS w, tf * idf_q AS wt
+      |  FROM tf JOIN idf ON tf.w = idf.w),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+      |  FROM wt GROUP BY doc_id),
+      |pt AS (
+      |  SELECT doc_id AS probe_id, w, wt AS pwt FROM wt
+      |  WHERE doc_id IN (0, 100, 200, 300, 400)),
+      |dots AS (
+      |  SELECT probe_id, wt.doc_id AS doc_id,
+      |    CAST(sum(wt * pwt) AS BIGINT) AS dot
+      |  FROM wt JOIN pt ON wt.w = pt.w
+      |  WHERE wt.doc_id <> pt.probe_id
+      |  GROUP BY probe_id, wt.doc_id),
+      |sc AS (
+      |  SELECT probe_id, dots.doc_id AS doc_id,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(pn.n2 AS DOUBLE))
+      |      * sqrt(CAST(dn.n2 AS DOUBLE))) AS cosine
+      |  FROM dots
+      |  JOIN norms dn ON dots.doc_id = dn.doc_id
+      |  JOIN norms pn ON dots.probe_id = pn.doc_id),
+      |r AS (
+      |  SELECT probe_id, doc_id, cosine,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, cosine
+      |FROM r WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin))
 
   /** Per-source ADAPTIVE quality cutoff — instead of one global
     * threshold (which over-prunes clean sources and under-prunes
