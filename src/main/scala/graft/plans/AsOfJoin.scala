@@ -44,7 +44,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
@@ -53,6 +54,10 @@ case class AsOfJoinPlan(
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time columns must share a type")
+  require(tolerance.isEmpty ||
+    leftTime.dataType == org.apache.spark.sql.types.LongType,
+    "as-of tolerance requires LONG time columns (epoch units)")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -73,14 +78,15 @@ case class AsOfJoinPlan(
   * strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes >= 0 &&
         r.stats.sizeInBytes <= threshold)
-        BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r),
+          tol) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -91,7 +97,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    tolerance: Option[Long] = None)
   extends SparkPlan with BinaryExecNode {
   import AsOfJoin.norm
 
@@ -161,6 +168,7 @@ case class AsOfJoinExec(
       var rCurKey: UnsafeRow = null // aliases rKeyProj's buffer — valid until the next advance
       var matched: InternalRow = null
       var matchedKey: UnsafeRow = null
+      var matchedTime: Long = 0L // valid only when tolerance is set (LONG times)
       def advanceRight(): Unit =
         if (rIter.hasNext) { rCur = rIter.next(); rCurKey = rKeyProj(rCur) }
         else { rCur = null; rCurKey = null }
@@ -184,6 +192,7 @@ case class AsOfJoinExec(
               timeOrd.compare(rTime, lTime) <= 0) {
               matched = rCur.copy()
               matchedKey = rCurKey.copy()
+              matchedTime = if (tolerance.isDefined) rTime.getLong(0) else 0L
               advanceRight()
             } else if (rTime.isNullAt(0)) {
               advanceRight() // null times sort first and never match
@@ -191,8 +200,12 @@ case class AsOfJoinExec(
           }
           if (rCur == null) scanning = false
         }
+        // tolerance (LONG times only, enforced by the plan node):
+        // the latest admitted match may still be too stale for THIS
+        // probe row — null-extend instead, same as merge_asof
         val hit = matched != null && !lKey.anyNull && !lTimeNull &&
-          keyOrd.compare(matchedKey, lKey) == 0
+          keyOrd.compare(matchedKey, lKey) == 0 &&
+          tolerance.forall(lTime.getLong(0) - matchedTime <= _)
         outProj(joined(l, if (hit) matched else nullRight))
       }
     }
@@ -219,7 +232,8 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    tolerance: Option[Long] = None)
   extends SparkPlan with BinaryExecNode {
   import AsOfJoin.norm
 
@@ -304,7 +318,10 @@ case class BroadcastAsOfJoinExec(
                 hit = mid; lo = mid + 1
               } else hi = mid - 1
             }
-            if (hit >= 0) matched = group(hit)._2
+            // tolerance (LONG times only): reject a stale latest match
+            if (hit >= 0 && tolerance.forall(t =>
+                lTime.getLong(0) - group(hit)._1.getLong(0) <= t))
+              matched = group(hit)._2
           }
         }
         outProj(joined(l, if (matched != null) matched else nullRight))
@@ -345,13 +362,18 @@ object AsOfJoin {
     * DuckDB ASOF JOIN and pandas merge_asof). Pre-aggregate the right
     * side to unique (key, time) when the payload must be
     * deterministic, as q101 does. */
+  /** Optional `tolerance` (same units as the LONG time columns):
+    * a match additionally requires `leftTime - rightTime <=
+    * tolerance` — pandas `merge_asof(tolerance=...)`. Stale state
+    * null-extends instead of matching. */
   def backward(
       left: DataFrame,
       right: DataFrame,
       leftKeys: Seq[String],
       rightKeys: Seq[String],
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark: SparkSession = left.sparkSession
     Shim.addStrategy(spark, AsOfJoinStrategy)
     val lp = Shim.analyzed(left)
@@ -362,6 +384,6 @@ object AsOfJoin {
           s"as-of join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
     Shim.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      resolve(lp, leftTime), resolve(rp, rightTime)))
+      resolve(lp, leftTime), resolve(rp, rightTime), tolerance))
   }
 }

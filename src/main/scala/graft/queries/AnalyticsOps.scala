@@ -114,6 +114,55 @@ object AnalyticsOps {
         |ORDER BY event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // As-of join with a TOLERANCE window (pandas merge_asof
+    // tolerance): same native operator as q101, but a click older
+    // than 2 h at purchase time is STALE state and null-extends
+    // instead of matching — the freshness contract real enrichment
+    // pipelines carry ("use the last quote, but never one from
+    // before the halt"). Exercised through the same strategy, so
+    // both the merge and broadcast execs implement it (the spec pins
+    // both paths); DuckDB has no ASOF tolerance, so the oracle is
+    // the windowed-max formulation over the bounded range.
+    QueryDef("q115_asof_tolerance",
+      (s, dir) => {
+        val tolNs = 7200000000000L // 2 h in ns (ts is epoch-nanos)
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .agg(max(col("value")).as("last_click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_ms"), col("value"))
+        graft.plans.AsOfJoin.backward(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "c_ts",
+          tolerance = Some(tolNs))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("value"), col("last_click"),
+            expr("c_ts DIV 1000000").as("click_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(value) AS last_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.event_id, max(c.c_ts) AS m_ts
+        |  FROM p JOIN c ON p.user_id = c.c_user
+        |    AND c.c_ts <= p.ts
+        |    AND c.c_ts >= p.ts - INTERVAL 2 HOUR
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id,
+        |  epoch_ms(CAST(p.ts AS TIMESTAMP)) AS ts_ms, p.value,
+        |  c.last_click,
+        |  epoch_ms(CAST(c.c_ts AS TIMESTAMP)) AS click_ms
+        |FROM p
+        |LEFT JOIN m ON p.event_id = m.event_id
+        |LEFT JOIN c ON c.c_user = p.user_id AND c.c_ts = m.m_ts
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // §2.3 — interval OVERLAP join with NO equi key, via binning: the
     // one join shape Spark's built-ins can only plan as a nested loop.
     // Each interval explodes to the fixed-width bins it covers, the

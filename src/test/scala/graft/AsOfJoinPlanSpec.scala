@@ -203,6 +203,33 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: stale matches null-extend, fresh ones survive (both paths)") {
+    val left = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 95L, 50L), (1L, 120L, 51L), (2L, 10L, 60L))
+      .toDF("rk", "rt", "rv")
+    onBothPaths {
+      // tol=30: (1,100)->95 fresh; (1,200)->120 stale (gap 80);
+      // (2,50)->10 stale (gap 40)
+      val out = AsOfJoin.backward(left, right, Seq("k"), Seq("rk"),
+        "t", "rt", tolerance = Some(30L))
+        .orderBy("lv").select("rv").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      assert(out.toSeq == Seq(50L, -1L, -1L))
+      // tol large enough admits everything the plain as-of admits
+      val loose = AsOfJoin.backward(left, right, Seq("k"), Seq("rk"),
+        "t", "rt", tolerance = Some(1000L))
+        .orderBy("lv").select("rv").collect().map(_.getLong(0))
+      assert(loose.toSeq == Seq(50L, 51L, 60L))
+      // tol=0 admits only exact-tie times
+      val exact = AsOfJoin.backward(
+        Seq((1L, 95L, 9L)).toDF("k", "t", "lv"), right,
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(0L))
+        .select("rv").collect()
+      assert(exact.map(_.getLong(0)).toSeq == Seq(50L))
+    }
+  }
+
   test("strategy picks by right-side stats: default threshold broadcasts tiny state") {
     // default session threshold is 10MB; a 50-row right side is far
     // under it, so the auto path must choose broadcast — and forcing
