@@ -581,7 +581,40 @@ object SimilarityOps {
     // ⇒ rows-only; KMeansSpec pins determinism, cluster count, and
     // objective descent.
     QueryDef("q111_kmeans",
-      (s, dir) => kmeans(s, dir)._1, None)
+      (s, dir) => kmeans(s, dir)._1, None),
+
+    // ------------------------------------------------------------------
+    // SemDeDup — semantic dedup via cluster-then-prune (see
+    // [[semanticDedup]]): the embedding-space analog of q63's lexical
+    // dedup resolution. The k-means assignment bounds the candidate
+    // set to within-cluster pairs (Σ cluster², never corpus²; k is
+    // the scale knob), and the pair verify reuses q60's codegen'd
+    // exact integer cosine. Clustering is model-internal state (like
+    // q111's centroids) ⇒ rows-only; SemDedupSpec brute-force-
+    // verifies the kept-set invariant and determinism.
+    QueryDef("q116_semantic_dedup",
+      (s, dir) => semanticDedup(s, dir), None),
+
+    // ------------------------------------------------------------------
+    // JL ±1 random projection (see [[randomProjection]]): exact
+    // integer map-side projection with md5-derived plan-literal
+    // signs; the oracle re-derives the same signs in-database and
+    // replays the same integer sums.
+    QueryDef("q117_random_projection",
+      (s, dir) => randomProjection(s, dir),
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |signs AS (
+        |  SELECT o, j,
+        |    CASE WHEN (CAST(('0x' || substring(md5('rp_' || o::VARCHAR || '_' || j::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(range(16)) AS o),
+        |       (SELECT unnest(range(64)) AS j))
+        |SELECT q.vec_id, CAST(s.o AS BIGINT) AS out_dim,
+        |  CAST(sum(s.sg * q.v[s.j + 1]) AS BIGINT) AS y
+        |FROM qv q CROSS JOIN signs s
+        |GROUP BY q.vec_id, s.o
+        |ORDER BY vec_id, out_dim""".stripMargin))
   )
 
   /** Lloyd k-means over [[vecs]]: returns the per-cluster summary
@@ -592,6 +625,19 @@ object SimilarityOps {
     * first-index tie-break on equal distances; an emptied cluster
     * keeps its previous centroid. */
   def kmeans(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5)
+      : (DataFrame, Seq[Long]) = {
+    val (assigned, hist) = kmeansFit(s, dir, k, iters)
+    val out = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("wcss"))
+      .orderBy(col("cluster"))
+    (out, hist)
+  }
+
+  /** Lloyd fit returning the FINAL assignment frame
+    * (vec_id, v, cluster, dist) plus the WCSS trajectory; q111
+    * summarizes it, q116's SemDeDup reads the assignment as its
+    * cluster structure. Same determinism contract as [[kmeans]]. */
+  def kmeansFit(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5)
       : (DataFrame, Seq[Long]) = {
     graft.functions.SquaredL2.register(s)
     val all = vecs(s, dir).select(col("vec_id"), col("v"))
@@ -628,10 +674,86 @@ object SimilarityOps {
         }
       }
     }
-    val out = assigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("wcss"))
+    (assigned, hist.toSeq)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    * embedding space, then prune near-duplicate pairs WITHIN each
+    * cluster — clustering turns the corpus² similarity problem into
+    * Σ cluster², with k the scale knob that keeps cluster sizes
+    * bounded (the paper's k ~ √N). Keep rule: of any within-cluster
+    * pair with cosine ≥ τ, the member FARTHER from its centroid
+    * survives (the paper keeps low centroid-similarity examples to
+    * preserve diversity); distance ties break to the lower vec_id —
+    * a local deterministic rule like q63's smallest-id-wins, so no
+    * two KEPT members of one cluster are ≥ τ similar
+    * (SemDedupSpec brute-force-verifies the invariant). τ defaults
+    * to the corpus-calibrated 0.4 that q60 uses for "near" — the
+    * synthetic embeddings top out at cosine ≈ 0.51 (the paper's
+    * 0.95+ applies to real encoder outputs, where near-dups
+    * cluster tightly). */
+  def semanticDedup(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 5, tau: Double = 0.4): DataFrame = {
+    val (assigned, dropped) = semanticDedupParts(s, dir, k, iters, tau)
+    assigned.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        count(when(col("dup").isNull, 1)).as("n_kept"),
+        count(col("dup")).as("n_dropped"))
       .orderBy(col("cluster"))
-    (out, hist.toSeq)
+  }
+
+  /** (final assignment, dropped vec_ids) — the spec re-derives the
+    * kept-set invariant from these two frames. */
+  private[graft] def semanticDedupParts(s: SparkSession, dir: String,
+      k: Int, iters: Int, tau: Double): (DataFrame, DataFrame) = {
+    val assigned = kmeansFit(s, dir, k, iters)._1
+      .select(col("vec_id"), col("v"), col("cluster"), col("dist"))
+      // read three times (both pair sides + the accounting join):
+      // cut the 5-iteration assignment lineage once
+      .localCheckpoint(false)
+    val r = assigned.select(col("cluster"), col("vec_id").as("vec_id2"),
+      col("v").as("v2"), col("dist").as("dist2"))
+    val dropped = assigned.join(r, Seq("cluster"))
+      .filter(col("vec_id2") =!= col("vec_id"))
+      .filter(col("dist2") > col("dist") ||
+        (col("dist2") === col("dist") && col("vec_id2") < col("vec_id")))
+      .filter(qcos(s, "v", "v2") >= tau)
+      .select(col("vec_id")).distinct()
+    (assigned, dropped)
+  }
+
+  /** sign of JL hyperplane component (o, j): low bit of the first
+    * byte of md5("rp_o_j") — same constant-derivation scheme as
+    * [[sgn]], re-derivable in the oracle SQL. */
+  private def rpSgn(o: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${o}_${j}".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss ±1 random projection 64 → [[outDims]]
+    * dims: y_o = Σ_j sgn(o,j)·v_j over the quantized corpus — the
+    * dimensionality-reduction pass run in front of clustering/ANN
+    * when even the raw index width is too expensive at corpus scale.
+    * The signs are plan-time literals exactly like [[lshBuckets]]'s
+    * hyperplanes, so the whole projection is a map-side codegen'd
+    * expression: no sign-table join, no shuffle before the final
+    * presentation sort, corpus touched once. Exact integer
+    * arithmetic end-to-end (|y| ≤ 64·max|v| ≪ 2^53); long-form
+    * output keeps the oracle hash layout-independent. */
+  def randomProjection(s: SparkSession, dir: String, outDims: Int = 16)
+      : DataFrame = {
+    val yCols: Seq[Column] = (0 until outDims).map { o =>
+      val sg = (0 until 64).map(j => rpSgn(o, j))
+      aggregate(zip_with(col("v"), typedlit(sg), (x, sgc) => x * sgc),
+        lit(0L), (acc, x) => acc + x)
+    }
+    vecs(s, dir).select(col("vec_id"),
+        posexplode(array(yCols: _*)).as(Seq("out_dim", "y")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        col("y"))
+      .orderBy(col("vec_id"), col("out_dim"))
   }
 
   /** PQ-ADC KNN: encode, look up, shortlist, exact re-rank. */

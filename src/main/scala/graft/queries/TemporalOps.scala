@@ -141,6 +141,40 @@ object TemporalOps {
         |FROM r
         |WHERE n = 100
         |  AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
-        |ORDER BY event_type, ts_ms, event_id""".stripMargin))
+        |ORDER BY event_type, ts_ms, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Equi-depth discretization — ntile(10) per event type over a
+    // TOTAL deterministic order (value, event_id): the binning step
+    // feature pipelines run before bucketed histograms, monotonic
+    // features, or drift baselines (q107's fixed-width cousin).
+    // ntile's floor-based split is engine-identical given the same
+    // total order, so bin edges (min/max per bin) hash-match the
+    // oracle exactly. One window shuffle keyed by event_type — at
+    // scale the skew knob is the same salting q89 diagnoses, and
+    // the approximate path is q56's KLL quantiles.
+    QueryDef("q119_equidepth_bins",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        events(s, dir)
+          .withColumn("bin", ntile(10).over(w).cast("long"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"),
+            d(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some(s"""WITH b AS (
+        |  SELECT event_type, event_id, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM events)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi,
+        |  ${sumDec("value")} AS sum_value
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin))
   )
 }
