@@ -14,16 +14,18 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.Shim
 
-/** Native backward as-of join — the whole-operator escalation tier of
-  * SURVEY.md §2.10: a custom `LogicalPlan` + `SparkStrategy` +
-  * physical `SparkPlan`, for semantics the built-in operators can
-  * only express with a union + window trick (q22) that materializes
-  * BOTH tables through one window and carries every probe column
-  * through the event stream.
+/** Native as-of join (backward + forward) — the whole-operator
+  * escalation tier of SURVEY.md §2.10: a custom `LogicalPlan` +
+  * `SparkStrategy` + physical `SparkPlan`, for semantics the built-in
+  * operators can only express with a union + window trick (q22) that
+  * materializes BOTH tables through one window and carries every
+  * probe column through the event stream.
   *
   * Semantics (left-outer, "backward"): for every left row, the LAST
   * right row with the same key and `rightTime <= leftTime` in
   * (key, time) sort order; left rows with no such match get nulls.
+  * The "forward" direction flips it: the FIRST right row with
+  * `rightTime >= leftTime` (pandas merge_asof direction='forward').
   * This is the reference's enrich-quote-with-latest-trade shape
   * (binance-data-ingestor joins each event against the latest known
   * state for the symbol) and DuckDB's `ASOF JOIN`.
@@ -45,7 +47,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
@@ -78,15 +81,16 @@ case class AsOfJoinPlan(
   * strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes >= 0 &&
         r.stats.sizeInBytes <= threshold)
         BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r),
-          tol) :: Nil
+          tol, fwd) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
+        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol,
+          fwd) :: Nil
     case _ => Nil
   }
 }
@@ -98,7 +102,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends SparkPlan with BinaryExecNode {
   import AsOfJoin.norm
 
@@ -174,7 +179,40 @@ case class AsOfJoinExec(
         else { rCur = null; rCurKey = null }
       advanceRight()
 
-      lIter.map { l =>
+      if (forward) {
+        // FORWARD merge: for each left row, the FIRST right row with
+        // the same key and rightTime >= leftTime. Discarding a right
+        // row with rTime < lTime is safe — later left rows only have
+        // larger (key, time), so a discarded row can never become
+        // eligible again; the current right cursor IS the candidate
+        // and the merge needs NO match memory at all.
+        lIter.map { l =>
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l)
+          val lTimeNull = lTime.isNullAt(0)
+          var scanning = rCur != null && !lKey.anyNull && !lTimeNull
+          while (scanning) {
+            val c = keyOrd.compare(rCurKey, lKey)
+            if (c < 0) advanceRight() // right is on an earlier key group
+            else if (c > 0) scanning = false // right has overtaken: stop
+            else {
+              val rTime = rTimeProj(rCur)
+              // null times sort first and never match forward either
+              if (rTime.isNullAt(0) || timeOrd.compare(rTime, lTime) < 0)
+                advanceRight()
+              else scanning = false // first rTime >= lTime for this key
+            }
+            if (rCur == null) scanning = false
+          }
+          val hit = rCur != null && !lKey.anyNull && !lTimeNull &&
+            keyOrd.compare(rCurKey, lKey) == 0 && {
+              val rTime = rTimeProj(rCur)
+              !rTime.isNullAt(0) && timeOrd.compare(rTime, lTime) >= 0 &&
+                tolerance.forall(rTime.getLong(0) - lTime.getLong(0) <= _)
+            }
+          outProj(joined(l, if (hit) rCur else nullRight))
+        }
+      } else lIter.map { l =>
         val lKey = lKeyProj(l)
         // no copy: rTimeProj has its own buffer, nothing overwrites
         // lTimeProj's result during the scan below
@@ -233,7 +271,8 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends SparkPlan with BinaryExecNode {
   import AsOfJoin.norm
 
@@ -308,20 +347,34 @@ case class BroadcastAsOfJoinExec(
         if (!lKey.anyNull && !lTime.isNullAt(0)) {
           val group = idx.get(lKey)
           if (group != null) {
-            // last entry with time <= lTime
             var lo = 0
             var hi = group.length - 1
             var hit = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(group(mid)._1, lTime) <= 0) {
-                hit = mid; lo = mid + 1
-              } else hi = mid - 1
+            if (forward) {
+              // first entry with time >= lTime
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(group(mid)._1, lTime) >= 0) {
+                  hit = mid; hi = mid - 1
+                } else lo = mid + 1
+              }
+              // tolerance: reject a match too far in the future
+              if (hit >= 0 && tolerance.forall(t =>
+                  group(hit)._1.getLong(0) - lTime.getLong(0) <= t))
+                matched = group(hit)._2
+            } else {
+              // last entry with time <= lTime
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(group(mid)._1, lTime) <= 0) {
+                  hit = mid; lo = mid + 1
+                } else hi = mid - 1
+              }
+              // tolerance (LONG times only): reject a stale latest match
+              if (hit >= 0 && tolerance.forall(t =>
+                  lTime.getLong(0) - group(hit)._1.getLong(0) <= t))
+                matched = group(hit)._2
             }
-            // tolerance (LONG times only): reject a stale latest match
-            if (hit >= 0 && tolerance.forall(t =>
-                lTime.getLong(0) - group(hit)._1.getLong(0) <= t))
-              matched = group(hit)._2
           }
         }
         outProj(joined(l, if (matched != null) matched else nullRight))
@@ -373,7 +426,36 @@ object AsOfJoin {
       rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    build(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      tolerance, forward = false)
+
+  /** `left ASOF LEFT JOIN right ON keys AND right.time >= left.time`,
+    * taking the EARLIEST eligible right row per left row — the
+    * time-to-next-event direction (pandas merge_asof
+    * `direction='forward'`). `tolerance` bounds how far in the
+    * future a match may be. Same tie and output contract as
+    * [[backward]]. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None): DataFrame =
+    build(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      tolerance, forward = true)
+
+  private def build(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long],
+      forward: Boolean): DataFrame = {
     val spark: SparkSession = left.sparkSession
     Shim.addStrategy(spark, AsOfJoinStrategy)
     val lp = Shim.analyzed(left)
@@ -384,6 +466,6 @@ object AsOfJoin {
           s"as-of join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
     Shim.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      resolve(lp, leftTime), resolve(rp, rightTime), tolerance))
+      resolve(lp, leftTime), resolve(rp, rightTime), tolerance, forward))
   }
 }

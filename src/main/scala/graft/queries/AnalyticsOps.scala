@@ -163,6 +163,47 @@ object AnalyticsOps {
         |ORDER BY p.event_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // FORWARD as-of through the same native operator — "first
+    // purchase at or after each click", the time-to-conversion
+    // enrich (pandas merge_asof direction='forward'). The forward
+    // merge needs NO match memory at all: with both sides sorted by
+    // (key, time), the right cursor IS the candidate, and a skipped
+    // right row can never become eligible for a later probe. Both
+    // execs implement the direction (the strategy still picks by
+    // right-side stats); the oracle is DuckDB's own forward ASOF
+    // (p_ts >= ts). Right side pre-aggregated to unique (user, ts)
+    // for a deterministic payload, as q101 does.
+    QueryDef("q121_asof_forward",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(max(col("value")).as("next_purchase"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_ms"), col("value"))
+        graft.plans.AsOfJoin.forward(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "ts", "p_ts")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("value"), col("next_purchase"),
+            expr("p_ts DIV 1000000").as("purchase_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, max(value) AS next_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  epoch_ms(CAST(c.ts AS TIMESTAMP)) AS ts_ms, c.value,
+        |  p.next_purchase,
+        |  epoch_ms(CAST(p.p_ts AS TIMESTAMP)) AS purchase_ms
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.p_user AND p.p_ts >= c.ts
+        |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // §2.3 — interval OVERLAP join with NO equi key, via binning: the
     // one join shape Spark's built-ins can only plan as a nested loop.
     // Each interval explodes to the fixed-width bins it covers, the

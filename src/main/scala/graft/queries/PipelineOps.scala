@@ -468,6 +468,147 @@ object PipelineOps {
         |LEFT JOIN oa USING (c_nationkey)
         |LEFT JOIN la USING (c_nationkey)
         |JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY n_name""".stripMargin))
+        |ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Eval-set decontamination with a bloom prefilter — q92 MEASURES
+    // contamination; this one REMOVES it, in the shape a production
+    // run takes at 100 TB: the eval split's distinct-shingle set is
+    // bounded by the benchmark (not the corpus), so its bloom filter
+    // — a few hundred KB of bounded model state, like q111's
+    // centroids — rides into the plan as a literal and prefilters
+    // the corpus-sized train side MAP-SIDE (graft_might_contain is
+    // the codegen'd bit test the runtime bloom join uses). Only the
+    // might_contain survivors (true hits + the fpp tail) reach the
+    // exact semi-join shuffle. Blooms have no false negatives and
+    // the exact verify kills the false positives, so the result
+    // equals the unfiltered semi join — which is what the oracle
+    // runs: the prefilter is invisible to correctness and pure
+    // shuffle savings at scale.
+    QueryDef("q118_bloom_decontam",
+      (s, dir) => {
+        graft.functions.MightContain.register(s)
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long") % 100
+        val sh = TextOps.shingleTable(s, dir).withColumn("bucket", bucket)
+        val evalSh = sh.filter(col("bucket") >= 90)
+          .select(col("s")).distinct()
+          // read twice (bloom build + exact verify side): once
+          .localCheckpoint(true)
+        val bloom = evalSh
+          .select(call_function("graft_bloom_agg", xxhash64(col("s")),
+            lit(50000L)).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        val contaminated = sh.filter(col("bucket") < 80)
+          .filter(call_function("graft_might_contain", lit(bloom),
+            xxhash64(col("s"))))
+          .join(evalSh, Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct()
+        t(s, dir, "documents")
+          .filter(bucket < 80)
+          .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_train_docs"),
+            count(col("hit")).as("n_dropped"),
+            count(when(col("hit").isNull, 1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ${TextOps.shingleSql},
+        |ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM sh),
+        |ev AS (SELECT DISTINCT s FROM ex WHERE bucket >= 90),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM ex
+        |  WHERE bucket < 80 AND s IN (SELECT s FROM ev)),
+        |train AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 80)
+        |SELECT source, count(*) AS n_train_docs,
+        |  count(CASE WHEN bad.doc_id IS NOT NULL THEN 1 END) AS n_dropped,
+        |  count(CASE WHEN bad.doc_id IS NULL THEN 1 END) AS n_kept
+        |FROM train LEFT JOIN bad ON train.doc_id = bad.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // PageRank (3 damped iterations, d=0.85) over the supplier↔
+    // customer transaction graph — the graph-centrality family next
+    // to q80's connected components, and the algorithm web-corpus
+    // curation uses for domain quality ranking. All arithmetic is
+    // FIXED-POINT integer (ranks in 1e-12 units, truncating `div`),
+    // so every engine computes the identical trajectory — the float
+    // formulation would hash-diverge on accumulation order. Scale
+    // shape: the edge list (with out-degrees pre-attached) builds
+    // once and localCheckpoints; each iteration is one equi-join of
+    // the rank vector against edges plus one hash-agg on dst — the
+    // canonical message-passing round, O(|E|) per iteration with no
+    // driver state beyond the two plan-literal scalars (node count,
+    // teleport base). Suppliers offset by 10^9 to disjoin the key
+    // spaces. The symmetric edge set means no dangling nodes: every
+    // node re-appears as a dst each round.
+    QueryDef("q120_pagerank",
+      (s, dir) => {
+        val unit = 1000000000000L
+        val sc = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") + 1000000000L).as("src"),
+            col("o_custkey").as("dst"))
+          .distinct()
+        val edges = sc.unionByName(
+            sc.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("outdeg"))
+        val ej = edges.join(deg, "src")
+          // read every iteration: build the (src, dst, outdeg) list
+          // once, cut the join lineage
+          .localCheckpoint(true)
+        val n = ej.select(col("src")).distinct().count()
+        val base = 15L * unit / 100L / n
+        var ranks = ej.select(col("src").as("node")).distinct()
+          .withColumn("r", lit(unit / n))
+        for (_ <- 1 to 3) {
+          ranks = ej
+            .join(ranks, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("r div outdeg")).as("m"))
+            .select(col("dst").as("node"),
+              (lit(base) + expr(s"(85 * m) div 100")).as("r"))
+        }
+        ranks.orderBy(col("r").desc, col("node")).limit(100)
+          .select(col("node"), col("r").as("rank_fp"))
+      },
+      Some("""WITH sc AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT src, dst FROM sc
+        |  UNION ALL SELECT dst AS src, src AS dst FROM sc),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ej AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |nn AS (SELECT count(DISTINCT src) AS n FROM ej),
+        |r0 AS (
+        |  SELECT DISTINCT src AS node,
+        |    1000000000000 // (SELECT n FROM nn) AS r FROM ej),
+        |r1 AS (
+        |  SELECT dst AS node,
+        |    (15 * 1000000000000 // 100) // (SELECT n FROM nn)
+        |      + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ej JOIN r0 ON ej.src = r0.node GROUP BY dst),
+        |r2 AS (
+        |  SELECT dst AS node,
+        |    (15 * 1000000000000 // 100) // (SELECT n FROM nn)
+        |      + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ej JOIN r1 ON ej.src = r1.node GROUP BY dst),
+        |r3 AS (
+        |  SELECT dst AS node,
+        |    (15 * 1000000000000 // 100) // (SELECT n FROM nn)
+        |      + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ej JOIN r2 ON ej.src = r2.node GROUP BY dst)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY r DESC, node LIMIT 100""".stripMargin))
   )
 }

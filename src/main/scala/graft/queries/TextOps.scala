@@ -508,7 +508,68 @@ object TextOps {
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
-    tfidfQueryDef)
+    tfidfQueryDef, pmiQueryDef)
+
+  /** PMI collocation mining — the phrase/multi-word-expression
+    * detector tokenizer pipelines run before merging frequent pairs
+    * (and the statistical heart of word2vec-era negative sampling).
+    * Score = n_ab·B / (n_a·n_b), the pointwise-mutual-information
+    * ratio, kept as FIXED-POINT integer (×10⁶, truncating div):
+    * log() is strictly monotone in the ratio, so top-k by the ratio
+    * IS top-k by PMI, and the integer form hash-matches the oracle
+    * where a float log would diverge on the last bit. The ×B×10⁶
+    * product stays under 2^63 through the bench scales; a 10¹²-token
+    * corpus computes the same ranking in double (monotone ⇒ same
+    * order, no oracle to hash against). n_ab ≥ 5 is the standard
+    * support floor. Shape: one posexplode, two hash-aggs (bigram +
+    * unigram counts), two joins of the bigram table against the
+    * vocab-sized unigram table (AQE broadcasts it), top-50 via
+    * TakeOrderedAndProject — the corpus is scanned once. */
+  private lazy val pmiQueryDef = QueryDef("q122_pmi_collocations",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+      val uni = tk.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val bg = tk
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        // read twice (total-count scalar + the scoring join): the
+        // window + agg that build it run once
+        .localCheckpoint(true)
+      val bt = bg.agg(sum(col("n_ab"))).head.getLong(0)
+      bg.filter(col("n_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n2")), "w2")
+        .select(col("w1"), col("w2"), col("n_ab"),
+          expr(s"(n_ab * ${bt}L * 1000000L) div (n1 * n2)").as("pmi_fp"))
+        .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, $tokSql AS tk FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS n_w
+      |  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(len(tk)-1),
+      |    i -> tk[i+1] || ' ' || tk[i+2])) AS b
+      |  FROM tok),
+      |cab AS (SELECT b, count(*) AS n_ab FROM bg GROUP BY b),
+      |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS bt FROM cab),
+      |sc AS (
+      |  SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+      |    n_ab
+      |  FROM cab WHERE n_ab >= 5)
+      |SELECT sc.w1, sc.w2, sc.n_ab,
+      |  (sc.n_ab * (SELECT bt FROM tot) * 1000000) // (ua.n_w * ub.n_w)
+      |    AS pmi_fp
+      |FROM sc
+      |JOIN uni ua ON sc.w1 = ua.w
+      |JOIN uni ub ON sc.w2 = ub.w
+      |ORDER BY pmi_fp DESC, sc.w1, sc.w2 LIMIT 50""".stripMargin))
 
   /** Sparse-vector retrieval: TF-IDF cosine top-10 against a FIXED
     * probe-document set — the embedding-free sibling of q40's dense

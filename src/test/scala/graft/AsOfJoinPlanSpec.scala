@@ -230,6 +230,63 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  /** forward reference: at equal t the right row is eligible
+    * (rt >= lt), so rights sort AFTER lefts at equal t — side=0 for
+    * left, 1 for right; first non-null right payload at-or-after. */
+  private def referenceAsOfFwd(
+      left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("k"), col("t"), lit(0).as("side"),
+      col("lv"), lit(null).cast("long").as("rv"))
+    val r = right.select(col("k"), col("t"), lit(1).as("side"),
+      lit(null).cast("long").as("lv"), col("rv"))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("side"), col("rv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionAll(r)
+      .withColumn("next_rv", first(col("rv"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("k"), col("t"), col("lv"), col("next_rv"))
+  }
+
+  private def nativeAsOfFwd(left: DataFrame, right: DataFrame): DataFrame =
+    AsOfJoin.forward(
+      left, right.select(col("k").as("rk"), col("t").as("rt"), col("rv")),
+      Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("k"), col("t"), col("lv"), col("rv").as("next_rv"))
+
+  test("forward: matches the window-based reference on a dense corpus (both paths)") {
+    val left = spark.range(2000).select(
+      (col("id") % 40).as("k"), (col("id") * 7 % 997).as("t"),
+      col("id").as("lv"))
+    val right = spark.range(700).select(
+      (col("id") % 35).as("k"), (col("id") * 13 % 491).as("t"),
+      col("id").as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    onBothPaths {
+      assertSame(nativeAsOfFwd(left, right), referenceAsOfFwd(left, right))
+    }
+  }
+
+  test("forward: ties admit, earlier rights never match, tolerance bounds (both paths)") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 6L), (1L, 10L, 7L), (1L, 26L, 9L))
+      .toDF("k", "t", "rv")
+    onBothPaths {
+      val out = nativeAsOfFwd(left, right).orderBy("lv")
+        .select("next_rv").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      // (1,10) -> tie at 10; (1,20) -> 26; (2,5) -> no right key 2
+      assert(out.toSeq == Seq(7L, 9L, -1L))
+      val tol = AsOfJoin.forward(left,
+        right.select(col("k").as("rk"), col("t").as("rt"), col("rv")),
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(3L))
+        .orderBy("lv").select("rv").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      // gap 0 <= 3 fresh; gap 6 > 3 too far in the future; no key
+      assert(tol.toSeq == Seq(7L, -1L, -1L))
+    }
+  }
+
   test("strategy picks by right-side stats: default threshold broadcasts tiny state") {
     // default session threshold is 10MB; a 50-row right side is far
     // under it, so the auto path must choose broadcast — and forcing
