@@ -28,6 +28,13 @@ object SimilarityOps {
   private val quantSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))"
 
+  /** map-side element-wise array sum (see [[graft.functions.VecSum]]):
+    * the centroid/IVF build aggregate. Long sums are exact, so this is
+    * bit-identical to the oracle's per-dimension `sum()` while
+    * shuffling one array per (key, partition) instead of |rows|×dim
+    * exploded records. */
+  private lazy val vecSum = udaf(new graft.functions.VecSum)
+
   /** exact integer dot product of two quantized vectors. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
@@ -189,12 +196,8 @@ object SimilarityOps {
         quant(col("embedding")).as("v"))
       .withColumn("n2", nrm2(col("v")))
     val sums = all
-      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(col("x")).as("sx"))
       .groupBy(col("label"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("sx")))),
-        x => x.getField("sx")).as("sv"))
+      .agg(vecSum(col("v")).as("sv"))
       .withColumn("sn2", nrm2(col("sv")))
     val queries = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -329,12 +332,8 @@ object SimilarityOps {
             quant(col("embedding")).as("v"))
           .withColumn("n2", nrm2(col("v")))
         val sums = all
-          .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("label"), col("dim"))
-          .agg(sum(col("x")).as("sx"))
           .groupBy(col("label"))
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("sx")))),
-            x => x.getField("sx")).as("sv"))
+          .agg(vecSum(col("v")).as("sv"))
           .withColumn("sn2", nrm2(col("sv")))
         val queries = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -529,15 +528,22 @@ object SimilarityOps {
 
     // ------------------------------------------------------------------
     // Per-label centroids (the IVF coarse-quantizer build step):
-    // posexplode → (label, dim) hash-agg; exact integer sums, one
+    // map-side VecSum per label, THEN a 64-row posexplode per label
+    // for the long-form output — the explode happens after the
+    // aggregation, so the shuffle carries |labels| arrays instead of
+    // |rows|×64 exploded records. Exact integer sums, one
     // deterministic division at the end.
     QueryDef("q42_label_centroids",
       (s, dir) => t(s, dir, "embeddings")
         .select(col("label").cast("long").as("label"),
-          posexplode(quant(col("embedding"))).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim").cast("long").as("dim"))
-        .agg((sum(col("x")).cast("double") / count(lit(1)) / 10000)
-          .as("centroid"), count(lit(1)).as("n"))
+          quant(col("embedding")).as("v"))
+        .groupBy(col("label"))
+        .agg(vecSum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("label"), posexplode(col("sv")).as(Seq("dim", "sx")),
+          col("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          (col("sx").cast("double") / col("n") / 10000).as("centroid"),
+          col("n"))
         .orderBy(col("label"), col("dim")),
       Some(s"""WITH qv AS (
         |  SELECT CAST(label AS BIGINT) AS label, $quantSql AS v FROM embeddings),
@@ -655,21 +661,21 @@ object SimilarityOps {
     }
     val hist = collection.mutable.ArrayBuffer.empty[Long]
     for (_ <- 1 to iters) {
+      // one map-side VecSum per cluster: the update shuffle carries k
+      // arrays (not |corpus|×64 exploded rows), and the WCSS rides it
       val upd = assigned
-        .select(col("cluster"), col("dist"),
-          posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
-          sum(when(col("dim") === 0, col("dist"))).as("w0"))
+        .groupBy(col("cluster"))
+        .agg(vecSum(col("v")).as("sv"), count(lit(1)).as("n"),
+          sum(col("dist")).as("w"))
         .collect()
-      hist += upd.filter(r => r.getAs[Int]("dim") == 0)
-        .map(_.getAs[Long]("w0")).sum
-      val byCluster = upd.groupBy(_.getAs[Long]("cluster"))
+      hist += upd.map(_.getAs[Long]("w")).sum
+      val byCluster =
+        upd.map(r => r.getAs[Long]("cluster") -> r).toMap
       cents = (0 until k).map { c =>
         byCluster.get(c.toLong) match {
-          case Some(rows) =>
-            rows.sortBy(_.getAs[Int]("dim"))
-              .map(r => r.getAs[Long]("sx") / r.getAs[Long]("n")).toSeq
+          case Some(r) =>
+            val n = r.getAs[Long]("n")
+            r.getSeq[Long](r.fieldIndex("sv")).map(_ / n)
           case None => cents(c) // emptied cluster: keep previous
         }
       }
@@ -765,15 +771,19 @@ object SimilarityOps {
     val all = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         quant(col("embedding")).as("v"))
-    // codebook: mean subvector per (label, subspace), in quantized units
+    // codebook: mean subvector per (label, subspace), in quantized
+    // units — slice per subspace, VecSum map-side, one division at
+    // the end (integer sums < 2^53 make the double mean exact, same
+    // value as the per-dimension avg formulation)
     val cb = all
-      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
-      .withColumn("sp", (col("d") / sub).cast("int"))
-      .groupBy(col("label"), col("sp"), col("d"))
-      .agg(avg(col("x")).as("c"))
+      .select(col("label"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sp"))
+      .withColumn("x", slice(col("v"), col("sp") * sub + 1, lit(sub)))
       .groupBy(col("label"), col("sp"))
-      .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
-        x => x.getField("c")).as("cv"))
+      .agg(vecSum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cv",
+        transform(col("sx"), e => e.cast("double") / col("n")))
+      .select(col("label"), col("sp"), col("cv"))
       // tiny (labels × subspaces); materialized once — it feeds both
       // the corpus encode and the per-query ADC tables, which would
       // otherwise each re-run the two-level aggregation
