@@ -14,7 +14,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     CoreOps.defs ++ ScalarOps.defs ++ AnalyticsOps.defs ++ TextOps.defs ++
       SimilarityOps.defs ++ MultimodalOps.defs ++ TemporalOps.defs ++
-      ExtendedOps.defs ++ LayoutOps.defs ++ PipelineOps.defs
+      ExtendedOps.defs ++ LayoutOps.defs ++ PipelineOps.defs ++
+      GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

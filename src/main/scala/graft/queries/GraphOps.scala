@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Graph-structure analytics over the part co-purchase graph (parts
+  * appearing in the same order), joining q80's connected components
+  * and q120's PageRank in the graph family: triangle counting /
+  * clustering coefficients (community density, spam-farm detection in
+  * web-corpus curation) and k-core decomposition (the standard dense-
+  * subgraph peel used to find boilerplate/link-farm cores).
+  *
+  * Scale shape: the basket self-join is bounded by order size (≤7
+  * items in TPC-H-shaped data — the analogue of q35's df cap for
+  * unbounded baskets), the triangle join is DEGREE-ORDERED (each
+  * edge directed from its lower-(degree, id) endpoint, the classic
+  * MapReduce trick that bounds wedge cost by Σ min-degree instead of
+  * Σ degree² — a hub of degree 10⁶ generates zero wedges instead of
+  * 10¹²), and k-core peels with one degree hash-agg + one semi join
+  * per round over a once-checkpointed edge list. All counts are
+  * integers; the one float (clustering coefficient) is a single
+  * division on identical operands in both engines.
+  */
+object GraphOps {
+
+  /** canonical undirected co-purchase edges (u < v), distinct,
+    * checkpointed once — reused by degrees, orientation, closure
+    * check, and every peel round. */
+  private val edgeCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.synchronized {
+      edgeCache.getOrElseUpdate((s, dir), {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+          .localCheckpoint(false)
+      })
+    }
+
+  private val edgeSql =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+
+  /** symmetric (both-direction) edge view + per-node degrees. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Top-100 nodes by triangle participation, with degree and local
+    * clustering coefficient. Each triangle {a,b,c} is found exactly
+    * once: edges are oriented low→high by (degree, id), and a wedge
+    * (a→b, a→c) with rank(b) < rank(c) closes iff the oriented edge
+    * b→c exists. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir)
+    val deg = degrees(edges)
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    // orient: src = lower (deg, id) endpoint; carry dst's rank key
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+        .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"))
+      // read three times (both wedge sides + closure): cut once
+      .localCheckpoint(false)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"),
+        "left_semi")
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .join(deg, "node")
+      .select(col("node"), col("deg").as("degree"), col("triangles"),
+        ((col("triangles") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1))).as("clustering"))
+      .orderBy(col("triangles").desc, col("node")).limit(100)
+  }
+
+  /** 3 unrolled k-core peel rounds at threshold `k`: recompute
+    * degrees on the surviving subgraph, drop nodes below k, repeat.
+    * Output = surviving nodes with their residual degree. Unrolled
+    * (not while-converged) so the oracle SQL is plain CTEs — the
+    * fixpoint variant is [[PipelineOps.connectedComponents]]'s loop
+    * shape with the same checkpoint discipline. */
+  def kcore(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val canon = coPurchaseEdges(s, dir)
+    var sym = canon.select(col("u"), col("v"))
+      .unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    for (_ <- 1 to 3) {
+      val alive = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      sym = sym
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        // each round's survivor subgraph feeds the next round twice
+        // (degree agg + both semi joins): cut per round, like q80
+        .localCheckpoint(false)
+    }
+    sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("residual_deg"))
+      .orderBy(col("node"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Degree-ordered triangle counting + local clustering coefficient.
+    QueryDef("q123_triangles",
+      (s, dir) => triangles(s, dir),
+      Some(s"""WITH $edgeSql,
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node)
+        |SELECT tn.node, deg.degree, tn.triangles,
+        |  CAST(tn.triangles * 2 AS DOUBLE) / (deg.degree * (deg.degree - 1))
+        |    AS clustering
+        |FROM tn JOIN deg ON tn.node = deg.node
+        |ORDER BY tn.triangles DESC, tn.node LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // k-core peel (k = 90, 3 rounds) — dense-subgraph extraction.
+    QueryDef("q124_kcore",
+      (s, dir) => kcore(s, dir, k = 90),
+      Some(s"""WITH $edgeSql,
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |d0 AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        |a1 AS (SELECT node FROM d0 WHERE deg >= 90),
+        |e1 AS (
+        |  SELECT u, v FROM sym
+        |  WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)),
+        |d1 AS (SELECT u AS node, count(*) AS deg FROM e1 GROUP BY u),
+        |a2 AS (SELECT node FROM d1 WHERE deg >= 90),
+        |e2 AS (
+        |  SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)),
+        |d2 AS (SELECT u AS node, count(*) AS deg FROM e2 GROUP BY u),
+        |a3 AS (SELECT node FROM d2 WHERE deg >= 90),
+        |e3 AS (
+        |  SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3))
+        |SELECT u AS node, count(*) AS residual_deg FROM e3
+        |GROUP BY u ORDER BY node""".stripMargin))
+  )
+}
