@@ -133,6 +133,76 @@ object PipelineOps {
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // Column profiling — the schema-audit pass every ingestion runs
+    // before training (null fractions, cardinalities, ranges feed
+    // both data-quality gates and join-strategy decisions). ONE scan
+    // of the table computes all per-column aggregates (Spark plans
+    // the multi-count(DISTINCT) via a single Expand — no per-column
+    // re-scan), then a stack() reshapes wide → long. Numeric ranges
+    // surface as DOUBLE (timestamps as epoch-millis), string columns
+    // as NULL ranges — exact values pass through untouched, so the
+    // oracle hash-matches without float-format hazards.
+    QueryDef("q127_column_profile",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val strCols = Seq("o_orderstatus", "o_orderpriority")
+        val aggs = (numCols ++ strCols ++ Seq("o_orderdate")).flatMap { c =>
+          val (mn, mx) =
+            if (numCols.contains(c))
+              (min(col(c)).cast("double"), max(col(c)).cast("double"))
+            else if (c == "o_orderdate")
+              // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned
+              // UTC, so the cast reads the wall clock as UTC epoch
+              (min(unix_millis(col(c).cast("timestamp"))).cast("double"),
+                max(unix_millis(col(c).cast("timestamp"))).cast("double"))
+            else (lit(null).cast("double"), lit(null).cast("double"))
+          Seq(count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            mn.as(s"mn_$c"), mx.as(s"mx_$c"))
+        }
+        val total = count(lit(1)).as("n_rows")
+        val wide = o.agg(total, aggs: _*)
+        val stackArgs = (numCols ++ strCols ++ Seq("o_orderdate"))
+          .map(c => s"'$c', cnt_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        wide.selectExpr("n_rows",
+            s"stack(6, $stackArgs) AS (col_name, n_present, n_distinct, min_val, max_val)")
+          .select(col("col_name"), col("n_rows"),
+            (col("n_rows") - col("n_present")).as("n_null"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH base AS (SELECT * FROM orders)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS max_val FROM base
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    min(o_totalprice), max(o_totalprice) FROM base
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), NULL, NULL FROM base
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority), NULL, NULL FROM base
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(epoch_ms(min(o_orderdate)) AS DOUBLE),
+        |    CAST(epoch_ms(max(o_orderdate)) AS DOUBLE) FROM base)
+        |ORDER BY col_name""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Transitive dedup clusters. q63's greedy pair rule under-merges
     // chains (A~B, B~C but A≁C still form ONE content cluster); the
     // principled resolution is connected components over the near-dup

@@ -620,7 +620,58 @@ object SimilarityOps {
         |  CAST(sum(s.sg * q.v[s.j + 1]) AS BIGINT) AS y
         |FROM qv q CROSS JOIN signs s
         |GROUP BY q.vec_id, s.o
-        |ORDER BY vec_id, out_dim""".stripMargin))
+        |ORDER BY vec_id, out_dim""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Hard-negative mining for contrastive training: for each query
+    // vector, the top-3 most-similar vectors with a DIFFERENT label —
+    // the pairs a triplet/InfoNCE loss learns most from. Exact
+    // broadcast scoring (the corpus never shuffles; the label filter
+    // rides the map-side cross product); at retrieval scale the
+    // candidate generation swaps to the ANN paths (q41/q67/q84)
+    // unchanged, since the label predicate composes with any of them.
+    QueryDef("q126_hard_negatives",
+      (s, dir) => {
+        val all = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            quant(col("embedding")).as("v"))
+        val queries = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+        all.crossJoin(broadcast(queries))
+          .filter(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            qcos(s, "qv", "v").as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label").as("neg_label"), col("cosine"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v
+        |  FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, label, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id, e.label,
+        |    CAST($dotSql AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
+        |  FROM (SELECT vec_id, label, v AS qv, n2 FROM normed WHERE vec_id < 10) q
+        |  CROSS JOIN (SELECT vec_id, label, v AS ev, n2 FROM normed) e
+        |  WHERE e.label <> q.label),
+        |ranked AS (
+        |  SELECT qid, vec_id, label, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |  label AS neg_label, cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin))
   )
 
   /** Lloyd k-means over [[vecs]]: returns the per-cluster summary

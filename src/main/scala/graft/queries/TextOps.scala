@@ -508,7 +508,120 @@ object TextOps {
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
-    tfidfQueryDef, pmiQueryDef)
+    tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef)
+
+  /** Prefix-filtered set-similarity join (the SSJoin/PPJoin candidate
+    * strategy): order each doc's shingles by ascending global
+    * frequency (rarest first), keep only the PREFIX of length
+    * sz − ⌈τ·sz⌉ + 1, and generate candidates from prefix-shingle
+    * collisions alone. The filter is LOSSLESS for Jaccard ≥ τ — two
+    * sets meeting the threshold must overlap within these prefixes
+    * (pigeonhole on the shared frequency order) — so unlike q35's
+    * df-capped index the candidate set provably contains every
+    * qualifying pair, while the join touches only the rare tokens:
+    * posting-list cost concentrates on low-df shingles, the exact
+    * opposite end from the stop-shingle blowup the df cap guards
+    * against. τ = 0.5 ⇒ prefix = sz − ⌈sz/2⌉ + 1, all in integer
+    * arithmetic (`div`). Verification intersects full shingle sets
+    * for candidates only. The same answer as q35 by a different —
+    * exact — route; both engines order prefixes by (df, shingle) so
+    * no tie ambiguity exists (the prefix CONTENT doesn't even need
+    * to match across engines for correctness, but determinism keeps
+    * the oracle meaningful). */
+  private lazy val prefixJoinQueryDef = QueryDef("q125_prefix_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = shingleTable(s, dir) // (doc_id, s, sz)
+      val ranked = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      val prefix = ranked
+        .filter(col("rk") <= expr("sz - ((sz + 1) div 2) + 1"))
+        .select(col("doc_id"), col("s"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val full = sh.select(col("doc_id"), col("s"))
+      val sizes = sh.select(col("doc_id"), col("sz")).distinct()
+      cand
+        .join(full.select(col("doc_id").as("da"), col("s")), "da")
+        .join(full.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    // the filter is exact, so the oracle is the UNCAPPED brute-force
+    // inverted index — every pair with true Jaccard ≥ 0.5
+    Some(s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT da, db, CAST(c AS DOUBLE) / (sa + sb - c) AS jaccard
+      |FROM cnt WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5
+      |ORDER BY da, db""".stripMargin))
+
+  /** Bigram corpus-coverage scoring — the integer-deterministic form
+    * of n-gram LM fluency filtering (CCNet/Gopher-style): how much of
+    * a document is made of bigrams the corpus has seen often? Per
+    * doc: bigram instance count, count with corpus frequency ≥ 5
+    * (the PMI support floor), coverage fraction, and mean corpus
+    * frequency — integer sums with exactly one division each, where
+    * a log-prob perplexity would hash-diverge (the ranking it induces
+    * is the same: mean frequency is monotone in the geometric-mean
+    * LM score's dominant term). Shape: one posexplode + window lead
+    * builds instance bigrams, one hash-agg builds the frequency
+    * table, one join scores — corpus scanned once, and the frequency
+    * table is vocab²-bounded (AQE broadcasts it at small SF; at
+    * 100 TB it's the shuffled side of an equi-join keyed by bigram,
+    * never collected). */
+  private lazy val bigramCoverageQueryDef = QueryDef("q128_bigram_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("b"))
+        // read twice (frequency build + scoring): cut the
+        // tokenize+window subtree once
+        .localCheckpoint(false)
+      val freq = bg.groupBy(col("b")).agg(count(lit(1)).as("f"))
+      bg.join(freq, "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("f") >= 5, 1)).as("n_known"),
+          sum(col("f")).as("sf"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+          (col("n_known").cast("double") / col("n_bigrams")).as("coverage"),
+          (col("sf").cast("double") / col("n_bigrams")).as("mean_freq"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, $tokSql AS tk FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(tk)-1),
+      |    i -> tk[i+1] || ' ' || tk[i+2])) AS b
+      |  FROM tok),
+      |freq AS (SELECT b, count(*) AS f FROM bg GROUP BY b)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(count(CASE WHEN f >= 5 THEN 1 END) AS BIGINT) AS n_known,
+      |  CAST(count(CASE WHEN f >= 5 THEN 1 END) AS DOUBLE) / count(*)
+      |    AS coverage,
+      |  CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
+      |FROM bg JOIN freq USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** PMI collocation mining — the phrase/multi-word-expression
     * detector tokenizer pipelines run before merging frequent pairs
