@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd intersection of two SORTED `array<long>` columns
+  * via a two-pointer merge scan — O(n+m) on primitive longs inside
+  * whole-stage codegen.
+  *
+  * Why not `array_intersect`: Spark's ArrayIntersect builds a boxed
+  * hash set per row (and is CodegenFallback in the binary-null-safe
+  * shape used here), which is exactly the per-row allocation storm
+  * the §2.10 escalation ladder exists to avoid — on the triangle
+  * counting adjacency intersection it was the dominant cost of the
+  * whole query. Callers guarantee sortedness (both graph adjacency
+  * arrays and shingle-hash sets are built with `sort_array`) and
+  * distinctness; under those preconditions the merge scan emits the
+  * same element set ascending.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_common"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val buf = new Array[Long](math.min(n, m))
+    var i = 0; var j = 0; var k = 0
+    while (i < n && j < m) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa < yb) i += 1
+      else if (xa > yb) j += 1
+      else { buf(k) = xa; k += 1; i += 1; j += 1 }
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val buf = ctx.freshName("buf")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      s"""
+         |int $n = $x.numElements();
+         |int $m = $y.numElements();
+         |long[] $buf = new long[java.lang.Math.min($n, $m)];
+         |int $i = 0, $j = 0, $k = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xa = $x.getLong($i);
+         |  long $yb = $y.getLong($j);
+         |  if ($xa < $yb) { $i++; }
+         |  else if ($xa > $yb) { $j++; }
+         |  else { $buf[$k++] = $xa; $i++; $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData
+         |  .toArrayData(java.util.Arrays.copyOf($buf, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersect {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_common", exprs => SortedIntersect(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Column-API entry point (requires `register(spark)` once). */
+  def sorted_common(a: String, b: String): Column =
+    expr(s"sorted_common($a, $b)")
+}

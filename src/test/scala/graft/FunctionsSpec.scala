@@ -71,4 +71,26 @@ class FunctionsSpec extends SparkSpec {
         "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("sorted_common matches array_intersect on sorted distinct arrays") {
+    graft.functions.SortedIntersect.register(spark)
+    // randomized sorted distinct long arrays, fixed seed
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      def arr() = rnd.shuffle((0L to 60L).toList)
+        .take(rnd.nextInt(30) + 1).distinct.sorted.toArray
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b")
+      .select(expr("sorted_common(a, b)").as("mine"),
+        sort_array(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("mine") =!= col("ref")).count() == 0)
+    // null propagation + empty intersection
+    val edge = Seq(
+      (Some(Array(1L, 2L)), None),
+      (Some(Array(1L, 2L)), Some(Array(3L, 4L))))
+      .toDF("a", "b").select(expr("sorted_common(a, b)").as("c")).collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getSeq[Long](0).isEmpty)
+  }
 }
