@@ -203,6 +203,116 @@ object PipelineOps {
         |ORDER BY col_name""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Temperature-scaled source mixture (the multilingual-corpus
+    // balancing rule: sample source s proportional to n_s^α, α = 0.5
+    // — upweights small sources relative to proportional sampling
+    // without letting a giant source dominate). All arithmetic that
+    // decides membership is INTEGER: weight = ⌊√n_s⌋ (sqrt is a
+    // single correctly-rounded IEEE op on an exact integer, floor
+    // pins it), quota = (budget·w_s) div Σw — so both engines select
+    // the identical doc set, where a float softmax would drift on
+    // sum order. Selection within a source is the md5-rank rule of
+    // q79 (reproducible on any cluster/partitioning). The Σw scalar
+    // is a 5-row aggregate collected once (plan literal, like q120's
+    // node count); quotas broadcast back. */
+    QueryDef("q129_temperature_mix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val cnts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("wt", floor(sqrt(col("n").cast("double"))).cast("long"))
+        val tot = cnts.agg(sum(col("wt"))).head.getLong(0)
+        val quota = cnts.select(col("source"),
+          expr(s"(200 * wt) div ${tot}L").as("quota"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        d.withColumn("rk", row_number().over(w))
+          .join(broadcast(quota), "source")
+          .filter(col("rk") <= col("quota"))
+          .select(col("source"), col("doc_id"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM w),
+        |q AS (SELECT source, (200 * wt) // (SELECT t FROM tot) AS quota FROM w),
+        |r AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source, r.doc_id
+        |FROM r JOIN q USING (source) WHERE rk <= quota
+        |ORDER BY source, doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Per-source quantile normalization — map each doc's raw quality
+    // signal (n_chars) to the GLOBAL distribution's value at the
+    // same within-source quantile, removing per-source scale bias
+    // before cross-source comparison (the batch-effect correction of
+    // bioinformatics, applied to corpus quality scores). Positions
+    // are integer rank interpolation (`div`), so the mapping is
+    // engine-exact. The global value table is indexed with q95's
+    // scalable two-phase bucket scheme — NOT a single-partition
+    // global window; the within-source ranks partition naturally.
+    QueryDef("q130_quantile_norm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        // global (n_chars, doc_id) index, q95-style: range-bucket on
+        // the value, rank in-bucket, add cumsum offsets
+        val nBuckets = 256L
+        val Array(minV, maxV, nTot) = docs
+          .agg(min(col("n_chars")), max(col("n_chars")), count(lit(1)))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxV - minV + nBuckets) / nBuckets)
+        val bucketed = docs.withColumn("bucket",
+          ((col("n_chars") - minV) / width).cast("long"))
+        val offsets = bucketed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wInBucket = Window.partitionBy(col("bucket"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val indexed = bucketed.join(broadcast(offsets), "bucket")
+          .withColumn("gidx",
+            col("offset") + row_number().over(wInBucket) - 1)
+          .select(col("gidx").as("p"), col("n_chars").as("norm_chars"))
+        val wSrc = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val wCnt = Window.partitionBy(col("source"))
+        docs
+          .withColumn("rs", row_number().over(wSrc))
+          .withColumn("ns", count(lit(1)).over(wCnt))
+          .withColumn("p", expr(
+            s"((rs - 1) * ${nTot - 1}L) div (CASE WHEN ns = 1 THEN 1 ELSE ns - 1 END)"))
+          .join(indexed, "p")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("norm_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+        |  SELECT n_chars AS norm_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS p
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.n_chars, g.norm_chars
+        |FROM r JOIN g ON
+        |  ((r.rs - 1) * ((SELECT n FROM nn) - 1))
+        |    // (CASE WHEN r.ns = 1 THEN 1 ELSE r.ns - 1 END) = g.p
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Transitive dedup clusters. q63's greedy pair rule under-merges
     // chains (A~B, B~C but A≁C still form ONE content cluster); the
     // principled resolution is connected components over the near-dup
