@@ -508,7 +508,163 @@ object TextOps {
   ) ++ Seq(splitQueryDef, bpeQueryDef, cmsQueryDef, repetitionQueryDef,
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
-    tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef)
+    tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
+    rankFusionQueryDef)
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval combiner (RRF,
+    * Cormack et al.): fuse two independent rankings of the corpus
+    * against the same probe documents by score = Σ 1/(k + rank),
+    * k = 60. Here the two channels are the TF-IDF cosine ranking
+    * (q113's weighted-postings pipeline) and a distinct-token Jaccard
+    * ranking — a lexical-overlap channel with deliberately different
+    * bias. Each channel contributes its top-20; fusion is a FULL
+    * OUTER join on (probe, doc) with absent ranks contributing 0.
+    * The score is FIXED-POINT integer (10⁹ div (60 + rank)) — sums
+    * of two such terms are exact, so the fused ordering is
+    * engine-identical where float reciprocals could tie-break
+    * differently. Scale shape: both channels are probe-side-bounded
+    * postings joins (cost ∝ probe-term postings, not corpus²), and
+    * the fusion join carries ≤ 2·20 rows per probe. */
+  private lazy val rankFusionQueryDef = QueryDef("q131_rank_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val probes = Seq(0L, 100L, 200L, 300L, 400L)
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        // feeds idf, norms, probe terms, and the dot join
+        .localCheckpoint(true)
+      val nDocs = tf.select(col("doc_id")).distinct().count()
+      // --- channel A: TF-IDF cosine (q113's integer-idf weighting) ---
+      val idf = tf.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .select(col("w"),
+          least(expr(s"(${nDocs}L * 1000) div df"), lit(100000L)).as("idf_q"))
+      val wt = tf.join(idf, "w")
+        .select(col("doc_id"), col("w"), (col("tf") * col("idf_q")).as("wt"))
+        .localCheckpoint(true)
+      val norms = wt.groupBy(col("doc_id")).agg(sum(col("wt") * col("wt")).as("n2"))
+      val pTerms = wt.filter(col("doc_id").isin(probes: _*))
+        .select(col("doc_id").as("probe_id"), col("w"), col("wt").as("pwt"))
+      val wA = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val rankA = wt.join(pTerms, "w")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(sum(col("wt") * col("pwt")).as("dot"))
+        .join(norms, "doc_id")
+        .join(norms.select(col("doc_id").as("probe_id"),
+          col("n2").as("pn2")), "probe_id")
+        .withColumn("cosine", col("dot").cast("double")
+          / (sqrt(col("pn2").cast("double")) * sqrt(col("n2").cast("double"))))
+        .withColumn("ra", row_number().over(wA))
+        .filter(col("ra") <= 20)
+        .select(col("probe_id"), col("doc_id"), col("ra"))
+      // --- channel B: distinct-token Jaccard overlap ---
+      val tokd = tf.select(col("doc_id"), col("w"))
+      val sizes = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val pTok = tokd.filter(col("doc_id").isin(probes: _*))
+        .select(col("doc_id").as("probe_id"), col("w"))
+      val wB = Window.partitionBy(col("probe_id"))
+        .orderBy(col("jacc").desc, col("doc_id"))
+      val rankB = tokd.join(pTok, "w")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .join(sizes, "doc_id")
+        .join(sizes.select(col("doc_id").as("probe_id"),
+          col("nt").as("pnt")), "probe_id")
+        .withColumn("jacc",
+          col("c").cast("double") / (col("nt") + col("pnt") - col("c")))
+        .withColumn("rb", row_number().over(wB))
+        .filter(col("rb") <= 20)
+        .select(col("probe_id"), col("doc_id"), col("rb"))
+      // --- fusion ---
+      val wF = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+      rankA.join(rankB, Seq("probe_id", "doc_id"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(expr("1000000000L div (60 + ra)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60 + rb)"), lit(0L)))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("rrf_fp"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+    Some(s"""WITH tf AS (
+      |  SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+      |  GROUP BY doc_id, w),
+      |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |idf AS (
+      |  SELECT w, least((n * 1000) // count(DISTINCT doc_id), 100000)
+      |    AS idf_q
+      |  FROM tf CROSS JOIN nn GROUP BY w, n),
+      |wt AS (
+      |  SELECT doc_id, tf.w AS w, tf * idf_q AS wt
+      |  FROM tf JOIN idf ON tf.w = idf.w),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+      |  FROM wt GROUP BY doc_id),
+      |pt AS (
+      |  SELECT doc_id AS probe_id, w, wt AS pwt FROM wt
+      |  WHERE doc_id IN (0, 100, 200, 300, 400)),
+      |ranka AS (
+      |  SELECT probe_id, doc_id, ra FROM (
+      |    SELECT sc.probe_id, sc.doc_id,
+      |      row_number() OVER (PARTITION BY sc.probe_id
+      |        ORDER BY sc.cosine DESC, sc.doc_id) AS ra
+      |    FROM (
+      |      SELECT d.probe_id, d.doc_id,
+      |        CAST(d.dot AS DOUBLE) / (sqrt(CAST(pn.n2 AS DOUBLE))
+      |          * sqrt(CAST(dn.n2 AS DOUBLE))) AS cosine
+      |      FROM (
+      |        SELECT probe_id, wt.doc_id AS doc_id,
+      |          CAST(sum(wt * pwt) AS BIGINT) AS dot
+      |        FROM wt JOIN pt ON wt.w = pt.w
+      |        WHERE wt.doc_id <> pt.probe_id
+      |        GROUP BY probe_id, wt.doc_id) d
+      |      JOIN norms dn ON d.doc_id = dn.doc_id
+      |      JOIN norms pn ON d.probe_id = pn.doc_id) sc)
+      |  WHERE ra <= 20),
+      |sizes AS (SELECT doc_id, count(*) AS nt FROM tf GROUP BY doc_id),
+      |ptok AS (
+      |  SELECT doc_id AS probe_id, w FROM tf
+      |  WHERE doc_id IN (0, 100, 200, 300, 400)),
+      |rankb AS (
+      |  SELECT probe_id, doc_id, rb FROM (
+      |    SELECT j.probe_id, j.doc_id,
+      |      row_number() OVER (PARTITION BY j.probe_id
+      |        ORDER BY j.jacc DESC, j.doc_id) AS rb
+      |    FROM (
+      |      SELECT o.probe_id, o.doc_id,
+      |        CAST(o.c AS DOUBLE) / (sa.nt + sb.nt - o.c) AS jacc
+      |      FROM (
+      |        SELECT ptok.probe_id, tf.doc_id, count(*) AS c
+      |        FROM tf JOIN ptok ON tf.w = ptok.w
+      |        WHERE tf.doc_id <> ptok.probe_id
+      |        GROUP BY ptok.probe_id, tf.doc_id) o
+      |      JOIN sizes sa ON o.doc_id = sa.doc_id
+      |      JOIN sizes sb ON o.probe_id = sb.doc_id) j)
+      |  WHERE rb <= 20),
+      |fused AS (
+      |  SELECT coalesce(ranka.probe_id, rankb.probe_id) AS probe_id,
+      |    coalesce(ranka.doc_id, rankb.doc_id) AS doc_id,
+      |    coalesce(1000000000 // (60 + ra), 0)
+      |      + coalesce(1000000000 // (60 + rb), 0) AS rrf_fp
+      |  FROM ranka FULL OUTER JOIN rankb
+      |    ON ranka.probe_id = rankb.probe_id
+      |      AND ranka.doc_id = rankb.doc_id)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(rrf_fp AS BIGINT) AS rrf_fp
+      |FROM (
+      |  SELECT probe_id, doc_id, rrf_fp,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY rrf_fp DESC, doc_id) AS rank
+      |  FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin))
 
   /** Prefix-filtered set-similarity join (the SSJoin/PPJoin candidate
     * strategy): order each doc's shingles by ascending global
