@@ -175,6 +175,67 @@ object TemporalOps {
         |  min(value) AS lo, max(value) AS hi,
         |  ${sumDec("value")} AS sum_value
         |FROM b GROUP BY event_type, bin
-        |ORDER BY event_type, bin""".stripMargin))
+        |ORDER BY event_type, bin""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Winsorized robust statistics — clamp each event type's values
+    // at its own [p5, p95] before the mean, the standard tail-taming
+    // step before any scale-sensitive aggregate (and q87's 3σ rule
+    // recomputed on a basis outliers can't poison). Percentiles are
+    // LOWER-RANK selections at integer positions ((n−1)·q div 100 + 1
+    // over the total (value, event_id) order), not interpolated — so
+    // the bounds are actual data values both engines pick
+    // identically, and the clipped DECIMAL sum is exact. One window
+    // shuffle + one hash-agg, bounds joined back by event type.
+    QueryDef("q132_winsorized_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val wn = Window.partitionBy(col("event_type"))
+        val ranked = events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+        val bounds = ranked.groupBy(col("event_type"))
+          .agg(
+            min(when(col("rk") === expr("((n - 1) * 5) div 100 + 1"),
+              col("value"))).as("p05"),
+            min(when(col("rk") === expr("((n - 1) * 95) div 100 + 1"),
+              col("value"))).as("p95"))
+        ranked.join(bounds, "event_type")
+          .withColumn("clip", least(greatest(col("value"), col("p05")),
+            col("p95")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+            count(when(col("value") < col("p05"), 1)).as("n_clipped_low"),
+            count(when(col("value") > col("p95"), 1)).as("n_clipped_high"),
+            (d(sum(dec(col("clip")))) / count(lit(1))).as("wmean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rk = ((n - 1) * 5) // 100 + 1 THEN value END)
+        |      AS p05,
+        |    min(CASE WHEN rk = ((n - 1) * 95) // 100 + 1 THEN value END)
+        |      AS p95
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type, count(*) AS n, b.p05, b.p95,
+        |  CAST(count(CASE WHEN value < p05 THEN 1 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(count(CASE WHEN value > p95 THEN 1 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  CAST(sum(CAST(least(greatest(value, p05), p95)
+        |    AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS wmean
+        |FROM r JOIN b USING (event_type)
+        |GROUP BY r.event_type, b.p05, b.p95
+        |ORDER BY event_type""".stripMargin))
   )
 }
