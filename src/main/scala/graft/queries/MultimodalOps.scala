@@ -135,6 +135,90 @@ object MultimodalOps {
         |    / NULLIF(CAST(sum(n) AS BIGINT), 0), 0.0) AS mean_intensity,
         |  CAST(sum(CASE WHEN delta > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_scene_changes
-        |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin))
+        |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Perceptual-hash (aHash) near-duplicate media detection — the
+    // content-similarity step past q85's exact-digest dedup: two
+    // re-encoded copies of an image share no md5 but nearly the same
+    // aHash. Pipeline: stub-decode each asset to a 32-stripe
+    // "intensity" profile (one posexplode + hash-agg — the real
+    // codec slots into the same per-partition batch as decodeStub),
+    // bit i = stripe mean > global mean, compared as the integer
+    // cross product sum_i·n > total·n_i (no division anywhere), then
+    // band the 32-bit hash into 8×4-bit keys for the candidate
+    // self-join — pigeonhole-complete for Hamming ≤ 7 — and verify
+    // bit_count(xor) ≤ 6 exactly. Same scale shape as q62's SimHash:
+    // candidates per band bucket, never all-pairs. The oracle
+    // brute-forces all pairs at the verify threshold, which the
+    // banding provably covers.
+    QueryDef("q133_phash_neardup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val media = graft.multimodal.Multimodal.mediaFromDocuments(s, dir)
+          .select(col("media_id"))
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val chars = media.join(docs, col("media_id") === col("doc_id"))
+          .select(col("media_id"), length(col("text")).as("n"),
+            posexplode(split(col("text"), "")).as(Seq("i", "c")))
+          .select(col("media_id"), col("n"), ascii(col("c")).as("a"),
+            expr("(i * 32) div n").as("stripe"))
+        val stripes = chars
+          .groupBy(col("media_id"), col("n"), col("stripe"))
+          .agg(sum(col("a")).as("si"), count(lit(1)).as("ni"))
+        // global mean vs stripe mean as an integer cross product:
+        // si/ni > st/n  ⟺  si·n > st·ni
+        val wM = Window.partitionBy(col("media_id"))
+        val sig = stripes
+          .withColumn("st", sum(col("si")).over(wM))
+          .groupBy(col("media_id"))
+          .agg(sum(when(col("si") * col("n") > col("st") * col("ni"),
+            expr("shiftleft(1L, CAST(stripe AS INT))")).otherwise(0L))
+            .as("ph"))
+          // read by the band explode and both verify sides
+          .localCheckpoint(false)
+        val banded = sig
+          .select(col("media_id"), col("ph"),
+            explode(sequence(lit(0), lit(7))).as("b"))
+          .withColumn("k", expr("shiftright(ph, CAST(b * 4 AS INT)) & 15"))
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.b") === col("y.b") && col("x.k") === col("y.k")
+              && col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
+          .distinct()
+        cand
+          .join(sig.select(col("media_id").as("ma"), col("ph").as("pa")), "ma")
+          .join(sig.select(col("media_id").as("mb"), col("ph").as("pb")), "mb")
+          .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+          .filter(col("hamming") <= 6)
+          .select(col("ma"), col("mb"), col("hamming"))
+          .orderBy(col("ma"), col("mb"))
+      },
+      Some("""WITH ch AS (
+        |  SELECT doc_id AS media_id, text, len(text) AS n,
+        |    unnest(range(len(text))) AS i
+        |  FROM documents),
+        |ex AS (
+        |  SELECT media_id, n, (i * 32) // n AS stripe,
+        |    ord(substring(text, CAST(i + 1 AS INT), 1)) AS a
+        |  FROM ch),
+        |st AS (
+        |  SELECT media_id, n, stripe, CAST(sum(a) AS BIGINT) AS si,
+        |    count(*) AS ni
+        |  FROM ex GROUP BY media_id, n, stripe),
+        |tot AS (SELECT media_id, CAST(sum(si) AS BIGINT) AS stot
+        |  FROM st GROUP BY media_id),
+        |sig AS (
+        |  SELECT st.media_id,
+        |    CAST(sum(CASE WHEN si * n > stot * ni
+        |      THEN (CAST(1 AS BIGINT) << CAST(stripe AS INT))
+        |      ELSE 0 END) AS BIGINT) AS ph
+        |  FROM st JOIN tot USING (media_id) GROUP BY st.media_id)
+        |SELECT a.media_id AS ma, b.media_id AS mb,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 6
+        |ORDER BY ma, mb""".stripMargin))
   )
 }
