@@ -138,35 +138,48 @@ object MultimodalOps {
         |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // Perceptual-hash (aHash) near-duplicate media detection — the
-    // content-similarity step past q85's exact-digest dedup: two
-    // re-encoded copies of an image share no md5 but nearly the same
-    // aHash. Pipeline: stub-decode each asset to a 32-stripe
-    // "intensity" profile (one posexplode + hash-agg — the real
+    // Perceptual-hash (aHash) INDEX BUILD — the content-similarity
+    // fingerprint past q85's exact digests: two re-encoded copies of
+    // an asset share no md5 but nearly the same aHash. Each asset
+    // stub-decodes to a 63-stripe "intensity" profile (the real
     // codec slots into the same per-partition batch as decodeStub),
-    // bit i = stripe mean > global mean, compared as the integer
-    // cross product sum_i·n > total·n_i (no division anywhere), then
-    // band the 32-bit hash into 8×4-bit keys for the candidate
-    // self-join — pigeonhole-complete for Hamming ≤ 7 — and verify
-    // bit_count(xor) ≤ 6 exactly. Same scale shape as q62's SimHash:
-    // candidates per band bucket, never all-pairs. The oracle
-    // brute-forces all pairs at the verify threshold, which the
-    // banding provably covers.
-    QueryDef("q133_phash_neardup",
+    // bit i = stripe mean > global mean compared as the integer
+    // cross product si·n > st·ni (no division anywhere), plus the
+    // 7×9-bit band keys a Hamming-band pairing joins on — exactly
+    // q62's SimHash machinery, pigeonhole-complete for distance ≤ 6.
+    // 63 bits, not 64: bit 63 is the sign bit and DuckDB's
+    // `1::BIGINT << 63` overflows. The query emits the INDEX (hash +
+    // band keys, oracle-checked bit-for-bit per asset), not pairs:
+    // on this corpus the measured minimum pairwise distance is 9 —
+    // the text stand-in payloads have no aHash near-dups at the
+    // complete-recall threshold, so a pair query would be vacuously
+    // empty (checked; and coarser histogram variants collapse the
+    // other way, 686 false 0-distance pairs). Band width is THE
+    // candidate-volume dial for the pairing join (the df-cap
+    // analog): 9-bit bands keep bucket occupancy — and Σ bucket² —
+    // flat as the corpus grows.
+    QueryDef("q133_phash_index",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val media = graft.multimodal.Multimodal.mediaFromDocuments(s, dir)
           .select(col("media_id"))
         val docs = s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
-        val chars = media.join(docs, col("media_id") === col("doc_id"))
-          .select(col("media_id"), length(col("text")).as("n"),
-            posexplode(split(col("text"), "")).as(Seq("i", "c")))
-          .select(col("media_id"), col("n"), ascii(col("c")).as("a"),
-            expr("(i * 32) div n").as("stripe"))
-        val stripes = chars
-          .groupBy(col("media_id"), col("n"), col("stripe"))
-          .agg(sum(col("a")).as("si"), count(lit(1)).as("ni"))
+        // 63 substring stripes per asset, summed IN PLACE (one row
+        // per stripe, ~n/63 chars each) instead of exploding every
+        // char through a shuffle (~10M rows at sf0.1). Boundaries are
+        // the ceil-form inverse of the per-char rule
+        // stripe(i) = (i·63) div n, so the oracle's per-char
+        // formulation groups identically.
+        val stripes = media.join(docs, col("media_id") === col("doc_id"))
+          .select(col("media_id"), col("text"), length(col("text")).as("n"),
+            explode(sequence(lit(0), lit(62))).as("stripe"))
+          .withColumn("lo", expr("(stripe * n + 62) div 63"))
+          .withColumn("ni", expr("((stripe + 1) * n + 62) div 63") - col("lo"))
+          .filter(col("ni") > 0)
+          .select(col("media_id"), col("n"), col("stripe"), col("ni"),
+            expr("aggregate(split(substring(text, CAST(lo + 1 AS INT), " +
+              "CAST(ni AS INT)), ''), 0L, (a, c) -> a + ascii(c))").as("si"))
         // global mean vs stripe mean as an integer cross product:
         // si/ni > st/n  ⟺  si·n > st·ni
         val wM = Window.partitionBy(col("media_id"))
@@ -176,31 +189,17 @@ object MultimodalOps {
           .agg(sum(when(col("si") * col("n") > col("st") * col("ni"),
             expr("shiftleft(1L, CAST(stripe AS INT))")).otherwise(0L))
             .as("ph"))
-          // read by the band explode and both verify sides
-          .localCheckpoint(false)
-        val banded = sig
-          .select(col("media_id"), col("ph"),
-            explode(sequence(lit(0), lit(7))).as("b"))
-          .withColumn("k", expr("shiftright(ph, CAST(b * 4 AS INT)) & 15"))
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.b") === col("y.b") && col("x.k") === col("y.k")
-              && col("x.media_id") < col("y.media_id"))
-          .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
-          .distinct()
-        cand
-          .join(sig.select(col("media_id").as("ma"), col("ph").as("pa")), "ma")
-          .join(sig.select(col("media_id").as("mb"), col("ph").as("pb")), "mb")
-          .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-          .filter(col("hamming") <= 6)
-          .select(col("ma"), col("mb"), col("hamming"))
-          .orderBy(col("ma"), col("mb"))
+        val bandCols = (0 until 7).map(b =>
+          expr(s"shiftright(ph, ${b * 9}) & 511").as(s"bk$b"))
+        sig.select(col("media_id") +: col("ph") +: bandCols: _*)
+          .orderBy(col("media_id"))
       },
       Some("""WITH ch AS (
         |  SELECT doc_id AS media_id, text, len(text) AS n,
         |    unnest(range(len(text))) AS i
         |  FROM documents),
         |ex AS (
-        |  SELECT media_id, n, (i * 32) // n AS stripe,
+        |  SELECT media_id, n, (i * 63) // n AS stripe,
         |    ord(substring(text, CAST(i + 1 AS INT), 1)) AS a
         |  FROM ch),
         |st AS (
@@ -215,10 +214,12 @@ object MultimodalOps {
         |      THEN (CAST(1 AS BIGINT) << CAST(stripe AS INT))
         |      ELSE 0 END) AS BIGINT) AS ph
         |  FROM st JOIN tot USING (media_id) GROUP BY st.media_id)
-        |SELECT a.media_id AS ma, b.media_id AS mb,
-        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-        |FROM sig a JOIN sig b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 6
-        |ORDER BY ma, mb""".stripMargin))
+        |SELECT media_id, ph,
+        |  (ph >> 0) & 511 AS bk0, (ph >> 9) & 511 AS bk1,
+        |  (ph >> 18) & 511 AS bk2, (ph >> 27) & 511 AS bk3,
+        |  (ph >> 36) & 511 AS bk4, (ph >> 45) & 511 AS bk5,
+        |  (ph >> 54) & 511 AS bk6
+        |FROM sig
+        |ORDER BY media_id""".stripMargin))
   )
 }
