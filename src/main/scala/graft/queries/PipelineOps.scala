@@ -203,6 +203,141 @@ object PipelineOps {
         |ORDER BY col_name""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Snapshot diff — reconcile two corpus versions by key + content
+    // digest (the table-diff every incremental pipeline runs before
+    // publishing: what was added, what was removed, what changed).
+    // Versions are derived deterministically from the one corpus (v1
+    // drops doc_id ≡ 0 mod 10, v2 rewrites text for doc_id ≡ 0
+    // mod 7), which exercises all three outcomes. Shape: digests
+    // (never text) through ONE full-outer equi-join on the key, then
+    // a tiny class count — the scalable form of any diff at any
+    // corpus size.
+    QueryDef("q134_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("h1"))
+        val v2 = docs
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+              .as("h2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("unchanged").as("class"))
+          .groupBy(col("class")).agg(count(lit(1)).as("n"))
+          .orderBy(col("class"))
+      },
+      Some("""WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h1 FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |             ELSE text END) AS h2
+        |  FROM documents),
+        |j AS (
+        |  SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |              WHEN h2 IS NULL THEN 'removed'
+        |              WHEN h1 <> h2 THEN 'changed'
+        |              ELSE 'unchanged' END AS class
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT class, count(*) AS n FROM j
+        |GROUP BY class ORDER BY class""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Declarative constraint checking — the data-contract gate
+    // (uniqueness, domain, range, non-null) run before a snapshot is
+    // published, emitting violation counts per rule instead of
+    // failing fast: ONE scan evaluates the row-local rules; the
+    // uniqueness rule is its own count-distinct aggregate (the only
+    // rule that needs a shuffle, keyed on the candidate key).
+    QueryDef("q135_constraint_check",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val rowRules = o.agg(
+          count(when(col("o_orderkey").isNull, 1)).as("r1"),
+          count(when(col("o_totalprice") <= 0, 1)).as("r2"),
+          count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("r3"),
+          count(when(col("o_orderdate").cast("timestamp")
+            < lit("1992-01-01").cast("timestamp"), 1)).as("r4"))
+        val dup = o.agg((count(col("o_orderkey"))
+          - countDistinct(col("o_orderkey"))).as("r5"))
+        rowRules.crossJoin(dup)
+          .selectExpr("stack(5, " +
+            "'orderkey_not_null', r1, 'totalprice_positive', r2, " +
+            "'status_in_domain', r3, 'orderdate_min_range', r4, " +
+            "'orderkey_unique', r5) AS (rule, n_violations)")
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT rule, n_violations FROM (
+        |  SELECT 'orderkey_not_null' AS rule,
+        |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'totalprice_positive',
+        |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'status_in_domain',
+        |    count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orderdate_min_range',
+        |    count(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01' THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orderkey_unique',
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+        |ORDER BY rule""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Referential-integrity audit — orphan counts across every FK
+    // edge of the star schema in one report. Each edge is a
+    // left-anti equi-join counting children whose parent key is
+    // missing; parents are dimension-sized (AQE broadcasts them at
+    // bench SF, degrades to shuffled joins at scale — no hints).
+    QueryDef("q136_ri_audit",
+      (s, dir) => {
+        def orphans(child: DataFrame, key: String, parent: DataFrame,
+            pkey: String, label: String): DataFrame =
+          child.select(col(key).as("k"))
+            .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(label).as("fk_edge"), col("n_orphans"))
+        orphans(t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+          .unionAll(orphans(t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey", "orders->customer"))
+          .unionAll(orphans(t(s, dir, "customer"), "c_nationkey",
+            t(s, dir, "nation"), "n_nationkey", "customer->nation"))
+          .unionAll(orphans(t(s, dir, "supplier"), "s_nationkey",
+            t(s, dir, "nation"), "n_nationkey", "supplier->nation"))
+          .unionAll(orphans(t(s, dir, "nation"), "n_regionkey",
+            t(s, dir, "region"), "r_regionkey", "nation->region"))
+          .orderBy(col("fk_edge"))
+      },
+      Some("""SELECT fk_edge, n_orphans FROM (
+        |  SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_orphans
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer->nation', count(*) FROM customer
+        |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'supplier->nation', count(*) FROM supplier
+        |  WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'nation->region', count(*) FROM nation
+        |  WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+        |ORDER BY fk_edge""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Temperature-scaled source mixture (the multilingual-corpus
     // balancing rule: sample source s proportional to n_s^α, α = 0.5
     // — upweights small sources relative to proportional sampling
