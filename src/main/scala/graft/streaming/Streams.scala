@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** one multiplexed record of the ingest queue — the
   * `(stream_key, symbol, payload)` triple of `binance-di.py:109,125`,
@@ -121,6 +121,61 @@ class FunnelProcessor(withinMs: Long)
       pendingBuys.get().filter(_ >= wm).toSeq else Seq.empty
     persist(views, buys)
     Iterator.empty
+  }
+}
+
+/** one item occurrence for windowed heavy-hitter counting. */
+case class WindowedItem(ts: java.sql.Timestamp, item: String)
+
+/** emitted exactly once per closed tumbling window: the window's
+  * top-k items by count. */
+case class WindowTopK(window_start_ms: Long, rank: Int, item: String,
+    n: Long)
+
+/** Streaming heavy hitters — q76's batch top-k as per-window LIVE
+  * state: one MapState(item → count) per tumbling window, grouped BY
+  * the window start itself, emitted exactly once when the
+  * event-time timer proves the window complete (watermark past
+  * window end). Emission at close — not per batch — makes the output
+  * independent of micro-batch chopping, and the (count desc, item)
+  * sort makes the top-k deterministic. State is bounded by
+  * (#live windows × #distinct items within lateness), and closes
+  * itself via the timer — no scan-all-keys sweep. At 100 TB the
+  * per-window item space is the dial: swap the exact MapState for a
+  * CMS blob (q76's sketch) in the same processor shape when the
+  * domain is unbounded. */
+class HeavyHittersProcessor(windowMs: Long, k: Int)
+    extends StatefulProcessor[Long, WindowedItem, WindowTopK] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[WindowedItem],
+      timerValues: TimerValues): Iterator[WindowTopK] = {
+    // a row for an already-closed window (watermark ≥ window end)
+    // would resurrect emitted state: drop it — the same
+    // bounded-lateness rule the watermark applies upstream
+    if (timerValues.getCurrentWatermarkInMs() >= key + windowMs)
+      return Iterator.empty
+    rows.foreach { r =>
+      val prev = if (counts.containsKey(r.item)) counts.getValue(r.item) else 0L
+      counts.updateValue(r.item, prev + 1L)
+    }
+    getHandle.registerTimer(key + windowMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[WindowTopK] = {
+    val top = counts.iterator().map(p => (p._1, p._2)).toSeq
+      .sortBy { case (item, n) => (-n, item) }.take(k)
+    counts.clear()
+    top.iterator.zipWithIndex.map { case ((item, n), i) =>
+      WindowTopK(key, i + 1, item, n)
+    }
   }
 }
 
@@ -497,6 +552,19 @@ object Streams {
     ds.withWatermark("ts", watermark)
       .groupByKey(_.key)
       .transformWithState(new FunnelProcessor(withinMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** windowed streaming heavy hitters — see [[HeavyHittersProcessor]].
+    * Grouping key IS the tumbling window start (floor to windowMs),
+    * so window state partitions across executors like any keyed
+    * state. */
+  def heavyHittersStream(ds: Dataset[WindowedItem], windowMs: Long,
+      k: Int, watermark: String = "10 minutes"): Dataset[WindowTopK] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermark)
+      .groupByKey(e => e.ts.getTime - math.floorMod(e.ts.getTime, windowMs))
+      .transformWithState(new HeavyHittersProcessor(windowMs, k),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

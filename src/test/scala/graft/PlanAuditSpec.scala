@@ -13,6 +13,8 @@ class PlanAuditSpec extends SparkSpec {
   private val intendedBroadcastCross =
     Set("q40_knn_bruteforce", "q43_knn_native", "q44_knn_ivf",
       "q67_knn_ivf_probe", "q55_theta_join", "q126_hard_negatives",
+      // 1-row × 1-row cross of two aggregate summaries (rule counts)
+      "q135_constraint_check",
       // range self-join over the per-DAY sketch table: ~1 row per day
       // ever (the fact table is never in the join), so a broadcast
       // nested loop over the range condition is the intended plan

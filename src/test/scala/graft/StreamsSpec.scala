@@ -417,4 +417,42 @@ class StreamsSpec extends SparkSpec {
     assert(c.getAs[Double]("close") == 20.0)
     assert(c.getAs[Double]("volume") == 65.0)
   }
+
+  test("transformWithState heavy hitters: emit once per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(java.sql.Timestamp, String)]
+      val ds = in.toDF().toDF("ts", "item")
+        .as[graft.streaming.WindowedItem]
+      val q = Streams.heavyHittersStream(ds, windowMs = 60000L, k = 2,
+          watermark = "1 minute")
+        .writeStream.format("memory").queryName("hh")
+        .outputMode("append").start()
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // window [12:00, 12:01): a×3, b×2, c×1 — split across batches
+      in.addData((t("2024-01-01 12:00:01"), "a"),
+        (t("2024-01-01 12:00:02"), "b"), (t("2024-01-01 12:00:03"), "a"))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 12:00:10"), "c"),
+        (t("2024-01-01 12:00:11"), "a"), (t("2024-01-01 12:00:12"), "b"))
+      q.processAllAvailable()
+      // nothing emitted while the window is open
+      assert(spark.table("hh").count() == 0)
+      // advance the watermark past the window end → timer fires once
+      in.addData((t("2024-01-01 12:05:00"), "z"))
+      drain(q)
+      val rows = spark.table("hh")
+        .as[graft.streaming.WindowTopK].collect().sortBy(_.rank)
+      assert(rows.length == 2, rows.toSeq.toString)
+      assert(rows(0).item == "a" && rows(0).n == 3L)
+      assert(rows(1).item == "b" && rows(1).n == 2L)
+      assert(rows.forall(_.window_start_ms ==
+        t("2024-01-01 12:00:00").getTime))
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
 }
