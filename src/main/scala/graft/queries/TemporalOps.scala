@@ -236,6 +236,127 @@ object TemporalOps {
         |    AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS wmean
         |FROM r JOIN b USING (event_type)
         |GROUP BY r.event_type, b.p05, b.p95
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Salted two-phase aggregation — the skew-mitigation pattern
+    // (q89 diagnoses it, SkewSpec proves the join variant) as a
+    // first-class catalog query with an equality oracle: phase 1
+    // aggregates on (key, salt = event_id % 8) so one hot key spreads
+    // over 8 reducers, phase 2 merges the 8 partials per key. The
+    // result is EXACTLY the plain per-key aggregate (count and
+    // DECIMAL sums are associative), which is what the oracle
+    // computes directly — the query proves the rewrite is free.
+    QueryDef("q138_salted_agg",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("event_type"), (col("event_id") % 8).as("salt"))
+          .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("pn")).as("n"), d(sum(col("psum"))).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+        |  ${sumDec("value")} AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Event-transition matrix — first-order Markov counts over each
+    // user's event sequence (the session-flow model behind funnel
+    // design and anomalous-sequence detection). One window `lead`
+    // per user over the total (ts, event_id) order, one hash-agg on
+    // the (from, to) pair, transition probability in ×10⁶ fixed
+    // point against the from-state total.
+    QueryDef("q139_transition_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val pairs = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = pairs.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("n_from"))
+        pairs.join(fromTot, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * 1000000L) div n_from").as("p_fp"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some(s"""WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY $tsMs, event_id) AS next_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  (p.n * 1000000) // ft.n_from AS p_fp
+        |FROM p JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Multi-step ordered funnel — view → click → purchase in strict
+    // event-time order per user (q83's 2-step conditional-window
+    // generalized to k steps). Each stage is a conditional min over
+    // the user's events AT OR AFTER the previous stage's timestamp:
+    // three column-pruned passes with one user-keyed hash-agg each,
+    // never a self-join (pair explosion on active users is the
+    // classic funnel trap). Ties at the same ms resolve by event_id
+    // order — the same total order every funnel query here uses.
+    QueryDef("q140_multistep_funnel",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"))
+          // three conditional passes over the same pruned projection
+          .localCheckpoint(false)
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ts_ms") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ts_ms") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t3"))
+        val counts = Seq(("1_view", s1), ("2_view_click", s2),
+          ("3_view_click_purchase", s3)).map { case (label, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(label).as("stage"), col("n_users"))
+        }
+        counts.reduce(_ unionAll _).orderBy(col("stage"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, event_type, $tsMs AS ts_ms FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts_ms) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT ev.user_id, min(ts_ms) AS t2
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_ms >= t1
+        |  GROUP BY ev.user_id),
+        |s3 AS (
+        |  SELECT ev.user_id, min(ts_ms) AS t3
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_ms >= t2
+        |  GROUP BY ev.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT '2_view_click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT '3_view_click_purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin))
   )
 }

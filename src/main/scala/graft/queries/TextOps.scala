@@ -509,7 +509,63 @@ object TextOps {
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
-    rankFusionQueryDef)
+    rankFusionQueryDef, sourceDivergenceQueryDef)
+
+  /** Per-source vocabulary divergence — total-variation distance
+    * between each source's unigram distribution and the corpus-wide
+    * one, the balance diagnostic mixture tuning (q129) reads before
+    * reweighting (and q107's drift report aimed across SOURCES
+    * instead of time). TV = Σ_w |p_s(w) − p(w)| / 2 computed
+    * entirely in integers: |cnt_sw·N − cnt_w·n_s| summed over the
+    * source's OWN vocabulary, plus n_s·N for the absent-word tail
+    * (Σ_{w∉s} cnt_w·n_s = n_s·(N − Σ_{w∈s} cnt_w) folded in closed
+    * form — no outer join against the full vocabulary), one
+    * truncating div at the end (×10⁶ fixed point; products stay
+    * under 2^63 through the bench scales — same bound note as
+    * q122's PMI). Shape: one token pass, two hash-aggs, one
+    * equi-join of (source, word) counts against the vocab-sized
+    * word table. */
+  private lazy val sourceDivergenceQueryDef = QueryDef(
+    "q137_source_divergence",
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+      val sw = tk.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_sw"))
+        // feeds the per-source totals AND the scoring join
+        .localCheckpoint(true)
+      val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val sTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+      val n = wTot.agg(sum(col("c_w"))).head.getLong(0)
+      sw.join(wTot, "w").join(sTot, "source")
+        .groupBy(col("source"))
+        .agg(first(col("n_s")).as("n_s"),
+          sum(abs(col("c_sw") * n - col("c_w") * col("n_s"))).as("present"),
+          sum(col("c_w") * col("n_s")).as("presentMass"))
+        .select(col("source"), col("n_s"),
+          expr(s"((present + (n_s * ${n}L - presentMass)) * 1000000L) " +
+            s"div (2 * n_s * ${n}L)").as("tv_fp"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tk AS (
+      |  SELECT source, unnest($tokSql) AS w FROM documents),
+      |sw AS (SELECT source, w, count(*) AS c_sw FROM tk GROUP BY 1, 2),
+      |wt AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+      |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+      |  FROM sw GROUP BY 1),
+      |nn AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM wt),
+      |agg AS (
+      |  SELECT sw.source,
+      |    CAST(sum(abs(c_sw * (SELECT n FROM nn) - c_w * n_s)) AS BIGINT)
+      |      AS present,
+      |    CAST(sum(c_w * n_s) AS BIGINT) AS presentmass
+      |  FROM sw JOIN wt USING (w) JOIN st USING (source)
+      |  GROUP BY sw.source)
+      |SELECT st.source, st.n_s,
+      |  ((agg.present + (st.n_s * (SELECT n FROM nn) - agg.presentmass))
+      |    * 1000000) // (2 * st.n_s * (SELECT n FROM nn)) AS tv_fp
+      |FROM agg JOIN st USING (source)
+      |ORDER BY source""".stripMargin))
 
   /** Reciprocal-rank fusion — the hybrid-retrieval combiner (RRF,
     * Cormack et al.): fuse two independent rankings of the corpus
