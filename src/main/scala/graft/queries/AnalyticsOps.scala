@@ -363,6 +363,67 @@ object AnalyticsOps {
         |  CAST(sum(CASE WHEN rn <= 3 THEN l_quantity ELSE 0 END) AS DOUBLE) AS top3_qty
         |FROM ranked
         |GROUP BY l_orderkey
-        |ORDER BY l_orderkey""".stripMargin))
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // NEAREST-direction as-of join — pandas merge_asof
+    // direction='nearest', composed from the native operator's two
+    // primitive directions: one backward pass (latest signup ≤ click)
+    // and one forward pass (earliest signup ≥ click) over the same
+    // inputs, then a per-row pick of the smaller |Δt| (ties →
+    // backward, which is also the earlier timestamp — matching the
+    // oracle's (abs diff, ts) order). Each pass is the native
+    // merge/broadcast as-of exec; the pick is a map-side projection
+    // after an equi-join of the two outputs on the left row id — no
+    // new plan node needed, which is the point of composable
+    // primitives. Right side pre-aggregated to unique (key, time)
+    // per the operator's tie contract.
+    QueryDef("q141_asof_nearest",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("ts_ms"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("s_user"), col("ts").as("s_ts"))
+          .agg(max(col("value")).as("s_val"))
+          .withColumn("s_ms", expr("s_ts DIV 1000000"))
+        val back = graft.plans.AsOfJoin.backward(clicks, signups,
+            Seq("user_id"), Seq("s_user"), "ts", "s_ts")
+          .select(col("event_id"), col("s_ms").as("b_ms"),
+            col("s_val").as("b_val"))
+        val fwd = graft.plans.AsOfJoin.forward(clicks, signups,
+            Seq("user_id"), Seq("s_user"), "ts", "s_ts")
+          .select(col("event_id"), col("s_ms").as("f_ms"),
+            col("s_val").as("f_val"))
+        val pickBack = col("f_ms").isNull ||
+          (col("b_ms").isNotNull &&
+            col("ts_ms") - col("b_ms") <= col("f_ms") - col("ts_ms"))
+        clicks.select(col("event_id"), col("user_id"), col("ts_ms"))
+          .join(back, "event_id").join(fwd, "event_id")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            when(pickBack, col("b_ms")).otherwise(col("f_ms"))
+              .as("nearest_ms"),
+            when(pickBack, col("b_val")).otherwise(col("f_val"))
+              .as("nearest_value"))
+          .withColumn("delta_ms", col("nearest_ms") - col("ts_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH sg AS (
+        |  SELECT user_id, $tsMs AS s_ms, max(value) AS s_val
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, $tsMs AS ts_ms
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT c.event_id, sg.s_ms, sg.s_val,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY abs(sg.s_ms - c.ts_ms), sg.s_ms) AS rn
+        |  FROM c JOIN sg USING (user_id))
+        |SELECT c.event_id, c.user_id, c.ts_ms,
+        |  j.s_ms AS nearest_ms, j.s_val AS nearest_value,
+        |  j.s_ms - c.ts_ms AS delta_ms
+        |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  USING (event_id)
+        |ORDER BY event_id""".stripMargin))
   )
 }

@@ -357,6 +357,67 @@ object TemporalOps {
         |  SELECT '2_view_click', count(*) FROM s2
         |  UNION ALL
         |  SELECT '3_view_click_purchase', count(*) FROM s3)
-        |ORDER BY stage""".stripMargin))
+        |ORDER BY stage""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cross-series correlation matrix — pairwise Pearson between
+    // event types' HOURLY COUNT series (the co-movement diagnostic
+    // behind metric dashboards and anomaly root-causing). Counts are
+    // integers, so every power sum (Σx, Σy, Σxy, Σx², Σy²) is exact
+    // and order-independent — the same trick as q65's exact moments —
+    // and the only float work is the final (nΣxy−ΣxΣy) /
+    // (sqrt(·)·sqrt(·)) on identical operands. Hours where either
+    // series is absent are excluded (pairwise-present semantics,
+    // stated in the join); zero-variance pairs are filtered on the
+    // INTEGER radicand, so no engine ever divides by zero. Shape:
+    // one hash-agg to hourly counts (tiny: types × hours), one
+    // self-join on hour, one pair agg.
+    QueryDef("q142_type_correlation",
+      (s, dir) => {
+        val h = events(s, dir)
+          .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val pairs = h.as("a").join(h.as("b"),
+            col("a.hour") === col("b.hour")
+              && col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+            col("a.n").as("x"), col("b.n").as("y"))
+        pairs.groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .filter(col("np") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("np") * col("syy") - col("sy") * col("sy") > 0)
+          .select(col("ta"), col("tb"), col("np").as("n_hours"),
+            ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("np") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("corr"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some(s"""WITH h AS (
+        |  SELECT event_type, $tsMs // 3600000 AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.n AS x, b.n AS y
+        |  FROM h a JOIN h b
+        |    ON a.hour = b.hour AND a.event_type < b.event_type),
+        |agg AS (
+        |  SELECT ta, tb, count(*) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY ta, tb)
+        |SELECT ta, tb, np AS n_hours,
+        |  CAST(np * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM agg
+        |WHERE np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+        |ORDER BY ta, tb""".stripMargin))
   )
 }
