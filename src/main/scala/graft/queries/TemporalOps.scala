@@ -418,6 +418,54 @@ object TemporalOps {
         |       * sqrt(CAST(np * syy - sy * sy AS DOUBLE))) AS corr
         |FROM agg
         |WHERE np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
-        |ORDER BY ta, tb""".stripMargin))
+        |ORDER BY ta, tb""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Least-squares trend per series — the slope of value over time
+    // per event type (metric drift direction, the regression sibling
+    // of q107's distribution drift). Same exact-power-sum discipline
+    // as q142: x is HOURS SINCE THE SERIES START (two-pass min join —
+    // raw epoch-ms x² sums would overflow long), y is the ×10⁴
+    // quantized value, all five sums exact integers, slope =
+    // (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) as one double division at the end
+    // (per-hour slope in 1e-4 value units).
+    QueryDef("q143_trend_slope",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_type"), col("ts_ms"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("y"))
+        val m = ev.groupBy(col("event_type")).agg(min(col("ts_ms")).as("t0"))
+        ev.join(m, "event_type")
+          .withColumn("x", expr("(ts_ms - t0) div 3600000"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+          .select(col("event_type"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("slope_fp_per_hour"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, $tsMs AS ts_ms,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT event_type, min(ts_ms) AS t0 FROM ev GROUP BY 1),
+        |x AS (
+        |  SELECT ev.event_type, (ev.ts_ms - m.t0) // 3600000 AS x, y
+        |  FROM ev JOIN m USING (event_type)),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_fp_per_hour
+        |FROM agg WHERE n * sxx - sx * sx > 0
+        |ORDER BY event_type""".stripMargin))
   )
 }
