@@ -99,6 +99,34 @@ object TextOps {
   // Callers that emit pairs directly (q35) sort at the very end;
   // callers that consume pairs (q63/q64 drop sets) must not pay it.
 
+  /** q36's MinHash-LSH candidate pairs (band-bucket collisions, no
+    * verification): 16 universal-hash minhashes from one md5 per
+    * shingle instance, 4 bands of 4, band-bucket self-join. Shared
+    * by q36 (which verifies at 0.8) and q144's recall audit. */
+  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleTable(s, dir)
+    val hashed = ex
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").bitwiseAND(2147483647L).as("h"))
+      .withColumn("seed", explode(sequence(lit(0), lit(15))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(((lit(2) * col("seed") + 1) * col("h")
+        + lit(7919) * col("seed")) % 2147483647L).as("mh"))
+    val bands = hashed
+      .withColumn("band_id", expr("seed DIV 4"))
+      .groupBy(col("doc_id"), col("band_id"))
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",")).as("bh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
   /** The Jaccard pair table, mined ONCE per (session, dataset) and
     * `localCheckpoint`ed at the LOWEST threshold any consumer uses
     * (q35's 0.5); higher-threshold consumers (q63/q64's drop set,
@@ -303,26 +331,7 @@ object TextOps {
     QueryDef("q36_minhash_lsh",
       (s, dir) => {
         val ex = shingleTable(s, dir)
-        val hashed = ex
-          .select(col("doc_id"),
-            conv(substring(md5(col("s")), 1, 15), 16, 10)
-              .cast("long").bitwiseAND(2147483647L).as("h"))
-          .withColumn("seed", explode(sequence(lit(0), lit(15))))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(((lit(2) * col("seed") + 1) * col("h")
-            + lit(7919) * col("seed")) % 2147483647L).as("mh"))
-        val bands = hashed
-          .withColumn("band_id", expr("seed DIV 4"))
-          .groupBy(col("doc_id"), col("band_id"))
-          .agg(md5(array_join(transform(
-            sort_array(collect_list(struct(col("seed"), col("mh")))),
-            x => x.getField("mh").cast("string")), ",")).as("bh"))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
+        val cand = minhashCandidates(s, dir)
         // exact verification on candidates only, via co-occurrence
         // counts (no shingle arrays materialized)
         cand
@@ -509,7 +518,67 @@ object TextOps {
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
-    rankFusionQueryDef, sourceDivergenceQueryDef)
+    rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef)
+
+  /** LSH recall audit — the completeness check a production dedup
+    * pipeline ships WITH its index: per true-Jaccard decile, what
+    * fraction of ground-truth pairs (the exact df-capped inverted
+    * index, ≥ 0.5) does the MinHash band index actually surface as
+    * candidates? S-curve theory says recall climbs steeply with
+    * similarity (4 bands × 4 rows ⇒ P(candidate) = 1−(1−j⁴)⁴);
+    * this measures it on the real corpus. Recall is reported in ×10⁶
+    * fixed point (integer div — no float ratio to hash-diverge).
+    * Both sides reuse session-memoized tables (minedPairs, the
+    * shingle table under minhashCandidates), so the audit costs one
+    * extra left join over what q35+q36 already computed. */
+  private lazy val lshEvalQueryDef = QueryDef("q144_lsh_eval",
+    (s, dir) => {
+      val exact = minedPairs(s, dir)
+      val cand = minhashCandidates(s, dir).withColumn("hit", lit(1))
+      exact.join(cand, Seq("da", "db"), "left")
+        .withColumn("decile", floor(col("jaccard") * 10).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+        .withColumn("recall_fp", expr("(n_caught * 1000000L) div n_true"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |exx AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |exact AS (
+      |  SELECT da, db, CAST(c AS DOUBLE) / (sa + sb - c) AS jaccard
+      |  FROM cnt WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM hashed GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS decile,
+      |  count(*) AS n_true,
+      |  CAST(count(cand.da) AS BIGINT) AS n_caught,
+      |  (CAST(count(cand.da) AS BIGINT) * 1000000) // count(*) AS recall_fp
+      |FROM exact LEFT JOIN cand
+      |  ON exact.da = cand.da AND exact.db = cand.db
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Per-source vocabulary divergence — total-variation distance
     * between each source's unigram distribution and the corpus-wide
