@@ -757,6 +757,75 @@ object ExtendedOps {
         |  coalesce(n_only_a, 0) AS n_only_a
         |FROM common FULL OUTER JOIN onlya
         |  ON common.event_type = onlya.event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Partial-aggregable per-group top-k (the scale answer to q04's
+    // window form): a typed Aggregator whose buffer is the running
+    // top-k (value, id) pairs, so partials combine MAP-SIDE and the
+    // shuffle carries ≤ k pairs per (group, partition) — the window
+    // form shuffles and sorts every row of every group. Ties break
+    // on the unique line number, so the winner set and its order are
+    // bit-deterministic, and the oracle's row_number formulation
+    // selects the identical rows.
+    QueryDef("q145_topk_agg",
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKByDesc(3))
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(topk(col("l_extendedprice"), col("l_linenumber")).as("top"))
+          .select(col("l_orderkey"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("l_orderkey"), (col("i") + 1).cast("long").as("rank"),
+            col("t._1").as("l_extendedprice"),
+            col("t._2").as("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("rank"))
+      },
+      Some("""SELECT l_orderkey, CAST(rn AS BIGINT) AS rank,
+        |  l_extendedprice, l_linenumber
+        |FROM (
+        |  SELECT l_orderkey, l_extendedprice, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_orderkey, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Bloom-prefiltered semi join with exact confirm — q118's
+    // decontamination shape as a general join rewrite, with an
+    // EQUALITY oracle: orders having a high-quantity lineitem,
+    // computed as (a) a few-KB bloom over the filtered lineitem keys
+    // built in one aggregate, (b) a MAP-SIDE might_contain prefilter
+    // on orders — no shuffle for the ~97% of rows the bloom rejects —
+    // then (c) an exact left-semi confirm that removes bloom false
+    // positives. The oracle is the plain semi join: the rewrite must
+    // be a no-op on results, which is the whole point (same contract
+    // Spark's own runtime bloom pushdown honors, here as an explicit,
+    // composable operator).
+    QueryDef("q146_bloom_semi",
+      (s, dir) => {
+        graft.functions.MightContain.register(s)
+        val hot = t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"))
+        val bloom = hot
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col("l_orderkey")), lit(50000L)).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        t(s, dir, "orders")
+          .filter(call_function("graft_might_contain", lit(bloom),
+            xxhash64(col("o_orderkey"))))
+          .join(hot.select(col("l_orderkey").as("o_orderkey")),
+            Seq("o_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
   )
 }
