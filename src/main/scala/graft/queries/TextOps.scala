@@ -518,7 +518,37 @@ object TextOps {
     chunkQueryDef, spanDupQueryDef, piiScrubQueryDef,
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
-    rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef)
+    rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
+    ngramUdtfQueryDef)
+
+  /** The custom-GENERATOR (UDTF) rung of the §2.10 escalation ladder
+    * exercised end-to-end: `ngrams(tk, 4)` (see
+    * [[graft.functions.NGramsGenerator]]) expands each doc's token
+    * array through a `Generate` node exactly like `posexplode`, and
+    * the per-doc 4-gram totals pin its semantics against the
+    * oracle's list_transform formulation. The hot shingle pipeline
+    * keeps its codegen posexplode+lead form — this is the
+    * table-function API surface, not a replacement. */
+  private lazy val ngramUdtfQueryDef = QueryDef("q147_ngram_udtf",
+    (s, dir) => {
+      graft.functions.NGramsGenerator.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), expr("ngrams(tk, 4)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, $tokSql AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(tk)-3),
+      |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+      |    AS gram
+      |  FROM tok)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  count(DISTINCT gram) AS n_distinct
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** LSH recall audit — the completeness check a production dedup
     * pipeline ships WITH its index: per true-Jaccard decile, what
