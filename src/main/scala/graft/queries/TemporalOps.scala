@@ -466,6 +466,44 @@ object TemporalOps {
         |  CAST(n * sxy - sx * sy AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_fp_per_hour
         |FROM agg WHERE n * sxx - sx * sx > 0
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // EXACT rolling 7-day distinct users (q93's sketch path, made
+    // exact): each (user, active-day) pair is EXPLODED into the ≤7
+    // trailing windows it belongs to — the explode factor is the
+    // window length (a bounded constant), so the shape is
+    // distinct → bounded explode → distinct → hash-agg, with no
+    // range self-join and nothing quadratic. This is the exact
+    // complement: q93 unions per-day HLL sketches when the distinct
+    // sets are too large to rescan; this form IS the rescan, correct
+    // to the row. Only windows fully inside the observed day span
+    // are emitted (the same guard q93 applies).
+    QueryDef("q148_rolling_distinct_exact",
+      (s, dir) => {
+        val days = events(s, dir)
+          .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+          .distinct()
+        val Array(minD, maxD) = days.agg(min(col("day")), max(col("day")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        days
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("win_end"))
+          .filter(col("win_end") >= minD + 6 && col("win_end") <= maxD)
+          .distinct()
+          .groupBy(col("win_end"))
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy(col("win_end"))
+      },
+      Some(s"""WITH days AS (
+        |  SELECT DISTINCT user_id, $tsMs // 86400000 AS day FROM events),
+        |span AS (SELECT min(day) AS mn, max(day) AS mx FROM days),
+        |ex AS (
+        |  SELECT DISTINCT user_id, day + o AS win_end
+        |  FROM days, (SELECT unnest(range(7)) AS o))
+        |SELECT win_end, count(*) AS n_distinct_users
+        |FROM ex, span
+        |WHERE win_end >= mn + 6 AND win_end <= mx
+        |GROUP BY win_end ORDER BY win_end""".stripMargin))
   )
 }
