@@ -131,6 +131,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SquaredL2].getName, "sq_l2_dist"),
       (children: Seq[Expression]) =>
         SquaredL2(children(0), children(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_common"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersect].getName, "sorted_common"),
+      (children: Seq[Expression]) =>
+        SortedIntersect(children(0), children(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NGramsGenerator].getName, "ngrams"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case c if c.foldable => c.eval(
+            org.apache.spark.sql.catalyst.InternalRow.empty)
+            .asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "ngrams: n must be a literal")
+        }
+        NGramsGenerator(children(0), n)
+      }))
     // NOTE: the native as-of join strategy (graft.plans) is NOT
     // injected here — AsOfJoin.backward registers it idempotently via
     // ExperimentalMethods (works on already-built sessions too), and

@@ -72,6 +72,36 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("GraftExtensions injects every custom function into SQL") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the ACTIVE session (ignoring extensions)
+    // unless cleared first; the new session shares the SparkContext,
+    // so never stop it — restore the originals instead
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT cosine_sim(array(1L, 0L), array(1L, 0L)) AS c, " +
+          "sq_l2_dist(array(0L, 3L), array(4L, 3L)) AS d, " +
+          "sorted_common(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS i").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getDouble(1) == 16.0)
+      assert(r.getSeq[Long](2) == Seq(3L, 5L))
+      val g = s2.sql(
+        "SELECT g.* FROM (SELECT array('a','b','c') AS tk) " +
+          "LATERAL VIEW ngrams(tk, 2) g AS pos, gram").collect()
+      assert(g.map(_.getString(1)).toSeq == Seq("a b", "b c"))
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("sorted_common matches array_intersect on sorted distinct arrays") {
     graft.functions.SortedIntersect.register(spark)
     // randomized sorted distinct long arrays, fixed seed
