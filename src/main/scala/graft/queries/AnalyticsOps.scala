@@ -424,6 +424,99 @@ object AnalyticsOps {
         |  j.s_ms - c.ts_ms AS delta_ms
         |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
         |  USING (event_id)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // VWAP — the volume-weighted average price every execution/TCA
+    // report leads with, per ship-day and return flag over lineitem's
+    // (extendedprice = price·qty, quantity) pair: Σ(p·q)/Σq. Both
+    // sums ride the exact DECIMAL path, so the single final division
+    // is on identical operands in both engines. One hash-agg keyed
+    // by (day, flag); at scale this is the canonical partial-agg
+    // shape with no shuffle beyond the group key.
+    QueryDef("q149_vwap",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").cast("date").as("ship_date"),
+            col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            d(sum(dec(col("l_quantity")))).as("total_qty"),
+            (d(sum(money(col("l_extendedprice"))))
+              / d(sum(dec(col("l_quantity"))))).as("vwap"))
+          .select(col("ship_date").cast("string").as("ship_date"),
+            col("l_returnflag"), col("n"), col("total_qty"), col("vwap"))
+          .orderBy(col("ship_date"), col("l_returnflag"))
+      },
+      Some("""SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+        |  l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS vwap
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY ship_date, l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Tick-rule signed order flow — classify each print as
+    // buyer/seller-initiated by the classic tick test (uptick ⇒ +1,
+    // downtick ⇒ −1, zero tick CARRIES the last sign — the
+    // last(ignoreNulls) window is the carry), then net signed flow
+    // per hour per event type. Sign comparisons are on raw doubles
+    // (same bits both engines ⇒ same comparison); the signed value
+    // sum rides the DECIMAL path. Two windows and one hash-agg, all
+    // partitioned by event_type — nothing global.
+    QueryDef("q150_tick_flow",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val ev = events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            col("value"))
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull, lit(null))
+              .when(col("value") > col("prev"), 1L)
+              .when(col("value") < col("prev"), -1L)
+              .otherwise(lit(null)))
+          .withColumn("sgn",
+            coalesce(last(col("chg"), ignoreNulls = true).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+        ev.groupBy(col("event_type"),
+            expr("ts_ms div 3600000 * 3600000").as("hour_ms"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+            d(sum(dec(col("value")) * col("sgn"))).as("net_flow"))
+          .orderBy(col("event_type"), col("hour_ms"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms, value,
+        |    lag(value) OVER (PARTITION BY event_type
+        |      ORDER BY $tsMs, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT event_type, event_id, ts_ms, value,
+        |    CASE WHEN prev IS NULL THEN NULL
+        |         WHEN value > prev THEN 1
+        |         WHEN value < prev THEN -1
+        |         ELSE NULL END AS c
+        |  FROM ev),
+        |sg AS (
+        |  SELECT event_type, ts_ms, value,
+        |    coalesce(last_value(c IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sgn
+        |  FROM chg)
+        |SELECT event_type, ts_ms // 3600000 * 3600000 AS hour_ms,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |  CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_down,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)) * sgn) AS DOUBLE)
+        |    AS net_flow
+        |FROM sg GROUP BY 1, 2
+        |ORDER BY event_type, hour_ms""".stripMargin))
   )
 }
