@@ -517,6 +517,98 @@ object AnalyticsOps {
         |  CAST(sum(CAST(value AS DECIMAL(18,4)) * sgn) AS DOUBLE)
         |    AS net_flow
         |FROM sg GROUP BY 1, 2
-        |ORDER BY event_type, hour_ms""".stripMargin))
+        |ORDER BY event_type, hour_ms""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Realized volatility (quantized) — Σ r² over per-print returns,
+    // per type per day. Prices quantize to exact 1e-4 integers
+    // (they ARE 4-decimal), returns to ×10⁶ fixed point via integer
+    // division, so the power sum is exact and order-independent —
+    // the float log-return formulation would hash-diverge on both
+    // the log and the accumulation order. One lag window + one
+    // hash-agg, both keyed by event_type.
+    QueryDef("q151_realized_vol",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("p"))
+          .withColumn("pp", lag(col("p"), 1).over(w))
+          .filter(col("pp").isNotNull && col("pp") =!= 0)
+          // clamp at ±10× (±10⁷ fp): synthetic event values are not a
+          // smooth price path, and an uncapped ratio overflows the
+          // squared sum — the same winsorizing clamp every returns
+          // pipeline applies before moment estimation
+          .withColumn("r_fp", expr(
+            "greatest(-10000000L, least(10000000L, ((p - pp) * 1000000L) div pp))"))
+          .groupBy(col("event_type"),
+            expr("ts_ms div 86400000").as("day"))
+          .agg(count(lit(1)).as("n_returns"),
+            sum(col("r_fp") * col("r_fp")).as("rv_fp2"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(s"""WITH p AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS p,
+        |    lag(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER (
+        |      PARTITION BY event_type ORDER BY $tsMs, event_id) AS pp
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, ts_ms // 86400000 AS day,
+        |    greatest(-10000000, least(10000000,
+        |      ((p - pp) * 1000000) // pp)) AS r_fp
+        |  FROM p WHERE pp IS NOT NULL AND pp <> 0)
+        |SELECT event_type, day, count(*) AS n_returns,
+        |  CAST(sum(r_fp * r_fp) AS BIGINT) AS rv_fp2
+        |FROM r GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Maximum drawdown — the deepest peak-to-trough fall of each
+    // type's price path: running max (a rows-frame window, exact on
+    // quantized integers), per-row drop = peak − price, then the max
+    // drop and where it bottomed. Every op is an integer comparison
+    // or subtraction — no float anywhere until the final ×1e-4
+    // presentation division.
+    QueryDef("q152_max_drawdown",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("p"))
+          .withColumn("peak", max(col("p")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("drop", col("peak") - col("p"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("peak")).cast("double") / 10000).as("high_water"),
+            (max(col("drop")).cast("double") / 10000).as("max_drawdown"),
+            min_by(col("ts_ms"), struct(col("drop") * -1, col("ts_ms"),
+              col("event_id"))).as("trough_ms"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH p AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS p
+        |  FROM events),
+        |dd AS (
+        |  SELECT event_type, event_id, ts_ms, p,
+        |    max(p) OVER (PARTITION BY event_type
+        |      ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - p
+        |      AS dr
+        |  FROM p),
+        |m AS (SELECT event_type, max(dr) AS mx FROM dd GROUP BY 1)
+        |SELECT dd.event_type, count(*) AS n,
+        |  CAST(max(p) AS DOUBLE) / 10000 AS high_water,
+        |  CAST(max(dr) AS DOUBLE) / 10000 AS max_drawdown,
+        |  min(CASE WHEN dr = mx THEN ts_ms END) AS trough_ms
+        |FROM dd JOIN m USING (event_type)
+        |GROUP BY dd.event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }
