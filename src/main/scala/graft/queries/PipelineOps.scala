@@ -338,6 +338,51 @@ object PipelineOps {
         |ORDER BY fk_edge""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Benford first-digit audit — the classic fabricated-data screen
+    // (synthetic or truncated numeric columns flunk it; organically
+    // grown magnitudes follow log10(1+1/d)). The first significant
+    // digit comes from the INTEGER rendering of the ×10⁴ quantized
+    // price (integer→string is engine-identical; a double→string
+    // cast is NOT — Spark renders 1.5E7). Expected frequencies are
+    // ×10⁴ fixed-point literals, deviations and χ² terms are integer
+    // arithmetic (dev² stays under 2⁶³ through the bench scales), so
+    // the verdict hashes identically. One scan, one 9-group hash-agg.
+    QueryDef("q153_benford",
+      (s, dir) => {
+        val expFp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L,
+          512L, 458L)
+        val expCol = element_at(typedlit(expFp), col("digit").cast("int"))
+        val o = t(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice") * 10000 + 0.5)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        val n = o.count()
+        o.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+          .withColumn("exp_n_fp4", lit(n) * expCol)
+          .withColumn("dev_fp4", col("n_obs") * 10000L - col("exp_n_fp4"))
+          .withColumn("chi2_term_fp",
+            expr("(dev_fp4 * dev_fp4) div exp_n_fp4"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH e AS (
+        |  SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249),
+        |    (4, 969), (5, 792), (6, 669), (7, 580), (8, 512),
+        |    (9, 458)) AS t(digit, efp)),
+        |d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 10000 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit)
+        |SELECT obs.digit, obs.n_obs,
+        |  (SELECT n FROM nn) * e.efp AS exp_n_fp4,
+        |  obs.n_obs * 10000 - (SELECT n FROM nn) * e.efp AS dev_fp4,
+        |  ((obs.n_obs * 10000 - (SELECT n FROM nn) * e.efp)
+        |   * (obs.n_obs * 10000 - (SELECT n FROM nn) * e.efp))
+        |    // ((SELECT n FROM nn) * e.efp) AS chi2_term_fp
+        |FROM obs JOIN e ON obs.digit = e.digit
+        |ORDER BY obs.digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Temperature-scaled source mixture (the multilingual-corpus
     // balancing rule: sample source s proportional to n_s^α, α = 0.5
     // — upweights small sources relative to proportional sampling
