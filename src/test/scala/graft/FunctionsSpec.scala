@@ -102,6 +102,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("VecSum matches the exploded per-dimension sum formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (i % 7, Seq.fill(16)(rnd.nextLong() % 1000000L)))
+    val df = rows.toDF("k", "v")
+    val vs = udaf(new graft.functions.VecSum)
+    val mine = df.groupBy($"k").agg(vs($"v").as("sv"))
+    val ref = df
+      .select($"k", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"k", $"dim").agg(sum($"x").as("sx"))
+      .groupBy($"k")
+      .agg(transform(sort_array(collect_list(struct($"dim", $"sx"))),
+        c => c.getField("sx")).as("sv"))
+    assert(mine.as("a").join(ref.as("b"), $"a.k" === $"b.k")
+      .filter($"a.sv" =!= $"b.sv").count() == 0)
+  }
+
+  test("TopKByDesc matches the window row_number formulation") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map(i =>
+      (i % 9, rnd.nextInt(50).toDouble, i.toLong)) // deliberate value ties
+    val df = rows.toDF("k", "v", "id")
+    val topk = udaf(new graft.functions.TopKByDesc(4))
+    val mine = df.groupBy($"k").agg(topk($"v", $"id").as("top"))
+      .select($"k", posexplode($"top").as(Seq("i", "t")))
+      .select($"k", ($"i" + 1).as("rank"), $"t._1".as("v"), $"t._2".as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"v".desc, $"id")
+    val ref = df.withColumn("rank", row_number().over(w) - 0)
+      .filter($"rank" <= 4).select($"k", $"rank".cast("int").as("rank"),
+        $"v", $"id")
+    assert(mine.as("a").join(ref.as("b"),
+        $"a.k" === $"b.k" && $"a.rank" === $"b.rank")
+      .filter($"a.v" =!= $"b.v" || $"a.id" =!= $"b.id").count() == 0)
+    assert(mine.count() == ref.count())
+  }
+
   test("sorted_common matches array_intersect on sorted distinct arrays") {
     graft.functions.SortedIntersect.register(spark)
     // randomized sorted distinct long arrays, fixed seed
