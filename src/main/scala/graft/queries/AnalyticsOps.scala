@@ -609,6 +609,60 @@ object AnalyticsOps {
         |  min(CASE WHEN dr = mx THEN ts_ms END) AS trough_ms
         |FROM dd JOIN m USING (event_type)
         |GROUP BY dd.event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Truncated EWMA (α = 1/2, 16 lags) — exponential smoothing in
+    // EXACT integer arithmetic: weights 2^(15−k) over the last 16
+    // prints, normalized by Σ2^j = 2¹⁶−1 with one truncating div.
+    // The recursive float EWMA is order-UNstable to hash (every
+    // engine accumulates differently); the truncated form drops
+    // weight ≤ 2⁻¹⁶ of the signal — far below the 1e-4 quantization
+    // floor — and becomes a fixed dot product over a rows frame,
+    // which is also the form that vectorizes on a cluster (no
+    // sequential dependence, just a bounded window). Warmup rows
+    // (fewer than 16 lags) renormalize by the weights actually
+    // present, exactly like pandas ewm(adjust=True).
+    QueryDef("q154_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val lags = 16
+        val base = events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("p"))
+        val num = (0 until lags).map(k =>
+          coalesce(lag(col("p"), k).over(w) * (1L << (lags - 1 - k)),
+            lit(0L))).reduce(_ + _)
+        val den = (0 until lags).map(k =>
+          when(lag(col("p"), k).over(w).isNotNull,
+            lit(1L << (lags - 1 - k))).otherwise(0L)).reduce(_ + _)
+        base
+          .withColumn("num", num).withColumn("den", den)
+          .withColumn("ewma_fp", expr("num div den"))
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            col("p"), col("ewma_fp"))
+          .orderBy(col("event_type"), col("ts_ms"), col("event_id"))
+      },
+      Some({
+        val lagTerms = (0 until 16).map { k =>
+          val wgt = 1L << (15 - k)
+          s"coalesce(lag(p, $k) OVER win * $wgt, 0)"
+        }.mkString(" + ")
+        val denTerms = (0 until 16).map { k =>
+          val wgt = 1L << (15 - k)
+          s"(CASE WHEN lag(p, $k) OVER win IS NOT NULL THEN $wgt ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT event_type, event_id, $tsMs AS ts_ms,
+           |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS p
+           |  FROM events)
+           |SELECT event_type, event_id, ts_ms, p,
+           |  ($lagTerms) // ($denTerms) AS ewma_fp
+           |FROM base
+           |WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+           |ORDER BY event_type, ts_ms, event_id""".stripMargin
+      }))
   )
 }
