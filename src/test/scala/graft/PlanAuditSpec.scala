@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("scans prune columns: no query reads full lineitem width") {
     val full = spark.read.parquet(s"${sf()}/lineitem.parquet").columns.length
-    Seq("q04_topk_per_key", "q06_join_revenue", "q18_distinct_agg")
+    Seq("q04_topk_per_key", "q06_join_revenue", "q18_distinct_agg",
+      "q145_topk_agg", "q149_vwap")
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sf())
           .queryExecution.executedPlan.toString
