@@ -189,6 +189,89 @@ object GraphOps {
         |  SELECT u, v FROM e2
         |  WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3))
         |SELECT u AS node, count(*) AS residual_deg FROM e3
-        |GROUP BY u ORDER BY node""".stripMargin))
+        |GROUP BY u ORDER BY node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Association mining: top-50 co-purchase pairs by LIFT —
+    // support(a,b) / (support(a)·support(b)) in ×10⁶ fixed point
+    // against the basket count (lift > 1e6 ⇒ positively associated).
+    // The market-basket sibling of q122's text PMI, on the same
+    // bounded-basket self-join as the triangle graph (the co-occur
+    // count IS the edge weight the unweighted ops discard). Support
+    // floor 3 is the standard noise gate. All integer until nothing:
+    // the ranking key is the exact (n_ab·N·10⁶) div (n_a·n_b).
+    QueryDef("q155_basket_lift",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nBaskets = li.select(col("ok")).distinct().count()
+        val pairCnt = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+        pairCnt
+          .join(itemCnt.select(col("pk").as("pa"), col("n_i").as("n_a")), "pa")
+          .join(itemCnt.select(col("pk").as("pb"), col("n_i").as("n_b")), "pb")
+          .select(col("pa"), col("pb"), col("n_ab"),
+            expr(s"(n_ab * ${nBaskets}L * 1000000L) div (n_a * n_b)")
+              .as("lift_fp"))
+          .orderBy(col("lift_fp").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      Some("""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS n FROM li),
+        |pc AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ic AS (SELECT pk, count(*) AS n_i FROM li GROUP BY pk)
+        |SELECT pc.pa, pc.pb, pc.n_ab,
+        |  (pc.n_ab * (SELECT n FROM nb) * 1000000) // (ia.n_i * ib.n_i)
+        |    AS lift_fp
+        |FROM pc
+        |JOIN ic ia ON pc.pa = ia.pk
+        |JOIN ic ib ON pc.pb = ib.pk
+        |ORDER BY lift_fp DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Market concentration (HHI) — Σ share² per nation over supplier
+    // account balances, the antitrust-style concentration index data
+    // marketplaces track per segment. Shares in ×10⁴ basis points
+    // via exact DECIMAL ratios truncated to integers (one div per
+    // supplier), so Σ share² is exact; max HHI = 10⁸ (monopoly).
+    QueryDef("q156_hhi",
+      (s, dir) => {
+        val su = t(s, dir, "supplier")
+          .select(col("s_nationkey"),
+            floor(col("s_acctbal") * 100 + 0.5).cast("long").as("bal"))
+          .filter(col("bal") > 0)
+        val tot = su.groupBy(col("s_nationkey"))
+          .agg(sum(col("bal")).as("tot"), count(lit(1)).as("n_suppliers"))
+        su.join(tot, "s_nationkey")
+          .withColumn("share_bp", expr("(bal * 10000L) div tot"))
+          .groupBy(col("s_nationkey"))
+          .agg(first(col("n_suppliers")).as("n_suppliers"),
+            sum(col("share_bp") * col("share_bp")).as("hhi_fp"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""WITH su AS (
+        |  SELECT s_nationkey,
+        |    CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |  FROM supplier
+        |  WHERE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) > 0),
+        |tot AS (
+        |  SELECT s_nationkey, CAST(sum(bal) AS BIGINT) AS tot,
+        |    count(*) AS n_suppliers
+        |  FROM su GROUP BY s_nationkey)
+        |SELECT su.s_nationkey, tot.n_suppliers,
+        |  CAST(sum(((bal * 10000) // tot) * ((bal * 10000) // tot))
+        |    AS BIGINT) AS hhi_fp
+        |FROM su JOIN tot USING (s_nationkey)
+        |GROUP BY su.s_nationkey, tot.n_suppliers
+        |ORDER BY s_nationkey""".stripMargin))
   )
 }
