@@ -272,6 +272,51 @@ object GraphOps {
         |    AS BIGINT) AS hhi_fp
         |FROM su JOIN tot USING (s_nationkey)
         |GROUP BY su.s_nationkey, tot.n_suppliers
-        |ORDER BY s_nationkey""".stripMargin))
+        |ORDER BY s_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Gini coefficient — the inequality measure next to q156's HHI
+    // (HHI asks "how concentrated"; Gini asks "how unequal"), per
+    // nation over supplier balances. The rank form
+    // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) needs only a per-nation
+    // row_number (total (bal, suppkey) order) and exact integer
+    // sums; ×10⁶ fixed point with one truncating div. All shuffles
+    // keyed by nation.
+    QueryDef("q157_gini",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("bal"), col("s_suppkey"))
+        t(s, dir, "supplier")
+          .select(col("s_nationkey"), col("s_suppkey"),
+            floor(col("s_acctbal") * 100 + 0.5).cast("long").as("bal"))
+          .filter(col("bal") > 0)
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("bal")).as("sx"),
+            sum(col("i") * col("bal")).as("six"))
+          .select(col("s_nationkey"), col("n"),
+            expr("((2 * six - (n + 1) * sx) * 1000000L) div (n * sx)")
+              .as("gini_fp"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""WITH su AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |  FROM supplier
+        |  WHERE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) > 0),
+        |r AS (
+        |  SELECT s_nationkey, bal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY bal, s_suppkey) AS i
+        |  FROM su),
+        |agg AS (
+        |  SELECT s_nationkey, count(*) AS n,
+        |    CAST(sum(bal) AS BIGINT) AS sx,
+        |    CAST(sum(i * bal) AS BIGINT) AS six
+        |  FROM r GROUP BY s_nationkey)
+        |SELECT s_nationkey, n,
+        |  ((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS gini_fp
+        |FROM agg ORDER BY s_nationkey""".stripMargin))
   )
 }

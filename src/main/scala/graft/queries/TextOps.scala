@@ -519,7 +519,56 @@ object TextOps {
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
-    ngramUdtfQueryDef)
+    ngramUdtfQueryDef, sourceTermsQueryDef)
+
+  /** Champion terms per source — the top-5 most DISTINCTIVE tokens of
+    * each source by source-level tf·idf (what q137's scalar
+    * divergence localizes to actual vocabulary: "what makes this
+    * source different"). idf is q113's integer N/df ratio (clipped
+    * at 100), tf is the source's token count, score = tf·idf_q stays
+    * integer, top-5 per source via one partitioned window over the
+    * vocab-sized score table. Corpus scanned once. */
+  private lazy val sourceTermsQueryDef = QueryDef("q158_source_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), explode(toks(col("text"))).as("w"))
+      val df = tk.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").count()
+      val idf = df.select(col("w"),
+        least(expr(s"(${nDocs}L * 1000) div df"), lit(100000L)).as("idf_q"))
+      val stf = tk.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("w"))
+      stf.join(idf, "w")
+        .withColumn("score", col("tf") * col("idf_q"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("w"), col("tf"), col("score"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH tk AS (
+      |  SELECT source, doc_id, unnest($tokSql) AS w FROM documents),
+      |df AS (
+      |  SELECT w, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, w FROM tk) GROUP BY w),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |idf AS (
+      |  SELECT w, least(((SELECT n FROM nn) * 1000) // df, 100000)
+      |    AS idf_q
+      |  FROM df),
+      |stf AS (SELECT source, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT source, stf.w AS w, tf, tf * idf_q AS score,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY tf * idf_q DESC, stf.w) AS rank
+      |  FROM stf JOIN idf ON stf.w = idf.w)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, w, tf, score
+      |FROM sc WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin))
 
   /** The custom-GENERATOR (UDTF) rung of the §2.10 escalation ladder
     * exercised end-to-end: `ngrams(tk, 4)` (see
