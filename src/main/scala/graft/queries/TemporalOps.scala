@@ -504,6 +504,66 @@ object TemporalOps {
         |SELECT win_end, count(*) AS n_distinct_users
         |FROM ex, span
         |WHERE win_end >= mn + 6 AND win_end <= mx
-        |GROUP BY win_end ORDER BY win_end""".stripMargin))
+        |GROUP BY win_end ORDER BY win_end""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Survival curve (time-to-conversion) — for each signed-up user,
+    // days from first signup to first subsequent purchase; for each
+    // horizon d ∈ [0, 13], the fraction still unconverted (the
+    // Kaplan-Meier shape without censoring corrections — every user
+    // here is observed over the full span, so the empirical curve IS
+    // the estimator). Durations are integer day counts; the curve is
+    // one bounded 14-way explode + hash-agg (no per-day rescan), and
+    // survival fractions are ×10⁶ integer ratios.
+    QueryDef("q159_survival",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"))
+        val s0 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t0"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(s0, "user_id")
+          .filter(col("ts_ms") >= col("t0"))
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+        val n = s0.count()
+        val durations = s0.join(conv, Seq("user_id"), "left")
+          .select(expr("(t1 - t0) div 86400000").as("dur_days"))
+        durations
+          // sequence(start, stop) DESCENDS when start > stop — filter
+          // the unconverted/late rows out instead of relying on an
+          // empty range
+          .filter(col("dur_days").isNotNull && col("dur_days") <= 13)
+          .select(explode(sequence(col("dur_days"), lit(13L))).as("d"))
+          .groupBy(col("d")).agg(count(lit(1)).as("n_converted"))
+          // the explode emits a row for every horizon ≥ duration, so
+          // per-horizon counts are already cumulative
+          .select(col("d"), lit(n).as("n_signups"), col("n_converted"),
+            expr(s"((${n}L - n_converted) * 1000000L) div ${n}L")
+              .as("surv_fp"))
+          .orderBy(col("d"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, event_type, $tsMs AS ts_ms FROM events),
+        |s0 AS (
+        |  SELECT user_id, min(ts_ms) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT ev.user_id, min(ts_ms) AS t1
+        |  FROM ev JOIN s0 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_ms >= t0
+        |  GROUP BY ev.user_id),
+        |nn AS (SELECT count(*) AS n FROM s0),
+        |dur AS (
+        |  SELECT s0.user_id, (t1 - t0) // 86400000 AS dur_days
+        |  FROM s0 LEFT JOIN conv USING (user_id)),
+        |curve AS (
+        |  SELECT d, count(*) AS n_converted
+        |  FROM dur, (SELECT unnest(range(14)) AS d)
+        |  WHERE dur_days IS NOT NULL AND dur_days <= d
+        |  GROUP BY d)
+        |SELECT d, (SELECT n FROM nn) AS n_signups, n_converted,
+        |  (((SELECT n FROM nn) - n_converted) * 1000000)
+        |    // (SELECT n FROM nn) AS surv_fp
+        |FROM curve ORDER BY d""".stripMargin))
   )
 }
