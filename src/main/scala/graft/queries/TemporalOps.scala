@@ -564,6 +564,40 @@ object TemporalOps {
         |SELECT d, (SELECT n FROM nn) AS n_signups, n_converted,
         |  (((SELECT n FROM nn) - n_converted) * 1000000)
         |    // (SELECT n FROM nn) AS surv_fp
-        |FROM curve ORDER BY d""".stripMargin))
+        |FROM curve ORDER BY d""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Hour-of-week seasonality profile — the 168-slot traffic
+    // template (capacity planning, anomaly baselines), with peaks
+    // flagged where a slot runs ≥1.5× the mean slot load. The
+    // comparison is the integer cross product 2·n·S > 3·total (no
+    // division), day-of-week from epoch arithmetic ((days+4) mod 7 —
+    // epoch day 0 was a Thursday) so no calendar/timezone functions
+    // diverge between engines.
+    QueryDef("q160_seasonality",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(expr("((ts_ms div 86400000 + 4) % 7)").as("dow"),
+            expr("(ts_ms div 3600000) % 24").as("hour"))
+        val slots = ev.groupBy(col("dow"), col("hour"))
+          .agg(count(lit(1)).as("n"))
+        val Array(tot, nslots) = slots
+          .agg(sum(col("n")), count(lit(1))).head().toSeq
+          .map(_.asInstanceOf[Long]).toArray
+        slots
+          .withColumn("is_peak",
+            (col("n") * 2 * nslots > lit(3L) * tot).cast("long"))
+          .orderBy(col("dow"), col("hour"))
+      },
+      Some(s"""WITH sl AS (
+        |  SELECT (($tsMs // 86400000 + 4) % 7) AS dow,
+        |    (($tsMs // 3600000) % 24) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |  count(*) AS nslots FROM sl)
+        |SELECT dow, hour, n,
+        |  CAST(CASE WHEN n * 2 * nslots > 3 * tot THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_peak
+        |FROM sl, tt ORDER BY dow, hour""".stripMargin))
   )
 }

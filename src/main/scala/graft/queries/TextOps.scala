@@ -519,7 +519,44 @@ object TextOps {
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
-    ngramUdtfQueryDef, sourceTermsQueryDef)
+    ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef)
+
+  /** Token-length histogram per source — the context-window planning
+    * table behind q98's chunking and q99's packing: how many docs
+    * fit in 64/128/.../2048 tokens as-is, per source. Power-of-two
+    * buckets via integer bit math (no log), plus cumulative
+    * fits-in-512 counts. One tokenize pass, one hash-agg. */
+  private lazy val lengthHistogramQueryDef = QueryDef("q161_length_histogram",
+    (s, dir) => {
+      // power-of-two bucket floor as a pure-integer CASE chain:
+      // floor(log2(n)) through floats is engine-hazardous (Spark's
+      // log2 is ln(x)/ln 2, which can land a hair under the integer
+      // at exact powers and mis-floor); 12 integer compares cannot
+      val bucket = (11 to 0 by -1)
+        .map(k => when(col("n_tok") >= (1L << k), lit(1L << k)))
+        .reduce(coalesce(_, _))
+      val d = t(s, dir, "documents")
+        .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket", bucket)
+      d.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          count(when(col("n_tok") <= 512, 1)).as("n_fit_512"))
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT source, CAST(len($tokSql) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT source,
+      |  (CASE ${(11 to 0 by -1).map(k =>
+          s"WHEN n_tok >= ${1L << k} THEN ${1L << k}").mkString(" ")}
+      |   END) AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(count(CASE WHEN n_tok <= 512 THEN 1 END) AS BIGINT)
+      |    AS n_fit_512
+      |FROM d GROUP BY 1, 2
+      |ORDER BY source, bucket""".stripMargin))
 
   /** Champion terms per source — the top-5 most DISTINCTIVE tokens of
     * each source by source-level tf·idf (what q137's scalar
