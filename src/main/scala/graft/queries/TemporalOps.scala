@@ -598,6 +598,65 @@ object TemporalOps {
         |SELECT dow, hour, n,
         |  CAST(CASE WHEN n * 2 * nslots > 3 * tot THEN 1 ELSE 0 END
         |    AS BIGINT) AS is_peak
-        |FROM sl, tt ORDER BY dow, hour""".stripMargin))
+        |FROM sl, tt ORDER BY dow, hour""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Conversion-latency percentiles — p50/p90 of the signup→first-
+    // purchase delay (q159's durations, summarized the way an SLA
+    // dashboard needs them). Percentiles are q132's integer
+    // lower-rank selections over the total (latency, user) order —
+    // actual observed latencies, engine-identical — plus the exact
+    // DECIMAL-free integer mean.
+    QueryDef("q162_conversion_latency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"))
+        val s0 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t0"))
+        val lat = ev.filter(col("event_type") === "purchase")
+          .join(s0, "user_id")
+          .filter(col("ts_ms") >= col("t0"))
+          .groupBy(col("user_id")).agg((min(col("ts_ms")) - first(col("t0")))
+            .as("latency_ms"))
+        val w = Window.orderBy(col("latency_ms"), col("user_id"))
+        val wn = Window.partitionBy(lit(1))
+        // single-group output: the ranked set is one global window,
+        // acceptable because the CONVERTED-user set is orders smaller
+        // than the event table (the same justification as q95's
+        // 1-row aggregates); per-segment variants partition it
+        lat
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy()
+          .agg(count(lit(1)).as("n_converted"),
+            min(when(col("rk") === expr("((n - 1) * 50) div 100 + 1"),
+              col("latency_ms"))).as("p50_ms"),
+            min(when(col("rk") === expr("((n - 1) * 90) div 100 + 1"),
+              col("latency_ms"))).as("p90_ms"),
+            expr("sum(latency_ms) div count(1)").as("mean_ms"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, event_type, $tsMs AS ts_ms FROM events),
+        |s0 AS (
+        |  SELECT user_id, min(ts_ms) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |lat AS (
+        |  SELECT ev.user_id, min(ts_ms) - min(t0) AS latency_ms
+        |  FROM ev JOIN s0 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_ms >= t0
+        |  GROUP BY ev.user_id),
+        |r AS (
+        |  SELECT latency_ms,
+        |    row_number() OVER (ORDER BY latency_ms, user_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lat)
+        |SELECT count(*) AS n_converted,
+        |  min(CASE WHEN rk = ((n - 1) * 50) // 100 + 1
+        |    THEN latency_ms END) AS p50_ms,
+        |  min(CASE WHEN rk = ((n - 1) * 90) // 100 + 1
+        |    THEN latency_ms END) AS p90_ms,
+        |  CAST(sum(latency_ms) AS BIGINT) // count(*) AS mean_ms
+        |FROM r""".stripMargin))
   )
 }
