@@ -645,24 +645,71 @@ object AnalyticsOps {
             col("p"), col("ewma_fp"))
           .orderBy(col("event_type"), col("ts_ms"), col("event_id"))
       },
-      Some({
-        val lagTerms = (0 until 16).map { k =>
-          val wgt = 1L << (15 - k)
-          s"coalesce(lag(p, $k) OVER win * $wgt, 0)"
-        }.mkString(" + ")
-        val denTerms = (0 until 16).map { k =>
-          val wgt = 1L << (15 - k)
-          s"(CASE WHEN lag(p, $k) OVER win IS NOT NULL THEN $wgt ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH base AS (
-           |  SELECT event_type, event_id, $tsMs AS ts_ms,
-           |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS p
-           |  FROM events)
-           |SELECT event_type, event_id, ts_ms, p,
-           |  ($lagTerms) // ($denTerms) AS ewma_fp
-           |FROM base
-           |WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
-           |ORDER BY event_type, ts_ms, event_id""".stripMargin
-      }))
+      Some(ewmaOracle)),
+
+    // ------------------------------------------------------------------
+    // TWAP — time-weighted average price per type per day:
+    // Σ pᵢ·(tᵢ₊₁−tᵢ) div Σ(Δt), each print weighted by how long it
+    // WAS the price (lead window gives the holding interval; the
+    // day's last print carries zero weight — the standard
+    // right-open convention). VWAP's time-domain sibling; exact
+    // integer numerators/denominators, one truncating div.
+    QueryDef("q163_twap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"),
+            expr("ts_ms div 86400000").as("day"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("p"))
+          .withColumn("hold_ms",
+            coalesce(lead(col("ts_ms"), 1).over(w) - col("ts_ms"), lit(0L)))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("hold_ms")).as("span_ms"),
+            expr("sum(p * hold_ms) div sum(hold_ms)").as("twap_fp"))
+          .filter(col("span_ms") > 0)
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(s"""WITH base AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms,
+        |    $tsMs // 86400000 AS day,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS p
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, day, p,
+        |    coalesce(lead(ts_ms) OVER (
+        |      PARTITION BY event_type, day
+        |      ORDER BY ts_ms, event_id) - ts_ms, 0) AS hold_ms
+        |  FROM base)
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(sum(hold_ms) AS BIGINT) AS span_ms,
+        |  CAST(sum(p * hold_ms) AS BIGINT) // CAST(sum(hold_ms) AS BIGINT)
+        |    AS twap_fp
+        |FROM h GROUP BY event_type, day
+        |HAVING CAST(sum(hold_ms) AS BIGINT) > 0
+        |ORDER BY event_type, day""".stripMargin))
   )
+
+  /** q154's oracle — 16 explicit lag terms, built programmatically. */
+  private lazy val ewmaOracle: String = {
+    val lagTerms = (0 until 16).map { k =>
+      val wgt = 1L << (15 - k)
+      s"coalesce(lag(p, $k) OVER win * $wgt, 0)"
+    }.mkString(" + ")
+    val denTerms = (0 until 16).map { k =>
+      val wgt = 1L << (15 - k)
+      s"(CASE WHEN lag(p, $k) OVER win IS NOT NULL THEN $wgt ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_type, event_id, $tsMs AS ts_ms,
+       |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS p
+       |  FROM events)
+       |SELECT event_type, event_id, ts_ms, p,
+       |  ($lagTerms) // ($denTerms) AS ewma_fp
+       |FROM base
+       |WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+       |ORDER BY event_type, ts_ms, event_id""".stripMargin
+  }
 }

@@ -519,7 +519,49 @@ object TextOps {
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
-    ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef)
+    ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
+    dupLeakageQueryDef)
+
+  /** Cross-source duplicate-leakage matrix — WHERE the near-dups come
+    * from: dedup-threshold pairs (≥ 0.8, the shared mined table)
+    * attributed to their (source, source) cell. Off-diagonal mass is
+    * cross-source copying (syndication, scraping overlap — the
+    * contamination channel q92 guards train/eval against, here
+    * localized between corpus sources); diagonal mass is
+    * within-source duplication. One broadcast-sized join of the pair
+    * table against the (doc, source) projection, twice. */
+  private lazy val dupLeakageQueryDef = QueryDef("q164_dup_leakage",
+    (s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      minedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+        .select(least(col("sa"), col("sb")).as("source_1"),
+          greatest(col("sa"), col("sb")).as("source_2"))
+        .groupBy(col("source_1"), col("source_2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_1"), col("source_2"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |ex AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pairs AS (
+      |  SELECT da, db FROM cnt
+      |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8)
+      |SELECT least(x.source, y.source) AS source_1,
+      |  greatest(x.source, y.source) AS source_2,
+      |  count(*) AS n_pairs
+      |FROM pairs
+      |JOIN documents x ON pairs.da = x.doc_id
+      |JOIN documents y ON pairs.db = y.doc_id
+      |GROUP BY 1, 2 ORDER BY source_1, source_2""".stripMargin))
 
   /** Token-length histogram per source — the context-window planning
     * table behind q98's chunking and q99's packing: how many docs
