@@ -657,6 +657,95 @@ object TemporalOps {
         |  min(CASE WHEN rk = ((n - 1) * 90) // 100 + 1
         |    THEN latency_ms END) AS p90_ms,
         |  CAST(sum(latency_ms) AS BIGINT) // count(*) AS mean_ms
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Peak concurrency via the boundary-sweep — the interval-algebra
+    // staple (peak load, max simultaneous sessions): each user-day
+    // presence interval [first, last] becomes a +1 boundary at start
+    // and a −1 at end+1ms, a running sum over the ordered boundaries
+    // is the live concurrency, and its max per day is the answer.
+    // One window running sum per day — no interval self-join, no
+    // minute grid. Boundary order (ts, then −1 before +1 at equal
+    // ts... here +1 sorts first via the delta DESC tiebreak, the
+    // inclusive convention) is total, so the sweep is deterministic.
+    QueryDef("q165_peak_concurrency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = events(s, dir)
+          .groupBy(col("user_id"), expr("ts_ms div 86400000").as("day"))
+          .agg(min(col("ts_ms")).as("t_start"),
+            (max(col("ts_ms")) + 1).as("t_end"))
+        val bounds = iv.select(col("day"), col("t_start").as("ts"),
+            lit(1L).as("delta"), col("user_id"))
+          .unionAll(iv.select(col("day"), col("t_end").as("ts"),
+            lit(-1L).as("delta"), col("user_id")))
+        val w = Window.partitionBy(col("day"))
+          .orderBy(col("ts"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        bounds
+          .withColumn("live", sum(col("delta")).over(w))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_boundaries"),
+            (count(lit(1)) / 2).cast("long").as("n_users"),
+            max(col("live")).as("peak_concurrent"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH iv AS (
+        |  SELECT user_id, $tsMs // 86400000 AS day,
+        |    min($tsMs) AS t_start, max($tsMs) + 1 AS t_end
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT day, t_start AS ts, 1 AS delta, user_id FROM iv
+        |  UNION ALL
+        |  SELECT day, t_end AS ts, -1 AS delta, user_id FROM iv),
+        |sw AS (
+        |  SELECT day, sum(delta) OVER (
+        |    PARTITION BY day ORDER BY ts, delta DESC, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b)
+        |SELECT day, count(*) AS n_boundaries,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_users,
+        |  CAST(max(live) AS BIGINT) AS peak_concurrent
+        |FROM sw GROUP BY day ORDER BY day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Inter-arrival burstiness — per event type: mean gap and the
+    // variance-style dispersion n·Σg²−(Σg)² (÷n² gives variance; the
+    // raw integer form hashes exactly), over SECOND-quantized gaps so
+    // squared sums stay far inside long. A Poisson stream has
+    // dispersion ≈ mean²·n; heavier means bursts — the arrival-
+    // process diagnostic behind rate-limit and autoscale sizing.
+    QueryDef("q166_interarrival",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"))
+          .withColumn("gap_s",
+            expr("(ts_ms - lag(ts_ms, 1) OVER (PARTITION BY event_type " +
+              "ORDER BY ts_ms, event_id)) div 1000"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("sum(gap_s) div count(1)").as("mean_gap_s"),
+            (count(lit(1)) * sum(col("gap_s") * col("gap_s"))
+              - sum(col("gap_s")) * sum(col("gap_s"))).as("dispersion_fp"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT event_type,
+        |    ($tsMs - lag($tsMs) OVER (PARTITION BY event_type
+        |      ORDER BY $tsMs, event_id)) // 1000 AS gap_s
+        |  FROM events),
+        |f AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(gap_s) AS BIGINT) // count(*) AS mean_gap_s,
+        |  count(*) * CAST(sum(gap_s * gap_s) AS BIGINT)
+        |    - CAST(sum(gap_s) AS BIGINT) * CAST(sum(gap_s) AS BIGINT)
+        |    AS dispersion_fp
+        |FROM f GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }
