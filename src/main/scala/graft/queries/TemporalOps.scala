@@ -746,6 +746,101 @@ object TemporalOps {
         |    - CAST(sum(gap_s) AS BIGINT) * CAST(sum(gap_s) AS BIGINT)
         |    AS dispersion_fp
         |FROM f GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cohort LTV matrix — q88's retention counts upgraded to VALUE:
+    // per (signup-week cohort, week offset), active users and their
+    // summed purchase value (exact DECIMAL). The cumulative-LTV read
+    // is a running sum along each cohort row — left to the consumer,
+    // since the per-cell matrix is the reusable artifact. Shuffles
+    // keyed by (user) then (cohort, offset); nothing global.
+    QueryDef("q167_cohort_ltv",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms"),
+            col("value"))
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(expr("min(ts_ms) div 604800000").as("cohort_wk"))
+        ev.filter(col("event_type") === "purchase")
+          .join(cohort, "user_id")
+          .withColumn("offset_wk",
+            expr("ts_ms div 604800000") - col("cohort_wk"))
+          .filter(col("offset_wk") >= 0)
+          .groupBy(col("cohort_wk"), col("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_active"),
+            count(lit(1)).as("n_purchases"),
+            d(sum(dec(col("value")))).as("revenue"))
+          .orderBy(col("cohort_wk"), col("offset_wk"))
+      },
+      Some(s"""WITH c AS (
+        |  SELECT user_id, min($tsMs) // 604800000 AS cohort_wk
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, c.cohort_wk,
+        |    $tsMs // 604800000 - c.cohort_wk AS offset_wk, e.value
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase')
+        |SELECT cohort_wk, offset_wk,
+        |  count(DISTINCT user_id) AS n_active,
+        |  count(*) AS n_purchases,
+        |  ${sumDec("value")} AS revenue
+        |FROM p WHERE offset_wk >= 0
+        |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // RFM segmentation — the classic customer triage: quintile each
+    // user's Recency (days since last purchase), Frequency (purchase
+    // count), Monetary (×10⁴-quantized value sum, exact), via
+    // ntile(5) over TOTAL deterministic orders (metric, then user_id
+    // — engine-identical ntile given identical order), then count
+    // users per (r, f, m) cell. Three windows over the users table
+    // (small next to events) + one hash-agg.
+    QueryDef("q168_rfm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+        val maxDay = ev.agg(max(expr("ts_ms div 86400000"))).head.getLong(0)
+        val users = ev.groupBy(col("user_id"))
+          .agg((lit(maxDay) - expr("max(ts_ms) div 86400000"))
+            .as("recency_d"),
+            count(lit(1)).as("freq"), sum(col("v")).as("monetary_fp"))
+        users
+          // recency scores 5=most recent: ascending recency → ntile
+          // then invert; frequency/monetary descending-as-5 likewise
+          .withColumn("r", lit(6) - ntile(5).over(
+            Window.orderBy(col("recency_d"), col("user_id"))))
+          .withColumn("f", ntile(5).over(
+            Window.orderBy(col("freq"), col("user_id"))))
+          .withColumn("m", ntile(5).over(
+            Window.orderBy(col("monetary_fp"), col("user_id"))))
+          .groupBy(col("r").cast("long").as("r"),
+            col("f").cast("long").as("f"), col("m").cast("long").as("m"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("r"), col("f"), col("m"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, $tsMs AS ts_ms,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(ts_ms // 86400000) AS mx FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    (SELECT mx FROM mx) - max(ts_ms) // 86400000 AS recency_d,
+        |    count(*) AS freq, CAST(sum(v) AS BIGINT) AS monetary_fp
+        |  FROM ev GROUP BY user_id),
+        |sc AS (
+        |  SELECT user_id,
+        |    6 - ntile(5) OVER (ORDER BY recency_d, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_fp, user_id) AS m
+        |  FROM u)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, count(*) AS n_users
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r, f, m""".stripMargin))
   )
 }
