@@ -342,6 +342,79 @@ object LayoutOps {
         |      AS cum
         |  FROM d)
         |SELECT doc_id, n_tokens, cum
-        |FROM o CROSS JOIN b WHERE cum <= budget ORDER BY cum""".stripMargin))
+        |FROM o CROSS JOIN b WHERE cum <= budget ORDER BY cum""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ABC / Pareto analysis — how much of revenue the top parts
+    // carry: per-part revenue (exact DECIMAL→cents integer), global
+    // cumulative share over the revenue-descending order via the
+    // q95/q110 two-phase bucketed cumsum (range-bucket on the VALUE
+    // key — never a single-partition window over all parts), then
+    // the A/B/C class cut at 80%/95% cumulative share as integer
+    // cross products (cum·100 vs total·80). Output: per-class part
+    // counts and revenue share — the 80/20 readout.
+    QueryDef("q169_pareto",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(money(col("l_extendedprice")) * 10000)
+            .cast("long").as("cents"))
+        val Array(minC, maxC, total) = rev
+          .agg(min(col("cents")), max(col("cents")), sum(col("cents")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val nBuckets = 256L
+        val width = math.max(1L, (maxC - minC + nBuckets) / nBuckets)
+        // bucket 0 = HIGHEST revenue (descending order key)
+        val bucketed = rev.withColumn("bucket",
+          ((lit(maxC) - col("cents")) / width).cast("long"))
+        val offsets = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("cents")).as("bs"))
+          .withColumn("offset",
+            coalesce(sum(col("bs")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wIn = Window.partitionBy(col("bucket"))
+          .orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(broadcast(offsets), "bucket")
+          .withColumn("cum", col("offset") + sum(col("cents")).over(wIn))
+          .withColumn("class",
+            when(col("cum") * 100 <= lit(total) * 80, "A")
+              .when(col("cum") * 100 <= lit(total) * 95, "B")
+              .otherwise("C"))
+          .groupBy(col("class"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+          .select(col("class"), col("n_parts"),
+            (col("cents").cast("double") / 10000).as("revenue"),
+            // divide-first form: cents·10⁶ overflows long at the ×10⁴
+            // price scale, so share_fp = cents div (total div 10⁶) —
+            // identical integer arithmetic in both engines
+            expr(s"cents div (${total}L div 1000000L)").as("share_fp"))
+          .orderBy(col("class"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * 10000)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |c AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM rev),
+        |cl AS (
+        |  SELECT CASE WHEN cum * 100 <= (SELECT total FROM tot) * 80
+        |      THEN 'A'
+        |    WHEN cum * 100 <= (SELECT total FROM tot) * 95 THEN 'B'
+        |    ELSE 'C' END AS class, cents
+        |  FROM c)
+        |SELECT class, count(*) AS n_parts,
+        |  CAST(sum(cents) AS DOUBLE) / 10000 AS revenue,
+        |  CAST(sum(cents) AS BIGINT)
+        |    // ((SELECT total FROM tot) // 1000000) AS share_fp
+        |FROM cl GROUP BY class ORDER BY class""".stripMargin))
   )
 }
