@@ -285,6 +285,73 @@ object LayoutOps {
         |ORDER BY bin, offset_in_bin, doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Packing-efficiency report — the systems readout on q99's
+    // sequence packing: bins used, fill rate against capacity, and
+    // how many documents straddle a bin boundary (each straddle is a
+    // truncation-or-padding decision downstream). Same two-phase
+    // cumsum as q99; the report is one more 1-row aggregate on top,
+    // with the fill rate in ×10⁶ integer fixed point.
+    QueryDef("q170_pack_efficiency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 256L
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+              .as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("bucket", substring(col("h"), 1, 2))
+        val offsets = docs.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("tot"))
+          .withColumn("bucket_off",
+            coalesce(sum(col("tot")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("bucket_off"))
+        val wInBucket = Window.partitionBy(col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.join(broadcast(offsets), "bucket")
+          .withColumn("cum_before",
+            col("bucket_off") + coalesce(sum(col("n_tokens"))
+              .over(wInBucket), lit(0L)))
+          .groupBy()
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (max(expr(s"(cum_before + n_tokens - 1) DIV $budget")) + 1)
+              .as("n_bins"),
+            count(when(expr(s"cum_before DIV $budget") =!=
+              expr(s"(cum_before + n_tokens - 1) DIV $budget"), 1))
+              .as("n_straddling"))
+          .select(col("n_docs"), col("total_tokens"), col("n_bins"),
+            col("n_straddling"),
+            expr(s"(total_tokens * 1000000L) div (n_bins * $budget)")
+              .as("fill_fp"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(max((cum_before + n_tokens - 1) // 256) + 1 AS BIGINT)
+        |    AS n_bins,
+        |  CAST(count(CASE WHEN cum_before // 256
+        |    <> (cum_before + n_tokens - 1) // 256 THEN 1 END) AS BIGINT)
+        |    AS n_straddling,
+        |  (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+        |    // ((CAST(max((cum_before + n_tokens - 1) // 256) + 1
+        |        AS BIGINT)) * 256) AS fill_fp
+        |FROM c""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Token-budget corpus selection — take the best documents (q96's
     // quality signal) until a global token budget (¼ of the corpus)
     // is spent: the "data mixture under a compute budget" op. The
