@@ -520,7 +520,96 @@ object TextOps {
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
-    dupLeakageQueryDef)
+    dupLeakageQueryDef, incrementalMinhashQueryDef)
+
+  /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
+    * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
+    * (md5-bucket split, like every split here) checks against the
+    * standing 80% corpus through the SAME band index, but the
+    * candidate join is ASYMMETRIC — shard bands against all bands —
+    * so the per-batch cost is |shard|·bucket-occupancy, not the full
+    * index self-join. This is how a production dedup index absorbs a
+    * daily shard: signatures for new docs only, probe the standing
+    * buckets, verify exact Jaccard on candidates. Output: verified
+    * ≥ 0.8 pairs touching the shard (either as duplicate-of-corpus
+    * or within-shard). */
+  private lazy val incrementalMinhashQueryDef = QueryDef(
+    "q171_incremental_minhash",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      val ex = shingleTable(s, dir)
+      val isBatch = (bucket >= 80).as("is_batch")
+      val cand = minhashCandidates(s, dir)
+      val flags = t(s, dir, "documents")
+        .select(col("doc_id"), isBatch)
+      // keep only candidates touching the arriving shard — the
+      // asymmetric probe (a standing-corpus-only pair was settled
+      // when ITS shard arrived)
+      val shardCand = cand
+        .join(flags.select(col("doc_id").as("da"),
+          col("is_batch").as("ba")), "da")
+        .join(flags.select(col("doc_id").as("db"),
+          col("is_batch").as("bb")), "db")
+        .filter(col("ba") || col("bb"))
+      shardCand
+        .join(ex.select(col("doc_id").as("da"), col("s"),
+          col("sz").as("sa")), "da")
+        .join(ex.select(col("doc_id").as("db"), col("s"),
+          col("sz").as("sb")), Seq("db", "s"))
+        .groupBy(col("da"), col("db"), col("sa"), col("sb"),
+          col("ba"), col("bb"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("da"), col("db"),
+          when(col("ba") && col("bb"), "within_shard")
+            .otherwise("vs_corpus").as("kind"),
+          col("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shingleSql,
+      |flags AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100 >= 80 AS is_batch
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM hashed GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sc AS (
+      |  SELECT cand.da, cand.db, fa.is_batch AS ba, fb.is_batch AS bb
+      |  FROM cand
+      |  JOIN flags fa ON cand.da = fa.doc_id
+      |  JOIN flags fb ON cand.db = fb.doc_id
+      |  WHERE fa.is_batch OR fb.is_batch),
+      |ver AS (
+      |  SELECT sc.da, sc.db, sc.ba, sc.bb,
+      |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      |      / (len(x.shingles) + len(y.shingles)
+      |         - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+      |  FROM sc JOIN sh x ON x.doc_id = sc.da JOIN sh y ON y.doc_id = sc.db)
+      |SELECT da, db,
+      |  CASE WHEN ba AND bb THEN 'within_shard' ELSE 'vs_corpus' END
+      |    AS kind,
+      |  jaccard
+      |FROM ver WHERE jaccard >= 0.8
+      |ORDER BY da, db""".stripMargin))
 
   /** Cross-source duplicate-leakage matrix — WHERE the near-dups come
     * from: dedup-threshold pairs (≥ 0.8, the shared mined table)
