@@ -835,10 +835,15 @@ object SimilarityOps {
       .withColumn("cv",
         transform(col("sx"), e => e.cast("double") / col("n")))
       .select(col("label"), col("sp"), col("cv"))
-      // tiny (labels × subspaces); materialized once — it feeds both
+      // tiny (labels × subspaces); checkpointed LAZILY — it feeds both
       // the corpus encode and the per-query ADC tables, which would
-      // otherwise each re-run the two-level aggregation
-      .localCheckpoint(true)
+      // otherwise each re-run the two-level aggregation. Lazy (not
+      // eager): eager=true ran a separate blocking job per table
+      // before the query body even started, serializing the pipeline
+      // and costing ~2x on a single bench run (round-5 q84
+      // 1.24 -> 3.33 s driver-measured); lazy materializes inside the
+      // first consuming job and later consumers still reuse it.
+      .localCheckpoint(false)
     // native codegen'd squared L2 (same left-to-right double
     // accumulation as the HOF formulation — FunctionsSpec pins exact
     // parity; HOFs evaluate interpreted, this fuses into codegen)
@@ -853,7 +858,8 @@ object SimilarityOps {
       .drop("v")
       // read by both the encode and the ADC builder — materialize the
       // quantize+slice once instead of re-scanning embeddings per use
-      .localCheckpoint(true)
+      // (lazy for the same reason as the codebook above)
+      .localCheckpoint(false)
     // encode: nearest centroid per (vec, subspace); ties break on
     // label. min_by over a (dist, label) struct, NOT a row_number
     // window: the argmin becomes a partial-aggregable hash-agg
