@@ -50,15 +50,25 @@ case class NGramsGenerator(child: Expression, n: Int)
     val tokens = arr.asInstanceOf[ArrayData]
     val m = tokens.numElements() - n + 1
     if (m <= 0) return Nil
-    (0 until m).iterator.map { i =>
+    // windows containing a null token are skipped (not emitted),
+    // matching the containsNull-tolerant behavior of the built-in
+    // generators — the function is SQL-registered, so ad-hoc input
+    // arrays may carry nulls even though split() output never does
+    (0 until m).iterator.flatMap { i =>
       val sb = new StringBuilder
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
-        j += 1
+      var hasNull = false
+      while (j < n && !hasNull) {
+        if (tokens.isNullAt(i + j)) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          j += 1
+        }
       }
-      InternalRow(i.toLong, UTF8String.fromString(sb.toString))
+      if (hasNull) Iterator.empty
+      else Iterator.single(
+        InternalRow(i.toLong, UTF8String.fromString(sb.toString)))
     }
   }
 

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
@@ -23,6 +24,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // SQL-registered and extension-injected, so misuse (array<int>,
+  // array<string>) must fail at ANALYSIS — getLong on non-long
+  // ArrayData would silently read garbage otherwise. Element
+  // nullability is accepted (collect_list-built arrays are typed
+  // containsNull=true even when no null can occur); a null element
+  // reads as 0, within the caller-guaranteed sorted/distinct
+  // precondition documented above.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_common requires two array<bigint> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

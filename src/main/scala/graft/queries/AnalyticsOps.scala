@@ -383,10 +383,18 @@ object AnalyticsOps {
         val ev = events(s, dir)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"), col("ts_ms"))
+        // tie contract shared with the oracle: ONE row per
+        // (user_id, millisecond) — max(value) over the whole ms
+        // group, with the representative ns timestamp derived FROM
+        // the ms (ms start). Grouping by the raw ns ts instead would
+        // keep two same-ms signups distinct and let the backward pass
+        // pick the latest-ns row's value where the oracle (which only
+        // sees ms) takes the group max — a data-dependent mismatch.
         val signups = ev.filter(col("event_type") === "signup")
-          .groupBy(col("user_id").as("s_user"), col("ts").as("s_ts"))
+          .groupBy(col("user_id").as("s_user"),
+            expr("ts DIV 1000000").as("s_ms"))
           .agg(max(col("value")).as("s_val"))
-          .withColumn("s_ms", expr("s_ts DIV 1000000"))
+          .withColumn("s_ts", col("s_ms") * 1000000L)
         val back = graft.plans.AsOfJoin.backward(clicks, signups,
             Seq("user_id"), Seq("s_user"), "ts", "s_ts")
           .select(col("event_id"), col("s_ms").as("b_ms"),
