@@ -500,10 +500,17 @@ object SimilarityOps {
         |ORDER BY da, db""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // Brute-force KNN on the native codegen'd cosine Expression
-    // (full float precision — the production scoring path; engine-
-    // specific float accumulation, so rows-only check + spec-tested
-    // against the higher-order-function formulation).
+    // Brute-force KNN on the native codegen'd cosine Expression over
+    // the RAW float embeddings (full float precision — the production
+    // scoring path). Oracle-checkable by quantizing the score in the
+    // final projection (the q40 pattern applied post-hoc): both
+    // engines promote each float32 to the identical double and run
+    // the same left-to-right 64-term accumulation, so the scores
+    // agree to ~1e-13 relative; rounding to 1e-6 fixed point gives
+    // ~7 orders of magnitude of slack, and the RANK is computed on
+    // the quantized score (ties → vec_id), so the ordering contract
+    // is engine-independent even where the raw floats differ in the
+    // last bits.
     QueryDef("q43_knn_native",
       (s, dir) => {
         graft.functions.CosineSimilarity.register(s)
@@ -514,17 +521,39 @@ object SimilarityOps {
           .crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            graft.functions.CosineSimilarity
-              .cosine_sim("qv", "embedding").as("cosine"))
+            floor(graft.functions.CosineSimilarity
+              .cosine_sim("qv", "embedding") * 1000000 + 0.5)
+              .cast("long").as("cos_fp"))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+          .partitionBy(col("qid")).orderBy(col("cos_fp").desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("cosine"))
+            col("vec_id"), col("cos_fp"))
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some("""WITH fv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST(floor(
+        |      list_sum(list_transform(range(64), i -> q.qv[i+1] * e.v[i+1]))
+        |      / sqrt(list_sum(list_transform(q.qv, x -> x*x))
+        |           * list_sum(list_transform(e.v, x -> x*x)))
+        |      * 1000000 + 0.5) AS BIGINT) AS cos_fp
+        |  FROM (SELECT vec_id, v AS qv FROM fv WHERE vec_id < 10) q
+        |  CROSS JOIN fv e
+        |  WHERE e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos_fp,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_fp DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos_fp
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Per-label centroids (the IVF coarse-quantizer build step):
@@ -583,11 +612,17 @@ object SimilarityOps {
     // means in quantized units), so every distance is an exact-
     // integer-valued double (≤ 64·(2·10⁴)² ≪ 2^53) and assignment,
     // WCSS, and the whole trajectory are bit-deterministic — no
-    // accumulation-order dependence anywhere. Model-internal output
-    // ⇒ rows-only; KMeansSpec pins determinism, cluster count, and
-    // objective descent.
+    // accumulation-order dependence anywhere. That determinism makes
+    // the model FULLY oracle-able: the 5 Lloyd rounds unroll into
+    // assign/update CTE pairs exactly like q120/q124's unrolled
+    // fixpoints (md5-ordered init, first-index tie-break via
+    // (dist, cluster) row_number, truncating integer division — both
+    // engines truncate toward zero — and emptied clusters keeping
+    // the previous centroid via LEFT JOIN + COALESCE). KMeansSpec
+    // additionally pins determinism, cluster count, and objective
+    // descent.
     QueryDef("q111_kmeans",
-      (s, dir) => kmeans(s, dir)._1, None),
+      (s, dir) => kmeans(s, dir)._1, Some(kmeansOracleSql)),
 
     // ------------------------------------------------------------------
     // SemDeDup — semantic dedup via cluster-then-prune (see
@@ -673,6 +708,56 @@ object SimilarityOps {
         |FROM ranked WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin))
   )
+
+  /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into
+    * assign/update CTE pairs (generated here — same shape as
+    * q120/q124's hand-unrolled fixpoints). Exact-integer distances,
+    * toward-zero integer division (`//` matches Scala `/`), and the
+    * first-index tie-break as a (dist, cluster) row_number make each
+    * CTE bit-identical to the corresponding [[kmeansFit]] round. */
+  private lazy val kmeansOracleSql: String = {
+    val k = 8; val iters = 5
+    def assign(i: Int) =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cluster, dist FROM (
+         |    SELECT vec_id, v, cluster, dist,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cluster) AS rn
+         |    FROM (
+         |      SELECT q.vec_id, q.v, c.cluster,
+         |        CAST(list_sum(list_transform(range(64),
+         |          j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1])))
+         |          AS BIGINT) AS dist
+         |      FROM qv q CROSS JOIN c$i c))
+         |  WHERE rn = 1)"""
+    def update(i: Int) =
+      s"""u$i AS (
+         |  SELECT cluster, list(sx // n ORDER BY dim) AS cv FROM (
+         |    SELECT cluster, dim, CAST(sum(x) AS BIGINT) AS sx,
+         |      count(*) AS n
+         |    FROM (SELECT cluster, unnest(v) AS x,
+         |            generate_subscripts(v, 1) AS dim FROM a$i)
+         |    GROUP BY cluster, dim)
+         |  GROUP BY cluster),
+         |c${i + 1} AS (
+         |  SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
+         |  FROM c$i p LEFT JOIN u$i u USING (cluster))"""
+    val rounds = (0 until iters)
+      .map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, $quantSql AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT cluster, cv FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+       |      v AS cv
+       |    FROM qv) WHERE cluster < $k),
+       |$rounds,
+       |${assign(iters)}
+       |SELECT cluster, count(*) AS n_points,
+       |  CAST(sum(dist) AS BIGINT) AS wcss
+       |FROM a$iters GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
 
   /** Lloyd k-means over [[vecs]]: returns the per-cluster summary
     * (cluster, n_points, wcss) under the FINAL centroids plus the
