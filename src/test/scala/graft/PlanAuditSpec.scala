@@ -60,6 +60,40 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  /** The hot custom expressions must stay INSIDE whole-stage codegen
+    * — their entire reason to exist over the built-in/HOF forms is
+    * the fused primitive loop (SortedIntersect replaced an
+    * array_intersect that was the dominant cost of q123). A future
+    * Spark upgrade or an accidental CodegenFallback mix-in would
+    * silently de-optimize them; this pins both the class contract
+    * and the actual plan placement: every plan line mentioning the
+    * function must carry the `*(n)` whole-stage-codegen marker. */
+  test("hot custom expressions codegen: no fallback in q123/q84/q60 plans") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    Seq(classOf[graft.functions.SortedIntersect],
+      classOf[graft.functions.SquaredL2],
+      classOf[graft.functions.CosineSimilarity]).foreach { c =>
+      assert(!classOf[CodegenFallback].isAssignableFrom(c),
+        s"${c.getSimpleName} is CodegenFallback — doGenCode is dead code")
+    }
+    Seq("q123_triangles" -> "sorted_common(",
+      "q84_knn_pq" -> "sq_l2_dist(",
+      "q60_embed_neardup" -> "cosine_sim(").foreach { case (name, fn) =>
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.collect() // finalize AQE so codegen stages appear in the plan
+      // drop AQE's "Initial Plan" echo — only the FINAL plan's
+      // placement matters (the initial section never carries `*(n)`)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val lines = plan.linesIterator.filter(_.contains(fn)).toSeq
+      assert(lines.nonEmpty, s"$name: $fn not found in physical plan")
+      lines.foreach { l =>
+        assert(l.contains("*("),
+          s"$name: $fn evaluated outside WholeStageCodegen:\n$l")
+      }
+    }
+  }
+
   test("scans prune columns: no query reads full lineitem width") {
     val full = spark.read.parquet(s"${sf()}/lineitem.parquet").columns.length
     Seq("q04_topk_per_key", "q06_join_revenue", "q18_distinct_agg",
