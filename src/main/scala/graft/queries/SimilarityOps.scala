@@ -775,19 +775,52 @@ object SimilarityOps {
     (out, hist)
   }
 
+  /** Above this k the assignment step switches from plan-literal
+    * centroid expressions to the broadcast-join path: k×64 literals
+    * bloat the plan (codegen blows past method limits near k ≈ 100,
+    * and analysis cost is O(k) per round), while a broadcast join
+    * against a k-row centroid table scales to the k ≈ 10⁴ a SemDeDup
+    * production run uses. Both paths are bit-identical (KMeansSpec
+    * pins parity at a k above the cutoff). */
+  private val KmeansLiteralMaxK = 16
+
   /** Lloyd fit returning the FINAL assignment frame
     * (vec_id, v, cluster, dist) plus the WCSS trajectory; q111
     * summarizes it, q116's SemDeDup reads the assignment as its
-    * cluster structure. Same determinism contract as [[kmeans]]. */
-  def kmeansFit(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5)
-      : (DataFrame, Seq[Long]) = {
+    * cluster structure. Same determinism contract as [[kmeans]].
+    *
+    * `assignViaJoin`: None = pick by k (literal expressions up to
+    * [[KmeansLiteralMaxK]], broadcast join above); Some forces a path
+    * (spec-only — the parity test runs both at one k). The join path
+    * broadcasts the k-row centroid table, computes one codegen'd
+    * sq_l2_dist per (vector, centroid), and takes the argmin as a
+    * partial-aggregable `min(struct(dist, cluster))` hash-agg — the
+    * same first-index tie-break as `array_position`, with identical
+    * exact-integer distances. */
+  def kmeansFit(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5,
+      assignViaJoin: Option[Boolean] = None): (DataFrame, Seq[Long]) = {
     graft.functions.SquaredL2.register(s)
     val all = vecs(s, dir).select(col("vec_id"), col("v"))
     var cents: IndexedSeq[Seq[Long]] = all
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1)).toIndexedSeq
-    def assigned = {
+    val viaJoin = assignViaJoin.getOrElse(k > KmeansLiteralMaxK)
+    def assigned = if (viaJoin) {
+      import s.implicits._
+      val centsDf = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cluster", "cv")
+      all.crossJoin(broadcast(centsDf))
+        .withColumn("d", expr("sq_l2_dist(v, cv)"))
+        .groupBy(col("vec_id"))
+        // v is functionally dependent on vec_id — first() keeps the
+        // argmin a plain hash-agg (an array GROUPING key would force
+        // a sort-based aggregate)
+        .agg(first(col("v")).as("v"),
+          min(struct(col("d"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("v"),
+          col("m.d").cast("long").as("dist"), col("m.cluster").as("cluster"))
+    } else {
       val dcols = cents.map { c =>
         expr(s"sq_l2_dist(v, array(${c.mkString("L,")}L))") }
       val dArr = array(dcols: _*)

@@ -37,4 +37,38 @@ class KMeansSpec extends SparkSpec {
       assert(b.toDouble <= a.toDouble * 1.001, s"ascent $a -> $b")
     }
   }
+
+  private def summarize(fit: (org.apache.spark.sql.DataFrame, Seq[Long])) =
+    (fit._1.groupBy($"cluster")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"dist").as("w"))
+      .orderBy($"cluster")
+      .as[(Long, Long, Long)].collect().toSeq, fit._2)
+
+  test("literal and broadcast-join assignment paths are bit-identical") {
+    // one k, both paths forced — every (cluster, count, wcss) row and
+    // the whole WCSS trajectory must match exactly
+    val lit = summarize(SimilarityOps.kmeansFit(spark, sf(), k = 8,
+      iters = 3, assignViaJoin = Some(false)))
+    val join = summarize(SimilarityOps.kmeansFit(spark, sf(), k = 8,
+      iters = 3, assignViaJoin = Some(true)))
+    assert(lit == join, s"paths diverged:\n$lit\n$join")
+  }
+
+  test("k=64 via the join path: deterministic, populated, descending") {
+    // k=64 auto-selects the broadcast-join path (> KmeansLiteralMaxK);
+    // the production SemDeDup shape where plan-literal centroids stop
+    // being viable
+    val (sum1, hist1) = summarize(
+      SimilarityOps.kmeansFit(spark, sf(), k = 64, iters = 3))
+    val (sum2, hist2) = summarize(
+      SimilarityOps.kmeansFit(spark, sf(), k = 64, iters = 3))
+    assert(sum1 == sum2 && hist1 == hist2, "k=64 runs diverged")
+    assert(sum1.map(_._2).sum == 500, "every vector assigned exactly once")
+    assert(sum1.size > 32, s"only ${sum1.size} of 64 clusters populated")
+    val finalWcss = sum1.map(_._3).sum
+    assert(finalWcss < hist1.head,
+      s"objective did not improve: init=${hist1.head} final=$finalWcss")
+  }
 }
