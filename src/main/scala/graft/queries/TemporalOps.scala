@@ -841,6 +841,84 @@ object TemporalOps {
         |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
         |  CAST(m AS BIGINT) AS m, count(*) AS n_users
         |FROM sc GROUP BY 1, 2, 3
-        |ORDER BY r, f, m""".stripMargin))
+        |ORDER BY r, f, m""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Batch shadow of the streaming CDC latest-state view
+    // (LatestStateProcessor / transformWithState): events replayed as
+    // a change stream (key = user_id; 'error' events are deletes,
+    // everything else upserts). Latest-wins by the processor's exact
+    // tie contract — (ts_ms, value) descending, event_id as the final
+    // total-order disambiguator — and a winning tombstone removes the
+    // key from the view while still counting its changes. This gives
+    // the streaming state machine a hash-checked ground truth: the
+    // processor's own spec pins batching-independence, and THIS query
+    // pins what the converged state must equal. One hash-agg keyed by
+    // user_id (max_by is partial-aggregable — no window sort).
+    QueryDef("q172_cdc_latest_state",
+      (s, dir) => {
+        val ch = events(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_ms"), col("value"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("kind"))
+        ch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts_ms"), col("value"), col("event_id"),
+            col("kind"))).as("w"), count(lit(1)).as("n_changes"))
+          .filter(col("w.kind") =!= "delete")
+          .select(col("user_id"), col("w.ts_ms").as("last_ms"),
+            col("w.value").as("last_value"), col("n_changes"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH ch AS (
+        |  SELECT user_id, event_id, $tsMs AS ts_ms, value,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS kind
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, ts_ms, value, kind,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms DESC, value DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM ch)
+        |SELECT user_id, ts_ms AS last_ms, value AS last_value, n_changes
+        |FROM w WHERE rn = 1 AND kind <> 'delete'
+        |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Batch shadow of the streaming windowed heavy hitters
+    // (HeavyHittersProcessor): tumbling 1-day windows keyed by window
+    // start, top-3 users per window under the processor's exact
+    // ordering contract — count desc, item id asc (`sortBy
+    // ((-n, item)).take(k)`). The streaming operator's spec pins
+    // emit-on-window-close and late-row handling; this pins the
+    // per-window result the state machine must converge to. Two
+    // hash-aggs + one per-window top-k window function — the
+    // partition key is the day, so the sort is k-bounded per group.
+    QueryDef("q173_heavy_hitters_shadow",
+      (s, dir) => {
+        val cnt = events(s, dir)
+          .select(expr("ts_ms div 86400000").as("day"), col("user_id"))
+          .groupBy(col("day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("day"))
+          .orderBy(col("n").desc, col("user_id"))
+        cnt.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select((col("day") * 86400000L).as("win_start_ms"),
+            col("rk").cast("long").as("rk"), col("user_id"), col("n"))
+          .orderBy(col("win_start_ms"), col("rk"))
+      },
+      Some(s"""WITH cnt AS (
+        |  SELECT $tsMs // 86400000 AS day, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT day, user_id, n,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY n DESC, user_id) AS rk
+        |  FROM cnt)
+        |SELECT day * 86400000 AS win_start_ms, CAST(rk AS BIGINT) AS rk,
+        |  user_id, n
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY win_start_ms, rk""".stripMargin))
   )
 }
