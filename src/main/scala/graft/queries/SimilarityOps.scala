@@ -159,12 +159,23 @@ object SimilarityOps {
     * embeddings): LSH bucket SELF-join for candidates — any pair
     * sharing a (table, bucket) — then exact cosine verification at
     * `minCosine`. The all-pairs step never exists; candidate cost is
-    * Σ_bucket size² per table, tuned by `planes` exactly like a
-    * shingle-df cap. Output is (da, db, cosine), da < db — the keep/
-    * drop decision is a trivial downstream `min(da)` group. */
+    * Σ_bucket size² per table.
+    *
+    * The plane count is ADAPTIVE: at fixed planes p the bucket
+    * self-join costs n²/2^p per table — still quadratic in the
+    * corpus, just divided by a constant (the round-6 sf1 probe
+    * measured exactly that: 4 buckets/table → ~400M candidate pairs
+    * at 20k vectors). [[adaptivePlanes]] grows p with log₂(n) so
+    * occupancy stays ≤ `targetOcc` and candidate cost is ≤
+    * n·targetOcc·tables — linear. The oracle derives the same p
+    * in-SQL from the same integer rule, so both engines stay in
+    * lockstep at every SF. Output is (da, db, cosine), da < db —
+    * the keep/drop decision is a trivial downstream `min(da)`
+    * group. */
   def embedNearDupPairs(s: SparkSession, dir: String, tables: Int,
-      planes: Int, minCosine: Double): DataFrame = {
+      minCosine: Double, targetOcc: Int = 256): DataFrame = {
     val all = vecs(s, dir)
+    val planes = adaptivePlanes(all.count(), targetOcc)
     val buckets = lshBuckets(all, tables, planes)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -178,6 +189,19 @@ object SimilarityOps {
       .select(col("da"), col("db"), qcos(s, "av", "bv").as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy(col("da"), col("db"))
+  }
+
+  /** Smallest p with targetOcc·2^p ≥ n, floored at 2: keeps expected
+    * LSH bucket occupancy ≤ targetOcc as the corpus grows. Pure
+    * integer arithmetic (no float log2) so the oracle's in-SQL
+    * derivation — `min(pp) WHERE (targetOcc << pp) >= count(*)` —
+    * is bit-identical on both engines. The count() feeding this is a
+    * driver-side scalar over the localCheckpoint'ed vector table,
+    * not a data-scaled collect. */
+  private[queries] def adaptivePlanes(n: Long, targetOcc: Int): Int = {
+    var p = 0
+    while ((targetOcc.toLong << p) < n && p < 30) p += 1
+    math.max(2, p)
   }
 
   /** IVF search with multi-probe: score query↔cell-centroid cosines
@@ -457,15 +481,28 @@ object SimilarityOps {
     // embedding column: LSH-bucket self-join candidates, exact
     // verification at cosine ≥ 0.4 (this corpus is near-isotropic —
     // max pair ≈ 0.51 — so 0.4 marks the "suspiciously close" tail).
-    // 2 planes here vs q41's 4: near-dup wants high recall on
-    // moderate-angle pairs, so coarser buckets + the verify stage
-    // carrying the precision. The oracle replicates the identical
-    // deterministic pipeline (md5 planes → buckets → verify), so this
-    // checks the algorithm end-to-end, not just the final filter.
+    // Planes are ADAPTIVE (occupancy-bounded, see adaptivePlanes):
+    // the round-6 sf1 probe showed fixed planes=2 degenerates to
+    // n²/4-per-table candidates as the corpus grows. The oracle
+    // derives the identical plane count in-SQL from the identical
+    // integer rule, then replicates the deterministic pipeline (md5
+    // planes → buckets → verify), so this checks the algorithm
+    // end-to-end, not just the final filter. NOTE on output shape:
+    // on an isotropic corpus ANY fixed threshold in the chance tail
+    // admits Θ(n²·P(cos≥τ)) pairs — that is a property of thresholded
+    // similarity on random data, not of the plan; production near-dup
+    // corpora have true-duplicate structure at τ≈0.9 where output is
+    // Θ(#dups). The candidate stage here is what must stay linear,
+    // and does.
     QueryDef("q60_embed_neardup",
-      (s, dir) => embedNearDupPairs(s, dir, tables = 8, planes = 2,
+      (s, dir) => embedNearDupPairs(s, dir, tables = 8,
         minCosine = 0.4),
-      Some(s"""WITH qv AS (
+      Some(s"""WITH params AS (
+        |  SELECT GREATEST(2, (SELECT min(pp)
+        |    FROM (SELECT unnest(range(31)) AS pp)
+        |    WHERE (CAST(256 AS BIGINT) << pp) >=
+        |      (SELECT count(*) FROM embeddings))) AS pl),
+        |qv AS (
         |  SELECT vec_id, $quantSql AS v FROM embeddings),
         |normed AS (
         |  SELECT vec_id, v,
@@ -476,8 +513,9 @@ object SimilarityOps {
         |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
         |      THEN 1 ELSE -1 END AS sg
         |  FROM (SELECT unnest(range(8)) AS tbl),
-        |       (SELECT unnest(range(2)) AS p),
-        |       (SELECT unnest(range(64)) AS i)),
+        |       (SELECT unnest(range(31)) AS p),
+        |       (SELECT unnest(range(64)) AS i)
+        |  WHERE p < (SELECT pl FROM params)),
         |proj AS (
         |  SELECT n.vec_id, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
         |  FROM normed n CROSS JOIN signs s
