@@ -904,8 +904,19 @@ object SimilarityOps {
     * to the corpus-calibrated 0.4 that q60 uses for "near" — the
     * synthetic embeddings top out at cosine ≈ 0.51 (the paper's
     * 0.95+ applies to real encoder outputs, where near-dups
-    * cluster tightly). */
-  def semanticDedup(s: SparkSession, dir: String, k: Int = 8,
+    * cluster tightly).
+    *
+    * `k = 0` (the catalog default) means ADAPTIVE: k grows with the
+    * corpus so expected cluster size stays ≈ 256 — the same
+    * occupancy discipline as q60's adaptivePlanes. At fixed k the
+    * within-cluster pair stage is Σ(n/k)² = n²/k, quadratic with a
+    * constant divided out; occupancy-bounded k makes it ≤ n·256.
+    * Floor 8 (sf0.01 output and the spec's brute-force scale are
+    * unchanged), cap 4096 (centroid state stays a few MB — the
+    * broadcast-join assignment path from round 6 handles k beyond
+    * the plan-literal limit; production SemDeDup at larger n raises
+    * the target cluster size instead of k alone, per the paper). */
+  def semanticDedup(s: SparkSession, dir: String, k: Int = 0,
       iters: Int = 5, tau: Double = 0.4): DataFrame = {
     val (assigned, dropped) = semanticDedupParts(s, dir, k, iters, tau)
     assigned.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left")
@@ -920,7 +931,13 @@ object SimilarityOps {
     * kept-set invariant from these two frames. */
   private[graft] def semanticDedupParts(s: SparkSession, dir: String,
       k: Int, iters: Int, tau: Double): (DataFrame, DataFrame) = {
-    val assigned = kmeansFit(s, dir, k, iters)._1
+    val kEff =
+      if (k > 0) k
+      else { // occupancy-bounded: expected cluster size ≈ 256
+        val n = vecs(s, dir).count()
+        math.max(8, math.min(4096, ((n + 255) / 256).toInt))
+      }
+    val assigned = kmeansFit(s, dir, kEff, iters)._1
       .select(col("vec_id"), col("v"), col("cluster"), col("dist"))
       // read three times (both pair sides + the accounting join):
       // cut the 5-iteration assignment lineage once
