@@ -120,24 +120,37 @@ object GraphOps {
     * intersection, not the wedge self-join — the wedge form
     * materializes Σ C(outdeg, 2) rows (≈36M here: the graph is dense,
     * avg degree ~120) through a shuffle before the closure check,
-    * while this form joins the |E| edge list against the |V|-row
-    * adjacency table twice and intersects in place (measured 6.6 s →
-    * ~2 s). Degree orientation still does the heavy lifting: arrays
-    * hold OUT-neighbors only, so a hub's array is bounded by
-    * ~√(2|E|), not its full degree — the same skew cap that makes the
-    * wedge form viable, here bounding row width instead of row count.
-    * AQE broadcasts the adjacency side at bench SF; at cluster scale
-    * it degrades to a shuffled equi-join on node id. */
+    * while this form explodes the adjacency table into (edge, nbu)
+    * rows map-side and attaches nb(dst) with a single hash equi-join
+    * (see the body comment), intersecting in place. Degree
+    * orientation still does the heavy lifting: arrays hold
+    * OUT-neighbors only, so a hub's array is bounded by ~√(2|E|),
+    * not its full degree — the same skew cap that makes the wedge
+    * form viable, here bounding row width instead of row count. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersect.register(s)
     val deg = coPurchaseDegrees(s, dir)
-    val (oriented, adj) = orientedAdjacency(s, dir)
-    val tri = oriented
-      .join(adj.select(col("src").as("u2"), col("nb").as("nbu")),
-        col("src") === col("u2"))
-      .join(adj.select(col("src").as("v2"), col("nb").as("nbv")),
-        col("dst") === col("v2"))
-      .select(col("src").as("a"), col("dst").as("b"),
+    val (_, adj) = orientedAdjacency(s, dir)
+    // The oriented edge list IS the adjacency table exploded —
+    // deriving (a, b, nbu) by map-side explode makes the first
+    // array-attach join disappear (src co-location is free), so the
+    // only data movement left is ONE equi-join attaching nb(b) by
+    // dst. That join is hinted SHUFFLE_HASH: its streamed side
+    // carries nbu (Σ outdeg² ≈ wedge-count longs — the row width the
+    // degree orientation exists to bound), and sort-merge would SORT
+    // those wide rows; hashing the |V|-sized adjacency build side
+    // skips the sort. The round-6 sf1 probe measured the difference:
+    // the double-SMJ form went 16× warm time for 10× data once the
+    // adjacency outgrew AQE's broadcast threshold; this form is ~1 s
+    // at sf0.1 and linear to sf1. AQE still broadcasts the build
+    // side when it fits.
+    val tri = adj
+      .select(col("src").as("a"), col("nb").as("nbu"),
+        explode(col("nb")).as("b"))
+      .join(adj.hint("shuffle_hash")
+          .select(col("src").as("b"), col("nb").as("nbv")),
+        Seq("b"))
+      .select(col("a"), col("b"),
         // native merge-scan intersection (sorted_common): Spark's
         // array_intersect builds a boxed hash set per row — it was
         // the dominant cost of the whole query (12.5 s vs 2 s).
