@@ -273,8 +273,12 @@ object GraphOps {
           .join(itemCnt.select(col("pk").as("pa"), col("n_i").as("n_a")), "pa")
           .join(itemCnt.select(col("pk").as("pb"), col("n_i").as("n_b")), "pb")
           .select(col("pa"), col("pb"), col("n_ab"),
-            expr(s"(n_ab * ${nBaskets}L * 1000000L) div (n_a * n_b)")
-              .as("lift_fp"))
+            // n_ab·N·10⁶ ≤ N²·10⁶ exceeds Long past ~3·10⁶ baskets
+            // (Spark wraps, DuckDB raises): DECIMAL(38,0)/HUGEINT on
+            // both engines — the q137 overflow contract
+            expr(s"CAST((CAST(n_ab AS DECIMAL(38,0)) * ${nBaskets}L" +
+              " * 1000000L) div (CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+              " AS BIGINT)").as("lift_fp"))
           .orderBy(col("lift_fp").desc, col("pa"), col("pb"))
           .limit(50)
       },
@@ -287,7 +291,8 @@ object GraphOps {
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |ic AS (SELECT pk, count(*) AS n_i FROM li GROUP BY pk)
         |SELECT pc.pa, pc.pb, pc.n_ab,
-        |  (pc.n_ab * (SELECT n FROM nb) * 1000000) // (ia.n_i * ib.n_i)
+        |  CAST((CAST(pc.n_ab AS HUGEINT) * (SELECT n FROM nb) * 1000000)
+        |    // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT)
         |    AS lift_fp
         |FROM pc
         |JOIN ic ia ON pc.pa = ia.pk
@@ -353,7 +358,13 @@ object GraphOps {
           .agg(count(lit(1)).as("n"), sum(col("bal")).as("sx"),
             sum(col("i") * col("bal")).as("six"))
           .select(col("s_nationkey"), col("n"),
-            expr("((2 * six - (n + 1) * sx) * 1000000L) div (n * sx)")
+            // the Gini numerator is ≤ n·sx, which times 10⁶ exceeds
+            // Long past ~10⁵ members per group at cents scale (Spark
+            // wraps, DuckDB raises): DECIMAL(38,0)/HUGEINT on both
+            // engines — the q137 overflow contract
+            expr("CAST(((2 * CAST(six AS DECIMAL(38,0))" +
+              " - (n + 1) * CAST(sx AS DECIMAL(38,0))) * 1000000L)" +
+              " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)")
               .as("gini_fp"))
           .orderBy(col("s_nationkey"))
       },
@@ -373,7 +384,8 @@ object GraphOps {
         |    CAST(sum(i * bal) AS BIGINT) AS six
         |  FROM r GROUP BY s_nationkey)
         |SELECT s_nationkey, n,
-        |  ((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS gini_fp
+        |  CAST(((2 * CAST(six AS HUGEINT) - (n + 1) * CAST(sx AS HUGEINT))
+        |    * 1000000) // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_fp
         |FROM agg ORDER BY s_nationkey""".stripMargin))
   )
 }

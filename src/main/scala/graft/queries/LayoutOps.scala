@@ -324,8 +324,13 @@ object LayoutOps {
               .as("n_straddling"))
           .select(col("n_docs"), col("total_tokens"), col("n_bins"),
             col("n_straddling"),
-            expr(s"(total_tokens * 1000000L) div (n_bins * $budget)")
-              .as("fill_fp"))
+            // total_tokens·10⁶ exceeds Long past ~9·10¹² corpus
+            // tokens (~35 TB of text — inside the design envelope):
+            // DECIMAL(38,0)/HUGEINT on both engines, the q137
+            // overflow contract
+            expr(s"CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000L)" +
+              s" div (CAST(n_bins AS DECIMAL(38,0)) * $budget)" +
+              " AS BIGINT)").as("fill_fp"))
       },
       Some("""WITH d AS (
         |  SELECT doc_id,
@@ -346,9 +351,9 @@ object LayoutOps {
         |  CAST(count(CASE WHEN cum_before // 256
         |    <> (cum_before + n_tokens - 1) // 256 THEN 1 END) AS BIGINT)
         |    AS n_straddling,
-        |  (CAST(sum(n_tokens) AS BIGINT) * 1000000)
+        |  CAST((CAST(sum(n_tokens) AS HUGEINT) * 1000000)
         |    // ((CAST(max((cum_before + n_tokens - 1) // 256) + 1
-        |        AS BIGINT)) * 256) AS fill_fp
+        |        AS HUGEINT)) * 256) AS BIGINT) AS fill_fp
         |FROM c""".stripMargin)),
 
     // ------------------------------------------------------------------

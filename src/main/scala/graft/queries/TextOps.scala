@@ -1242,7 +1242,13 @@ object TextOps {
         .join(uni.select(col("w").as("w1"), col("n_w").as("n1")), "w1")
         .join(uni.select(col("w").as("w2"), col("n_w").as("n2")), "w2")
         .select(col("w1"), col("w2"), col("n_ab"),
-          expr(s"(n_ab * ${bt}L * 1000000L) div (n1 * n2)").as("pmi_fp"))
+          // n_ab·bt·10⁶ is bounded by bt²·10⁶ — past ~3·10⁶ total
+          // bigrams that exceeds Long (Spark wraps, DuckDB raises):
+          // promote to DECIMAL(38,0)/HUGEINT on both engines, the
+          // q137 overflow contract
+          expr(s"CAST((CAST(n_ab AS DECIMAL(38,0)) * ${bt}L * 1000000L)" +
+            " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("pmi_fp"))
         .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
         .limit(50)
     },
@@ -1261,7 +1267,8 @@ object TextOps {
       |    n_ab
       |  FROM cab WHERE n_ab >= 5)
       |SELECT sc.w1, sc.w2, sc.n_ab,
-      |  (sc.n_ab * (SELECT bt FROM tot) * 1000000) // (ua.n_w * ub.n_w)
+      |  CAST((CAST(sc.n_ab AS HUGEINT) * (SELECT bt FROM tot) * 1000000)
+      |    // (CAST(ua.n_w AS HUGEINT) * ub.n_w) AS BIGINT)
       |    AS pmi_fp
       |FROM sc
       |JOIN uni ua ON sc.w1 = ua.w
