@@ -121,12 +121,17 @@ object TextOps {
     * signature build (md5 → 16 universal minhashes → 4 band digests)
     * runs once per session instead of once per consumer. At 100 TB
     * this is the parquet band index the daily shard probes. */
-  private val bandCache =
+  /** The raw 16-slot minhash signature table (doc_id, seed, mh) —
+    * the sketch itself, before banding. Memoized separately from the
+    * band table because q174's accuracy audit reads the SLOTS (it
+    * compares slot-agreement fractions against exact Jaccard) while
+    * the dedup path reads the band digests built from them. */
+  private val slotCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame =
-    bandCache.synchronized {
-      bandCache.getOrElseUpdate((s, dir), {
-        val hashed = shingleTable(s, dir)
+  private[queries] def minhashSlots(s: SparkSession, dir: String): DataFrame =
+    slotCache.synchronized {
+      slotCache.getOrElseUpdate((s, dir),
+        shingleTable(s, dir)
           .select(col("doc_id"),
             conv(substring(md5(col("s")), 1, 15), 16, 10)
               .cast("long").bitwiseAND(2147483647L).as("h"))
@@ -134,7 +139,15 @@ object TextOps {
           .groupBy(col("doc_id"), col("seed"))
           .agg(min(((lit(2) * col("seed") + 1) * col("h")
             + lit(7919) * col("seed")) % 2147483647L).as("mh"))
-        hashed
+          .localCheckpoint(false))
+    }
+
+  private val bandCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandCache.synchronized {
+      bandCache.getOrElseUpdate((s, dir), {
+        minhashSlots(s, dir)
           .withColumn("band_id", expr("seed DIV 4"))
           .groupBy(col("doc_id"), col("band_id"))
           .agg(md5(array_join(transform(
@@ -536,6 +549,7 @@ object TextOps {
     sortedNeighborhoodQueryDef, adaptiveCutoffQueryDef, bm25QueryDef,
     tfidfQueryDef, pmiQueryDef, prefixJoinQueryDef, bigramCoverageQueryDef,
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
+    minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
     dupLeakageQueryDef, incrementalMinhashQueryDef)
 
@@ -852,6 +866,99 @@ object TextOps {
       |FROM exact LEFT JOIN cand
       |  ON exact.da = cand.da AND exact.db = cand.db
       |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Sketch-store accuracy audit — q144 asks "what fraction of true
+  // pairs does the index CATCH" (recall); this asks "how WRONG is the
+  // sketch's similarity estimate on the pairs it does catch": per
+  // candidate pair, the minhash-estimated Jaccard (agreeing slots /
+  // 16 — the estimator a production pipeline ranks dup-candidates by
+  // WITHOUT touching the corpus) against the exact shingle Jaccard,
+  // rolled up per estimated-similarity decile with count / mean /
+  // max absolute error. At 100 TB this audit is how a persisted
+  // fingerprint store earns trust: candidates-bounded (the band
+  // index supplies pairs — no all-pairs step), 16 slot rows per pair
+  // side, and the error aggregation is ORDER-INDEPENDENT integer
+  // arithmetic (each pair's |est − exact| is quantized to ×10⁶
+  // fixed point BEFORE the sum — a double mean would hash-diverge on
+  // accumulation order). Estimated decile = (n_agree·10) div 16, all
+  // integers.
+  private lazy val minhashErrQueryDef = QueryDef(
+    "q174_minhash_estimate_error",
+    (s, dir) => {
+      val ex = shingleTable(s, dir)
+      val slots = minhashSlots(s, dir)
+      val cand = minhashCandidates(s, dir)
+      val agree = cand
+        .join(slots.select(col("doc_id").as("da"), col("seed"),
+          col("mh").as("ma")), "da")
+        .join(slots.select(col("doc_id").as("db"), col("seed"),
+          col("mh").as("mb")), Seq("db", "seed"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(when(col("ma") === col("mb"), 1)).as("n_agree"))
+      val exact = cand
+        .join(ex.select(col("doc_id").as("da"), col("s"),
+          col("sz").as("sa")), "da")
+        .join(ex.select(col("doc_id").as("db"), col("s"),
+          col("sz").as("sb")), Seq("db", "s"))
+        .groupBy(col("da"), col("db"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("da"), col("db"),
+          (col("c").cast("double") /
+            (col("sa") + col("sb") - col("c"))).as("jac"))
+      agree.join(exact, Seq("da", "db"))
+        .withColumn("err_fp", expr(
+          "CAST(floor(abs(n_agree / 16.0 - jac) * 1000000 + 0.5) AS BIGINT)"))
+        .withColumn("decile", expr("(n_agree * 10) div 16"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(err_fp) div count(1)").as("mean_err_fp"),
+          max(col("err_fp")).as("max_err_fp"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM hashed GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |agree AS (
+      |  SELECT c.da, c.db,
+      |    count(*) FILTER (WHERE ha.mh = hb.mh) AS n_agree
+      |  FROM cand c
+      |  JOIN hashed ha ON ha.doc_id = c.da
+      |  JOIN hashed hb ON hb.doc_id = c.db AND hb.seed = ha.seed
+      |  GROUP BY c.da, c.db),
+      |exact AS (
+      |  SELECT c.da, c.db,
+      |    CAST(count(*) AS DOUBLE) / (x.sz + y.sz - count(*)) AS jac
+      |  FROM cand c
+      |  JOIN ex0 x ON x.doc_id = c.da
+      |  JOIN ex0 y ON y.doc_id = c.db AND y.s = x.s
+      |  GROUP BY c.da, c.db, x.sz, y.sz),
+      |err AS (
+      |  SELECT a.n_agree,
+      |    CAST(floor(abs(a.n_agree / 16.0 - e.jac) * 1000000 + 0.5)
+      |      AS BIGINT) AS err_fp
+      |  FROM agree a JOIN exact e ON a.da = e.da AND a.db = e.db)
+      |SELECT (n_agree * 10) // 16 AS decile,
+      |  count(*) AS n_pairs,
+      |  CAST(sum(err_fp) // count(*) AS BIGINT) AS mean_err_fp,
+      |  CAST(max(err_fp) AS BIGINT) AS max_err_fp
+      |FROM err GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Per-source vocabulary divergence — total-variation distance
     * between each source's unigram distribution and the corpus-wide
