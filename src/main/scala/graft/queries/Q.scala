@@ -34,14 +34,24 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries a parquet TIMESTAMP(NANOS) column that Spark
-    * does not map to a native type; read it as epoch-nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive ms/µs
-    * explicitly. Integer `DIV` (not `/`) — ns magnitudes exceed
-    * double's 2^53 exact range. */
+  /** `events.ts` is normalized to an epoch-nanos LONG regardless of
+    * how the parquet writer typed it: TIMESTAMP(NANOS) arrives as a
+    * nanos long via `spark.sql.legacy.parquet.nanosAsLong`;
+    * TIMESTAMP(MICROS) (tz-less → TIMESTAMP_NTZ) is converted with
+    * `unix_micros` under the pinned UTC session zone — the same
+    * naive-as-UTC reading DuckDB's `epoch_*` functions use, so both
+    * engines agree on the integer timeline. Downstream derives ms/µs
+    * with integer `DIV` (not `/`) — ns magnitudes exceed double's
+    * 2^53 exact range. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+    val raw = t(s, dir, "events")
+    val tsNanos = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+    raw.withColumn("ts", tsNanos.cast("long"))
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
   }
 
   /** exact decimal view of a ≤4-decimal double (quantities, prices,
