@@ -180,6 +180,17 @@ object GraphOps {
     val canon = coPurchaseEdges(s, dir)
     var sym = canon.select(col("u"), col("v"))
       .unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      // hash-partition by u ONCE: every peel round's degree
+      // groupBy(u) — and the final residual-degree agg — then reuses
+      // the checkpointed partitioning (Dataset.checkpoint records
+      // outputPartitioning in its LogicalRDD, so the Exchange is
+      // eliminated) instead of re-shuffling the whole surviving edge
+      // list each round. The semi joins below are ordered v-then-u
+      // so the round's OUTPUT is u-partitioned under either physical
+      // choice: broadcast joins pass the partitioning through, and
+      // if the alive set ever outgrows broadcast, the last (u-keyed)
+      // shuffle semi join re-establishes it.
+      .repartition(col("u"))
       .localCheckpoint(false)
     for (_ <- 1 to 3) {
       val alive = sym.groupBy(col("u").as("node"))
@@ -187,8 +198,8 @@ object GraphOps {
         .filter(col("deg") >= k)
         .select(col("node"))
       sym = sym
-        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
         .select(col("u"), col("v"))
         // each round's survivor subgraph feeds the next round twice
         // (degree agg + both semi joins): cut per round, like q80
