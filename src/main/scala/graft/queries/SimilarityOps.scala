@@ -668,11 +668,16 @@ object SimilarityOps {
     // dedup resolution. The k-means assignment bounds the candidate
     // set to within-cluster pairs (Σ cluster², never corpus²; k is
     // the scale knob), and the pair verify reuses q60's codegen'd
-    // exact integer cosine. Clustering is model-internal state (like
-    // q111's centroids) ⇒ rows-only; SemDedupSpec brute-force-
-    // verifies the kept-set invariant and determinism.
+    // exact integer cosine. FULLY oracle-checked since round 8: the
+    // clustering inherits q111's bit-deterministic Lloyd contract
+    // (integer centroids, md5 init, first-index tie-break), the
+    // adaptive k re-derives in-SQL from the same integer rule, and
+    // the prune threshold is q60's exact-operand cosine — so the
+    // whole cluster-then-prune pipeline hash-matches, not just row
+    // counts. SemDedupSpec additionally brute-force-verifies the
+    // kept-set invariant and determinism.
     QueryDef("q116_semantic_dedup",
-      (s, dir) => semanticDedup(s, dir), None),
+      (s, dir) => semanticDedup(s, dir), Some(semdedupOracleSql)),
 
     // ------------------------------------------------------------------
     // JL ±1 random projection (see [[randomProjection]]): exact
@@ -753,35 +758,45 @@ object SimilarityOps {
     * toward-zero integer division (`//` matches Scala `/`), and the
     * first-index tie-break as a (dist, cluster) row_number make each
     * CTE bit-identical to the corresponding [[kmeansFit]] round. */
+  /** One Lloyd ASSIGN round as a DuckDB CTE: nearest centroid from
+    * c`i` per vector, first-index tie-break via (dist, cluster) —
+    * the SQL mirror of [[kmeansFit]]'s argmin (both its plan-literal
+    * and broadcast-join forms). Shared by the q111 and q116 oracles. */
+  private def kmAssignCte(i: Int) =
+    s"""a$i AS (
+       |  SELECT vec_id, v, cluster, dist FROM (
+       |    SELECT vec_id, v, cluster, dist,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM (
+       |      SELECT q.vec_id, q.v, c.cluster,
+       |        CAST(list_sum(list_transform(range(64),
+       |          j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1])))
+       |          AS BIGINT) AS dist
+       |      FROM qv q CROSS JOIN c$i c))
+       |  WHERE rn = 1)"""
+
+  /** One Lloyd UPDATE round as a DuckDB CTE pair: truncated-integer
+    * centroid means from a`i`, emptied clusters keeping the previous
+    * centroid (LEFT JOIN + COALESCE) — [[kmeansFit]]'s update step. */
+  private def kmUpdateCte(i: Int) =
+    s"""u$i AS (
+       |  SELECT cluster, list(sx // n ORDER BY dim) AS cv FROM (
+       |    SELECT cluster, dim, CAST(sum(x) AS BIGINT) AS sx,
+       |      count(*) AS n
+       |    FROM (SELECT cluster, unnest(v) AS x,
+       |            generate_subscripts(v, 1) AS dim FROM a$i)
+       |    GROUP BY cluster, dim)
+       |  GROUP BY cluster),
+       |c${i + 1} AS (
+       |  SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
+       |  FROM c$i p LEFT JOIN u$i u USING (cluster))"""
+
+  private def kmRoundsSql(iters: Int): String = (0 until iters)
+    .map(i => kmAssignCte(i) + ",\n" + kmUpdateCte(i)).mkString(",\n")
+
   private lazy val kmeansOracleSql: String = {
     val k = 8; val iters = 5
-    def assign(i: Int) =
-      s"""a$i AS (
-         |  SELECT vec_id, v, cluster, dist FROM (
-         |    SELECT vec_id, v, cluster, dist,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY dist, cluster) AS rn
-         |    FROM (
-         |      SELECT q.vec_id, q.v, c.cluster,
-         |        CAST(list_sum(list_transform(range(64),
-         |          j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1])))
-         |          AS BIGINT) AS dist
-         |      FROM qv q CROSS JOIN c$i c))
-         |  WHERE rn = 1)"""
-    def update(i: Int) =
-      s"""u$i AS (
-         |  SELECT cluster, list(sx // n ORDER BY dim) AS cv FROM (
-         |    SELECT cluster, dim, CAST(sum(x) AS BIGINT) AS sx,
-         |      count(*) AS n
-         |    FROM (SELECT cluster, unnest(v) AS x,
-         |            generate_subscripts(v, 1) AS dim FROM a$i)
-         |    GROUP BY cluster, dim)
-         |  GROUP BY cluster),
-         |c${i + 1} AS (
-         |  SELECT p.cluster, COALESCE(u.cv, p.cv) AS cv
-         |  FROM c$i p LEFT JOIN u$i u USING (cluster))"""
-    val rounds = (0 until iters)
-      .map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
     s"""WITH qv AS (
        |  SELECT vec_id, $quantSql AS v FROM embeddings),
        |c0 AS (
@@ -790,11 +805,56 @@ object SimilarityOps {
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
        |      v AS cv
        |    FROM qv) WHERE cluster < $k),
-       |$rounds,
-       |${assign(iters)}
+       |${kmRoundsSql(iters)},
+       |${kmAssignCte(iters)}
        |SELECT cluster, count(*) AS n_points,
        |  CAST(sum(dist) AS BIGINT) AS wcss
        |FROM a$iters GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  /** q116's oracle: the full SemDeDup pipeline in SQL — the same
+    * unrolled Lloyd rounds as [[kmeansOracleSql]] but with the
+    * ADAPTIVE k derived in-database from the identical integer rule
+    * as [[semanticDedupParts]] (expected cluster size ≈ 256, floor 8,
+    * cap 4096 — the q60 adaptive-planes pattern), then the
+    * within-cluster farther-from-centroid-survives prune. Everything
+    * before the final cosine threshold is exact integer arithmetic;
+    * the threshold itself is the one division + sqrt both engines
+    * compute identically on exact-integer operands (the q60
+    * contract). */
+  private lazy val semdedupOracleSql: String = {
+    val iters = 5
+    s"""WITH qv AS (
+       |  SELECT vec_id, $quantSql AS v FROM embeddings),
+       |params AS (
+       |  SELECT GREATEST(8, LEAST(4096, (count(*) + 255) // 256)) AS kk
+       |  FROM qv),
+       |c0 AS (
+       |  SELECT cluster, cv FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster,
+       |      v AS cv
+       |    FROM qv) WHERE cluster < (SELECT kk FROM params)),
+       |${kmRoundsSql(iters)},
+       |${kmAssignCte(iters)},
+       |pn AS (
+       |  SELECT vec_id, v, cluster, dist,
+       |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+       |  FROM a$iters),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM pn a JOIN pn b ON b.cluster = a.cluster
+       |    AND b.vec_id <> a.vec_id
+       |  WHERE (b.dist > a.dist
+       |      OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+       |    AND CAST(CAST(list_sum(list_transform(range(64),
+       |          i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4)
+       |SELECT a.cluster, count(*) AS n_points,
+       |  count(CASE WHEN d.vec_id IS NULL THEN 1 END) AS n_kept,
+       |  count(d.vec_id) AS n_dropped
+       |FROM a$iters a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+       |GROUP BY a.cluster ORDER BY a.cluster""".stripMargin
   }
 
   /** Lloyd k-means over [[vecs]]: returns the per-cluster summary
