@@ -634,10 +634,14 @@ object SimilarityOps {
     // use); scoring joins the corpus CODES against a broadcast
     // per-query ADC lookup table and hash-aggregates — the corpus
     // vectors themselves are touched only for the exact top-`rerank`
-    // re-rank. Sketch internals ⇒ rows-only; PqRecallSpec measures
-    // recall@5 against exact brute force.
+    // re-rank. FULLY oracle-checked since round 8: every squared-L2
+    // is quantized to 1e-6 fixed point before any comparison (the
+    // q40/q43 contract), which makes encode, ADC shortlist, and the
+    // re-rank all integer-deterministic on both engines — the oracle
+    // replays the identical pipeline in SQL. PqRecallSpec separately
+    // measures recall@5 against exact brute force.
     QueryDef("q84_knn_pq",
-      (s, dir) => knnPq(s, dir, shortlist = 50), None),
+      (s, dir) => knnPq(s, dir, shortlist = 50), Some(pqOracleSql)),
 
     // ------------------------------------------------------------------
     // Lloyd k-means over the quantized corpus — the semantic-
@@ -1013,6 +1017,88 @@ object SimilarityOps {
     (assigned, dropped)
   }
 
+  /** q84's oracle: the full PQ-ADC pipeline in SQL. Every stage
+    * mirrors [[knnPq]] under the q40/q43 fixed-point contract —
+    * codebook means are exact-integer-over-integer doubles, every
+    * squared-L2 is quantized to 1e-6 fixed point before any
+    * comparison (~7 orders of magnitude of slack over the ~1e-13
+    * cross-engine accumulation error), ADC distances are integer
+    * sums of those, and the exact re-rank ranks on the quantized
+    * cosine — so encode, shortlist, and re-rank are all
+    * integer-deterministic on both engines. m=4 subspaces of 16
+    * dims, shortlist=50, the catalog defaults. */
+  private lazy val pqOracleSql: String = {
+    val m = 4; val sub = 16; val shortlist = 50
+    // quantized squared-L2 between int subvector x and double
+    // centroid cv, 1e-6 fixed point
+    def l2fpSql(x: String, cv: String) =
+      s"""CAST(floor(list_sum(list_transform(range($sub),
+         |      j -> ($x[j+1] - $cv[j+1]) * ($x[j+1] - $cv[j+1])))
+         |      * 1000000 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, label, sp,
+       |    list_slice(v, sp * $sub + 1, (sp + 1) * $sub) AS x
+       |  FROM qv CROSS JOIN (SELECT unnest(range($m)) AS sp)),
+       |cbx AS (
+       |  SELECT label, sp, dim, CAST(sum(e) AS BIGINT) AS sx,
+       |    count(*) AS n
+       |  FROM (SELECT label, sp, unnest(x) AS e,
+       |          generate_subscripts(x, 1) AS dim FROM sv)
+       |  GROUP BY label, sp, dim),
+       |cb AS (
+       |  SELECT label, sp, list(sx / n ORDER BY dim) AS cv
+       |  FROM cbx GROUP BY label, sp),
+       |enc AS (
+       |  SELECT vec_id, sp, label AS code FROM (
+       |    SELECT s.vec_id, s.sp, c.label,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sp
+       |        ORDER BY ${l2fpSql("s.x", "c.cv")}, c.label) AS rn
+       |    FROM sv s JOIN cb c ON c.sp = s.sp)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT s.vec_id AS qid, s.sp, c.label AS code,
+       |    ${l2fpSql("s.x", "c.cv")} AS qdist
+       |  FROM sv s JOIN cb c ON c.sp = s.sp
+       |  WHERE s.vec_id < 10),
+       |adist AS (
+       |  SELECT a.qid, e.vec_id, CAST(sum(a.qdist) AS BIGINT) AS d
+       |  FROM enc e JOIN adc a ON a.sp = e.sp AND a.code = e.code
+       |  WHERE e.vec_id <> a.qid
+       |  GROUP BY a.qid, e.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY d, vec_id) AS rn
+       |    FROM adist)
+       |  WHERE rn <= $shortlist),
+       |pn AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+       |  FROM qv),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |    CAST(floor(
+       |      CAST(CAST(list_sum(list_transform(range(64),
+       |        i -> q.v[i+1] * e.v[i+1])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE))
+       |      * 1000000 + 0.5) AS BIGINT) AS cos_fp
+       |  FROM cand c
+       |  JOIN pn q ON q.vec_id = c.qid
+       |  JOIN pn e ON e.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos_fp,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_fp DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos_fp
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** sign of JL hyperplane component (o, j): low bit of the first
     * byte of md5("rp_o_j") — same constant-derivation scheme as
     * [[sgn]], re-derivable in the oracle SQL. */
@@ -1079,10 +1165,15 @@ object SimilarityOps {
       .localCheckpoint(false)
     // native codegen'd squared L2 (same left-to-right double
     // accumulation as the HOF formulation — FunctionsSpec pins exact
-    // parity; HOFs evaluate interpreted, this fuses into codegen)
+    // parity; HOFs evaluate interpreted, this fuses into codegen),
+    // QUANTIZED to 1e-6 fixed point: the q40/q43 contract that makes
+    // every downstream comparison integer-deterministic across
+    // engines (subspace distances are ≤ 16·(2·10⁴)² = 6.4·10⁹, so
+    // ×10⁶ stays under 2^53 and the floor is exact)
     graft.functions.SquaredL2.register(s)
-    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      expr(s"sq_l2_dist(${a.toString}, ${b.toString})")
+    def l2fp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(expr(s"sq_l2_dist(${a.toString}, ${b.toString})") * 1000000
+        + 0.5).cast("long")
     // subvector rows (vec, subspace) — one slice per subspace
     val sv = all
       .select(col("vec_id"), col("v"),
@@ -1098,7 +1189,7 @@ object SimilarityOps {
     // window: the argmin becomes a partial-aggregable hash-agg
     // (combines map-side) instead of a sort within every group.
     val codes = sv.join(broadcast(cb), "sp")
-      .withColumn("dist", l2(col("x"), col("cv")))
+      .withColumn("dist", l2fp(col("x"), col("cv")))
       .groupBy(col("vec_id"), col("sp"))
       .agg(min_by(col("label"), struct(col("dist"), col("label")))
         .as("code"))
@@ -1107,7 +1198,7 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("sp"), col("x"))
       .join(broadcast(cb), "sp")
       .select(col("qid"), col("sp"), col("label").as("code"),
-        l2(col("x"), col("cv")).as("qdist"))
+        l2fp(col("x"), col("cv")).as("qdist"))
     // approximate distance = sum of m lookups; shortlist per query
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("adist"), col("vec_id"))
@@ -1122,14 +1213,16 @@ object SimilarityOps {
     val queries = all.select(col("vec_id").as("qid"), col("v").as("qv"))
       .filter(col("qid") < 10)
     val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col("cos_fp").desc, col("vec_id"))
     cands.join(broadcast(queries), "qid")
       .join(all.select(col("vec_id"), col("v")), "vec_id")
-      .select(col("qid"), col("vec_id"), qcos(s, "qv", "v").as("cosine"))
+      .select(col("qid"), col("vec_id"),
+        floor(qcos(s, "qv", "v") * 1000000 + 0.5).cast("long")
+          .as("cos_fp"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("cosine"))
+        col("vec_id"), col("cos_fp"))
       .orderBy(col("qid"), col("rank"))
   }
 }
