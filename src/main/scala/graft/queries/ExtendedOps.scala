@@ -835,7 +835,7 @@ object ExtendedOps {
         val bloom = hot
           .agg(call_function("graft_bloom_agg",
             xxhash64(col("l_orderkey")), lit(50000L)).as("bf"))
-          .head.getAs[Array[Byte]]("bf")
+          .head().getAs[Array[Byte]]("bf")
         t(s, dir, "orders")
           .filter(call_function("graft_might_contain", lit(bloom),
             xxhash64(col("o_orderkey"))))

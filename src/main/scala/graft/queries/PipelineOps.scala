@@ -433,7 +433,7 @@ object PipelineOps {
         val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
         val cnts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
           .withColumn("wt", floor(sqrt(col("n").cast("double"))).cast("long"))
-        val tot = cnts.agg(sum(col("wt"))).head.getLong(0)
+        val tot = cnts.agg(sum(col("wt"))).head().getLong(0)
         val quota = cnts.select(col("source"),
           expr(s"(200 * wt) div ${tot}L").as("quota"))
         val w = Window.partitionBy(col("source"))
@@ -890,7 +890,7 @@ object PipelineOps {
         val bloom = evalSh
           .select(call_function("graft_bloom_agg", xxhash64(col("s")),
             lit(50000L)).as("bf"))
-          .head.getAs[Array[Byte]]("bf")
+          .head().getAs[Array[Byte]]("bf")
         val contaminated = sh.filter(col("bucket") < 80)
           .filter(call_function("graft_might_contain", lit(bloom),
             xxhash64(col("s"))))

@@ -803,7 +803,7 @@ object TemporalOps {
         val ev = events(s, dir).filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts_ms"),
             floor(col("value") * 10000 + 0.5).cast("long").as("v"))
-        val maxDay = ev.agg(max(expr("ts_ms div 86400000"))).head.getLong(0)
+        val maxDay = ev.agg(max(expr("ts_ms div 86400000"))).head().getLong(0)
         val users = ev.groupBy(col("user_id"))
           .agg((lit(maxDay) - expr("max(ts_ms) div 86400000"))
             .as("recency_d"),

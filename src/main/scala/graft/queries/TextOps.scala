@@ -989,7 +989,7 @@ object TextOps {
         .localCheckpoint(true)
       val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
       val sTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
-      val n = wTot.agg(sum(col("c_w"))).head.getLong(0)
+      val n = wTot.agg(sum(col("c_w"))).head().getLong(0)
       // numerator bound ≈ 3·10⁶·N² must stay inside DECIMAL(38,0)
       require(n < 5000000000000000L,
         s"q137: corpus token count $n would overflow the 10^38 bound")
@@ -1344,7 +1344,7 @@ object TextOps {
         // read twice (total-count scalar + the scoring join): the
         // window + agg that build it run once
         .localCheckpoint(true)
-      val bt = bg.agg(sum(col("n_ab"))).head.getLong(0)
+      val bt = bg.agg(sum(col("n_ab"))).head().getLong(0)
       bg.filter(col("n_ab") >= 5)
         .join(uni.select(col("w").as("w1"), col("n_w").as("n1")), "w1")
         .join(uni.select(col("w").as("w2"), col("n_w").as("n2")), "w2")

@@ -60,7 +60,7 @@ final class InMemoryRedis private () extends RedisStreamsClient {
   }
 
   def keys: Seq[String] = {
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     streams.keySet().asScala.toSeq.sorted
   }
 }
