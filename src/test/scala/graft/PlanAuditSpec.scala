@@ -94,6 +94,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** q124's peel loop hash-partitions the symmetric edge list by u
+    * ONCE and relies on checkpoint-recorded partitioning + broadcast
+    * semi joins to keep every later degree groupBy(u) exchange-free
+    * (round-8 change: isolated 5.5 → 2.6 s at sf0.1). The reuse is
+    * invisible in correctness and easy to lose silently — a Spark
+    * upgrade dropping LogicalRDD partitioning, or a join reorder
+    * breaking the pass-through, would re-shuffle |E| rows per round.
+    * Pin it: the FINAL stage (residual-degree agg over the last
+    * checkpointed round) must contain NO hash-partitioning exchange —
+    * the only exchange allowed after the last checkpoint is the
+    * presentation sort's range partitioning. */
+  test("q124 final degree agg reuses the checkpointed u-partitioning") {
+    val df = SparkEntry.queries("q124_kcore")(spark, sf())
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("HashAggregate"), s"q124: no final agg?\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "q124: the final degree agg re-shuffles the checkpointed edge " +
+        s"list — partitioning reuse lost:\n$plan")
+  }
+
   test("scans prune columns: no query reads full lineitem width") {
     val full = spark.read.parquet(s"${sf()}/lineitem.parquet").columns.length
     Seq("q04_topk_per_key", "q06_join_revenue", "q18_distinct_agg",
