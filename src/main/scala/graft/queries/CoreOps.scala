@@ -27,19 +27,19 @@ object CoreOps {
         .agg(
           d(sum(dec(col("l_quantity")))).as("sum_qty"),
           d(sum(money(col("l_extendedprice")))).as("sum_base_price"),
-          d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          dSplit(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
             .as("sum_disc_price"),
-          d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+          dSplit(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))
             * onePlus(col("l_tax")))).as("sum_charge"),
           (d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
           (d(sum(money(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
-      Some("""SELECT l_returnflag, l_linestatus,
+      Some(s"""SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS sum_charge,
+        |  ${dSplitSql("sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))")} AS sum_disc_price,
+        |  ${dSplitSql("sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4)))")} AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
@@ -136,11 +136,11 @@ object CoreOps {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
-          d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          dSplit(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
             .as("revenue"))
         .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority, count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+        |  (CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) AS DOUBLE) + CAST((sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) - floor(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) AS DOUBLE)) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)),

@@ -270,13 +270,13 @@ object ExtendedOps {
         .groupBy(col("l_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
           col("o_orderpriority"))
-        .agg(d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+        .agg(dSplit(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10),
       Some("""SELECT l_orderkey, epoch_ms(o_orderdate) AS order_ms,
         |  o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+        |  (CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) AS DOUBLE) + CAST((sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) - floor(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) AS DOUBLE)) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -315,12 +315,12 @@ object ExtendedOps {
           .filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(d(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+        .agg(dSplit(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))))
           .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("n_name")),
       Some("""SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+        |  (CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) AS DOUBLE) + CAST((sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) - floor(sum(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))) AS DOUBLE)) AS revenue,
         |  count(*) AS n_lines
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

@@ -71,6 +71,26 @@ object Q {
 
   def d(c: Column): Column = c.cast("double")
 
+  /** engine-identical DECIMAL→DOUBLE for HIGH-SCALE decimals (the
+    * scale-8/12 money products). A direct cast can differ by 1 ulp
+    * between engines once the decimal's unscaled value exceeds 2^53:
+    * Java's BigDecimal.doubleValue is correctly rounded, while
+    * DuckDB divides the int128 by 10^scale in double arithmetic,
+    * which double-rounds (observed: q01.sum_charge at sf0.001,
+    * 31390089.181046996 vs …047). Splitting at the integer boundary
+    * keeps every step exactly rounded on BOTH engines: the integer
+    * part is < 2^53 (exact in double), the fraction's unscaled value
+    * is < 10^scale ≤ 10^12 < 2^53 (one correctly-rounded divide),
+    * and the final IEEE add is exactly rounded — so the two engines
+    * produce the identical double, bit for bit. */
+  def dSplit(c: Column): Column =
+    floor(c).cast("double") + (c - floor(c)).cast("double")
+
+  /** DuckDB spelling of [[dSplit]] (floor on DECIMAL is exact
+    * DECIMAL(p,0) there too). */
+  def dSplitSql(x: String): String =
+    s"(CAST(floor($x) AS DOUBLE) + CAST(($x) - floor($x) AS DOUBLE))"
+
   /** DuckDB-side spellings of the same casts. */
   val sqlDec = "DECIMAL(18,4)"
   def sumDec(col: String): String =
