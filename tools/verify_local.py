@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir> [timeoutSec]
+
+The optional per-oracle timeout (seconds) makes cross-SF sweeps safe:
+at sf0.1 every oracle finishes under 150 s today, but a regression in
+a heavy CTE could otherwise wedge DuckDB for hours. Timed-out
+oracles report SKIP, not FAIL.
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB with views over
@@ -26,7 +31,32 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def run_with_timeout(con, sql, timeout):
+    """Run one oracle query, interrupting it after `timeout` seconds
+    (None = no limit). Lets the sweep cover larger SFs where a heavy
+    oracle could otherwise wedge DuckDB for hours."""
+    if timeout is None:
+        return con.execute(sql).fetchdf(), None
+    import threading
+    out, err = [], []
+    def work():
+        try:
+            out.append(con.execute(sql).fetchdf())
+        except Exception as e:
+            err.append(e)
+    t = threading.Thread(target=work)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        con.interrupt()
+        t.join()
+        return None, "timeout"
+    if err:
+        raise err[0]
+    return out[0], None
+
+
+def main(sf_dir, out_dir, timeout=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -36,7 +66,10 @@ def main(sf_dir, out_dir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).fetchdf()
+            exp, to = run_with_timeout(con, sql, timeout)
+            if to == "timeout":
+                print(f"SKIP {name}: oracle exceeded {timeout}s in DuckDB")
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
@@ -101,4 +134,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    to = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], to))
