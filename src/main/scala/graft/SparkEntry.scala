@@ -15,7 +15,7 @@ object SparkEntry {
     CoreOps.defs ++ ScalarOps.defs ++ AnalyticsOps.defs ++ TextOps.defs ++
       SimilarityOps.defs ++ MultimodalOps.defs ++ TemporalOps.defs ++
       ExtendedOps.defs ++ LayoutOps.defs ++ PipelineOps.defs ++
-      GraphOps.defs
+      GraphOps.defs ++ SketchOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
+import Q._
+
+/** PORTABLE sketches — the deterministic, cross-engine twins of the
+  * catalog's native approximate family (q19 `approx_count_distinct`,
+  * q56 `approx_percentile`, q76 `countMinSketch`, q81 `hll_sketch_agg`,
+  * q93 rolling HLL). Those five are rows-only at the oracle gate by
+  * design: Spark's sketch internals (seeds, register layouts, KLL
+  * compaction schedules) are engine-specific, so DuckDB can never
+  * reproduce their bits. This module closes that gap from the other
+  * side: each sketch here is pinned to a SPECIFIED hash — md5 of the
+  * key's decimal string, which both engines compute byte-identically —
+  * and every estimator step is either integer arithmetic or a single
+  * correctly-rounded double op on bit-identical operands, so the
+  * full sketch state AND the estimates hash-match the DuckDB oracle
+  * exactly. (The reference has no sketches at all — its per-key
+  * "counting" is the consumer's exact dict at
+  * /root/reference/binance-di.py:borrowed test harness scale — so a
+  * specified-hash portable family is how that capability has to look
+  * when the corpus no longer fits one process.)
+  *
+  * Scale shape (the reason sketches exist at 100 TB):
+  *  - CMS: the counter build is one hash-agg over (row, bucket) pairs
+  *    with map-side partial sums — d×w = 4096 cells shuffle per
+  *    partition, never the keys. Estimation probes join a 20-row
+  *    candidate set against the 4096-row counter table (broadcast).
+  *  - HLL: registers build as groupBy(grp, bucket).max(rho) — partial
+  *    max absorbs duplicates map-side, so the shuffle carries at most
+  *    m=16 rows per group per partition regardless of corpus size.
+  *  - KMV: bottom-k via the partial-aggregable [[graft.functions.TopKMin]]
+  *    Aggregator — each partition reduces to ≤ k doubles before the
+  *    shuffle (the same shape a production bottom-k sketch uses).
+  * Production tunings (p=14 HLL, w=2^20 CMS, k=1024 KMV) change only
+  * the constants; the plans are identical.
+  *
+  * Determinism contract (per SURVEY.md §7.4, extended for sketches):
+  *  - hash = hex digits of md5(decimal string) — parsed with `conv`
+  *    on the Spark side and an unrolled base-16 polynomial in DuckDB;
+  *  - register sums carried in fixed point (Σ 2^(50-M) as BIGINT);
+  *  - float constants are embedded as ONE pre-computed literal on
+  *    both sides (e.g. α₁₆·m²·2⁵⁰ = 1.93979043150102e17), so each
+  *    engine performs the same single correctly-rounded division;
+  *  - the HLL small-range (linear-counting) branch needs ln(), which
+  *    libm does NOT guarantee bit-identical across engines — so its
+  *    m=16 possible outputs are pre-computed as integer fixed-point
+  *    literals (a CASE lookup), making even the LC branch exact;
+  *  - final float estimates are floor-quantized at 1e6 (1e3 for KMV)
+  *    AFTER both engines hold the identical double, so quantization
+  *    cannot disagree.
+  */
+object SketchOps {
+
+  private val HEXD = "0123456789abcdef"
+
+  /** DuckDB: numeric value of 1-based hex digit `i` of expression `h`. */
+  private def hexDigitSql(h: String, i: Int): String =
+    s"(strpos('$HEXD', substr($h,$i,1))-1)"
+
+  /** DuckDB: integer value of hex digits [from, from+n) of `h` —
+    * the unrolled twin of Spark's `conv(substr(h,from,n),16,10)`. */
+  private def hexValSql(h: String, from: Int, n: Int): String =
+    (0 until n)
+      .map(i => s"${hexDigitSql(h, from + i)}*${BigInt(16).pow(n - 1 - i)}")
+      .mkString("(", " + ", ")")
+
+  /** Spark: integer value of hex digits [from, from+n) of `h`. */
+  private def hexVal(h: Column, from: Int, n: Int): Column =
+    conv(substring(h, from, n), 16, 10).cast("long")
+
+  // ------------------------------------------------------------------
+  // q175 — portable count-min sketch, heavy hitters over events.user_id.
+  // d=4 rows × w=1024 buckets; row j's hash = first 16 bits of
+  // md5('j:key') mod w. Counters are plain event counts (additive ⇒
+  // partition-order-independent); estimate = min over the 4 rows.
+  // Every value is an integer, so the oracle match is exact — including
+  // the one-sided CMS error (estimate ≥ true count, always).
+  // ------------------------------------------------------------------
+  private val D = 4
+  private val W = 1024L
+
+  private def cmsBucket(j: Column, key: Column): Column =
+    hexVal(md5(concat(j.cast("string"), lit(":"), key)), 1, 4) % lit(W)
+
+  private val jsExplode: Column =
+    explode(array((0 until D).map(lit): _*))
+
+  private val cmsDef = QueryDef("q175_cms_portable",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id").cast("string").as("key"))
+      val counters = ev
+        .select(col("key"), jsExplode.as("j"))
+        .select(col("j"), cmsBucket(col("j"), col("key")).as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+      val top = ev.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("key")).limit(20)
+      top
+        .select(col("key"), col("n_exact"), jsExplode.as("j"))
+        .withColumn("b", cmsBucket(col("j"), col("key")))
+        .join(counters, Seq("j", "b"))
+        .groupBy(col("key"), col("n_exact"))
+        .agg(min(col("c")).as("n_est"))
+        .orderBy(col("n_exact").desc, col("key"))
+    },
+    Some(s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+      |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+      |bk AS (SELECT key, j, md5(CAST(j AS VARCHAR) || ':' || key) AS h
+      |       FROM ev CROSS JOIN js),
+      |ct AS (SELECT j, ${hexValSql("h", 1, 4)} % $W AS b, count(*) AS c
+      |       FROM bk GROUP BY 1, 2),
+      |ex AS (SELECT key, count(*) AS n_exact FROM ev GROUP BY 1),
+      |top AS (SELECT key, n_exact FROM ex ORDER BY n_exact DESC, key LIMIT 20),
+      |pb AS (SELECT key, n_exact, j, md5(CAST(j AS VARCHAR) || ':' || key) AS h
+      |       FROM top CROSS JOIN js),
+      |pe AS (SELECT key, n_exact, j, ${hexValSql("h", 1, 4)} % $W AS b FROM pb)
+      |SELECT pe.key, pe.n_exact, min(ct.c) AS n_est
+      |FROM pe JOIN ct ON pe.j = ct.j AND pe.b = ct.b
+      |GROUP BY pe.key, pe.n_exact
+      |ORDER BY pe.n_exact DESC, pe.key""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // q176 — portable HyperLogLog, distinct l_partkey per l_returnflag.
+  // p=4 ⇒ m=16 registers (production uses p=14; same plan). Bucket =
+  // first hex digit of md5(partkey); rho = 1 + leading zero bits of
+  // the next 48 bits (capped at 49). Register sums are carried in
+  // fixed point (Σ 2^(50-M) as BIGINT, empty registers contributing
+  // 2^50), the raw-estimator constant α₁₆·m²·2⁵⁰ is one shared
+  // literal, and the linear-counting branch is a 16-entry integer
+  // lookup — so bucket counts, fixed-point sums AND both estimator
+  // branches hash-match exactly.
+  // ------------------------------------------------------------------
+  private val HLL_RAW_NUM = 1.93979043150102e17 // 0.673 * 256.0 * 2^50, IEEE
+  private val TWO_50 = 1125899906842624L // 2^50
+  // round(16 * ln(16/V) * 1e6) for V = 1..16 (linear counting, fixed point)
+  private val LC_FP = Seq(44361420L, 33271065L, 26783623L, 22180710L,
+    18610413L, 15693268L, 13226857L, 11090355L, 9205826L, 7520058L,
+    5995095L, 4602913L, 3322230L, 2136502L, 1032616L, 0L)
+
+  private val hllDef = QueryDef("q176_hll_portable",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          md5(col("l_partkey").cast("string")).as("h"))
+      val rho = li
+        .withColumn("bucket", hexVal(col("h"), 1, 1))
+        .withColumn("tail", substring(col("h"), 2, 12))
+        .withColumn("z", length(regexp_extract(col("tail"), "^(0*)", 1)))
+        .withColumn("dv",
+          when(col("z") === 12, lit(0))
+            .otherwise(expr("instr('0123456789abcdef', substr(tail, z + 1, 1)) - 1")))
+        .withColumn("rho",
+          when(col("z") === 12, lit(49))
+            .otherwise(col("z") * 4 +
+              when(col("dv") >= 8, 0).when(col("dv") >= 4, 1)
+                .when(col("dv") >= 2, 2).otherwise(3) + 1))
+      val regs = rho.groupBy(col("grp"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+      val agg = regs.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_filled"),
+          sum(expr("CAST(power(2, 50 - m) AS BIGINT)")).as("s_filled"))
+        .withColumn("v_zero", lit(16L) - col("n_filled"))
+        .withColumn("s_fp", col("s_filled") + col("v_zero") * lit(TWO_50))
+        .withColumn("e_raw", lit(HLL_RAW_NUM) / col("s_fp").cast("double"))
+      val lcCase = LC_FP.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (fp, i)) => when(col("v_zero") === (i + 1), lit(fp)).otherwise(acc)
+      }
+      val est = agg.withColumn("est_fp",
+        when(col("e_raw") <= lit(40.0) && col("v_zero") > 0, lcCase)
+          .otherwise(floor(least(col("e_raw"), lit(1.0e9)) * lit(1000000.0)).cast("long")))
+      val exact = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp"), col("n_filled"), col("v_zero"), col("s_fp"),
+          col("est_fp"), col("n_exact"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH li AS (SELECT l_returnflag AS grp,
+      |            md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+      |rr AS (SELECT grp, ${hexDigitSql("h", 1)} AS bucket,
+      |         substr(h, 2, 12) AS tail FROM li),
+      |rz AS (SELECT grp, bucket, tail,
+      |         length(regexp_extract(tail, '^(0*)', 1)) AS z FROM rr),
+      |rv AS (SELECT grp, bucket, z,
+      |         CASE WHEN z = 12 THEN 0
+      |              ELSE strpos('$HEXD', substr(tail, z + 1, 1)) - 1 END AS dv
+      |       FROM rz),
+      |rh AS (SELECT grp, bucket,
+      |         CASE WHEN z = 12 THEN 49
+      |              ELSE z * 4 + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+      |                                 WHEN dv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+      |       FROM rv),
+      |regs AS (SELECT grp, bucket, max(rho) AS m FROM rh GROUP BY 1, 2),
+      |ag AS (SELECT grp, count(*) AS n_filled,
+      |         CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s_filled
+      |       FROM regs GROUP BY 1),
+      |sfp AS (SELECT grp, n_filled, 16 - n_filled AS v_zero,
+      |          s_filled + (16 - n_filled) * $TWO_50 AS s_fp FROM ag),
+      |er AS (SELECT grp, n_filled, v_zero, s_fp,
+      |         CAST($HLL_RAW_NUM AS DOUBLE) / CAST(s_fp AS DOUBLE) AS e_raw
+      |       FROM sfp),
+      |est AS (SELECT grp, n_filled, v_zero, s_fp,
+      |          CASE WHEN e_raw <= 40.0 AND v_zero > 0 THEN
+      |            (CASE ${LC_FP.zipWithIndex.map { case (fp, i) => s"WHEN v_zero = ${i + 1} THEN $fp" }.mkString(" ")} ELSE 0 END)
+      |          ELSE CAST(floor(least(e_raw, 1.0e9) * 1000000.0) AS BIGINT) END AS est_fp
+      |        FROM er),
+      |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS n_exact
+      |       FROM lineitem GROUP BY 1)
+      |SELECT est.grp, CAST(n_filled AS BIGINT) AS n_filled,
+      |  CAST(v_zero AS BIGINT) AS v_zero, CAST(s_fp AS BIGINT) AS s_fp,
+      |  CAST(est_fp AS BIGINT) AS est_fp, n_exact
+      |FROM est JOIN ex ON est.grp = ex.grp
+      |ORDER BY est.grp""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // q177 — portable KMV (bottom-k) distinct sketch, distinct o_custkey
+  // per o_orderpriority. Hash = first 52 bits of md5 (so the value is
+  // exact in a double, letting the partial-aggregable TopKMin carry
+  // it); estimate = (k-1)·2^52 / h_(k) with k=32 — one shared literal
+  // numerator, one correctly-rounded divide, floor-quantized at 1e3.
+  // The sketch state itself (h_(32) as BIGINT) is part of the output,
+  // so the oracle pins the sketch, not just the estimate.
+  // ------------------------------------------------------------------
+  private val KMV_K = 32
+  private val KMV_NUM = 1.3961158844848538e17 // 31.0 * 2^52, IEEE-exact
+
+  private val kmvDef = QueryDef("q177_kmv_distinct",
+    (s, dir) => {
+      val dh = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          hexVal(md5(col("o_custkey").cast("string")), 1, 13).as("h"))
+        .distinct()
+      val bottomK = udaf(new graft.functions.TopKMin(KMV_K), Encoders.scalaDouble)
+      val sk = dh.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_seen"),
+          bottomK(col("h").cast("double")).as("bk"))
+        .filter(size(col("bk")) >= KMV_K)
+        .withColumn("h_k", element_at(col("bk"), KMV_K))
+        .withColumn("est_fp",
+          floor(lit(KMV_NUM) / col("h_k") * lit(1000.0)).cast("long"))
+      val exact = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      sk.join(exact, Seq("grp"))
+        .select(col("grp"), col("n_seen"), col("h_k").cast("long").as("h_k"),
+          col("est_fp"), col("n_exact"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT o_orderpriority AS grp,
+      |         ${hexValSql("md5(CAST(o_custkey AS VARCHAR))", 1, 13)} AS h
+      |       FROM orders),
+      |rk AS (SELECT grp, h,
+      |         row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM dh),
+      |kk AS (SELECT grp, h AS h_k FROM rk WHERE r = $KMV_K),
+      |ns AS (SELECT grp, count(*) AS n_seen FROM dh GROUP BY 1),
+      |ex AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS n_exact
+      |       FROM orders GROUP BY 1)
+      |SELECT kk.grp, ns.n_seen, kk.h_k,
+      |  CAST(floor(CAST($KMV_NUM AS DOUBLE) / CAST(h_k AS DOUBLE) * 1000.0) AS BIGINT) AS est_fp,
+      |  ex.n_exact
+      |FROM kk JOIN ns ON kk.grp = ns.grp JOIN ex ON kk.grp = ex.grp
+      |ORDER BY kk.grp""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(cmsDef, hllDef, kmvDef)
+}
