@@ -140,37 +140,82 @@ object SketchOps {
     18610413L, 15693268L, 13226857L, 11090355L, 9205826L, 7520058L,
     5995095L, 4602913L, 3322230L, 2136502L, 1032616L, 0L)
 
+  /** Spark: per-row HLL (bucket, rho) from a column `h` holding the
+    * md5 hex of the key. Shared by q176 (per-group distinct) and
+    * q178 (per-day registers merged over a rolling window). */
+  private def hllRho(df: DataFrame): DataFrame = df
+    .withColumn("bucket", hexVal(col("h"), 1, 1))
+    .withColumn("tail", substring(col("h"), 2, 12))
+    .withColumn("z", length(regexp_extract(col("tail"), "^(0*)", 1)))
+    .withColumn("dv",
+      when(col("z") === 12, lit(0))
+        .otherwise(expr("instr('0123456789abcdef', substr(tail, z + 1, 1)) - 1")))
+    .withColumn("rho",
+      when(col("z") === 12, lit(49))
+        .otherwise(col("z") * 4 +
+          when(col("dv") >= 8, 0).when(col("dv") >= 4, 1)
+            .when(col("dv") >= 2, 2).otherwise(3) + 1))
+
+  /** Spark: estimator columns from registers `regs(keys..., bucket, m)`
+    * — fixed-point sum, zero-register count, and the branch-exact
+    * estimate (raw divide on one shared literal, or the LC lookup). */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val lcCase = LC_FP.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (fp, i)) => when(col("v_zero") === (i + 1), lit(fp)).otherwise(acc)
+    }
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr("CAST(power(2, 50 - m) AS BIGINT)")).as("s_filled"))
+      .withColumn("v_zero", lit(16L) - col("n_filled"))
+      .withColumn("s_fp", col("s_filled") + col("v_zero") * lit(TWO_50))
+      .withColumn("e_raw", lit(HLL_RAW_NUM) / col("s_fp").cast("double"))
+      .withColumn("est_fp",
+        when(col("e_raw") <= lit(40.0) && col("v_zero") > 0, lcCase)
+          .otherwise(floor(least(col("e_raw"), lit(1.0e9)) * lit(1000000.0)).cast("long")))
+  }
+
+  /** DuckDB CTE chain `rr/rz/rv/rh` computing per-key (bucket, rho)
+    * from a CTE `src(<keys>, h)` — the SQL twin of [[hllRho]]. */
+  private def hllRhoSql(keys: String): String =
+    s"""rr AS (SELECT $keys, ${hexDigitSql("h", 1)} AS bucket,
+      |         substr(h, 2, 12) AS tail FROM src),
+      |rz AS (SELECT $keys, bucket, tail,
+      |         length(regexp_extract(tail, '^(0*)', 1)) AS z FROM rr),
+      |rv AS (SELECT $keys, bucket, z,
+      |         CASE WHEN z = 12 THEN 0
+      |              ELSE strpos('$HEXD', substr(tail, z + 1, 1)) - 1 END AS dv
+      |       FROM rz),
+      |rh AS (SELECT $keys, bucket,
+      |         CASE WHEN z = 12 THEN 49
+      |              ELSE z * 4 + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+      |                                 WHEN dv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+      |       FROM rv)""".stripMargin
+
+  /** DuckDB CTE chain `ag/sfp/er/est` — the SQL twin of [[hllEstimate]],
+    * reading registers from a CTE `regs(<keys>, bucket, m)`. */
+  private def hllEstimateSql(keys: String): String =
+    s"""ag AS (SELECT $keys, count(*) AS n_filled,
+      |         CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s_filled
+      |       FROM regs GROUP BY ALL),
+      |sfp AS (SELECT $keys, n_filled, 16 - n_filled AS v_zero,
+      |          s_filled + (16 - n_filled) * $TWO_50 AS s_fp FROM ag),
+      |er AS (SELECT $keys, n_filled, v_zero, s_fp,
+      |         CAST($HLL_RAW_NUM AS DOUBLE) / CAST(s_fp AS DOUBLE) AS e_raw
+      |       FROM sfp),
+      |est AS (SELECT $keys, n_filled, v_zero, s_fp,
+      |          CASE WHEN e_raw <= 40.0 AND v_zero > 0 THEN
+      |            (CASE ${LC_FP.zipWithIndex.map { case (fp, i) => s"WHEN v_zero = ${i + 1} THEN $fp" }.mkString(" ")} ELSE 0 END)
+      |          ELSE CAST(floor(least(e_raw, 1.0e9) * 1000000.0) AS BIGINT) END AS est_fp
+      |        FROM er)""".stripMargin
+
   private val hllDef = QueryDef("q176_hll_portable",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("grp"),
           md5(col("l_partkey").cast("string")).as("h"))
-      val rho = li
-        .withColumn("bucket", hexVal(col("h"), 1, 1))
-        .withColumn("tail", substring(col("h"), 2, 12))
-        .withColumn("z", length(regexp_extract(col("tail"), "^(0*)", 1)))
-        .withColumn("dv",
-          when(col("z") === 12, lit(0))
-            .otherwise(expr("instr('0123456789abcdef', substr(tail, z + 1, 1)) - 1")))
-        .withColumn("rho",
-          when(col("z") === 12, lit(49))
-            .otherwise(col("z") * 4 +
-              when(col("dv") >= 8, 0).when(col("dv") >= 4, 1)
-                .when(col("dv") >= 2, 2).otherwise(3) + 1))
-      val regs = rho.groupBy(col("grp"), col("bucket"))
+      val regs = hllRho(li).groupBy(col("grp"), col("bucket"))
         .agg(max(col("rho")).as("m"))
-      val agg = regs.groupBy(col("grp"))
-        .agg(count(lit(1)).as("n_filled"),
-          sum(expr("CAST(power(2, 50 - m) AS BIGINT)")).as("s_filled"))
-        .withColumn("v_zero", lit(16L) - col("n_filled"))
-        .withColumn("s_fp", col("s_filled") + col("v_zero") * lit(TWO_50))
-        .withColumn("e_raw", lit(HLL_RAW_NUM) / col("s_fp").cast("double"))
-      val lcCase = LC_FP.zipWithIndex.foldLeft(lit(0L)) {
-        case (acc, (fp, i)) => when(col("v_zero") === (i + 1), lit(fp)).otherwise(acc)
-      }
-      val est = agg.withColumn("est_fp",
-        when(col("e_raw") <= lit(40.0) && col("v_zero") > 0, lcCase)
-          .otherwise(floor(least(col("e_raw"), lit(1.0e9)) * lit(1000000.0)).cast("long")))
+      val est = hllEstimate(regs, Seq("grp"))
       val exact = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("grp"))
         .agg(countDistinct(col("l_partkey")).as("n_exact"))
@@ -179,35 +224,11 @@ object SketchOps {
           col("est_fp"), col("n_exact"))
         .orderBy(col("grp"))
     },
-    Some(s"""WITH li AS (SELECT l_returnflag AS grp,
+    Some(s"""WITH src AS (SELECT l_returnflag AS grp,
       |            md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
-      |rr AS (SELECT grp, ${hexDigitSql("h", 1)} AS bucket,
-      |         substr(h, 2, 12) AS tail FROM li),
-      |rz AS (SELECT grp, bucket, tail,
-      |         length(regexp_extract(tail, '^(0*)', 1)) AS z FROM rr),
-      |rv AS (SELECT grp, bucket, z,
-      |         CASE WHEN z = 12 THEN 0
-      |              ELSE strpos('$HEXD', substr(tail, z + 1, 1)) - 1 END AS dv
-      |       FROM rz),
-      |rh AS (SELECT grp, bucket,
-      |         CASE WHEN z = 12 THEN 49
-      |              ELSE z * 4 + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
-      |                                 WHEN dv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
-      |       FROM rv),
-      |regs AS (SELECT grp, bucket, max(rho) AS m FROM rh GROUP BY 1, 2),
-      |ag AS (SELECT grp, count(*) AS n_filled,
-      |         CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s_filled
-      |       FROM regs GROUP BY 1),
-      |sfp AS (SELECT grp, n_filled, 16 - n_filled AS v_zero,
-      |          s_filled + (16 - n_filled) * $TWO_50 AS s_fp FROM ag),
-      |er AS (SELECT grp, n_filled, v_zero, s_fp,
-      |         CAST($HLL_RAW_NUM AS DOUBLE) / CAST(s_fp AS DOUBLE) AS e_raw
-      |       FROM sfp),
-      |est AS (SELECT grp, n_filled, v_zero, s_fp,
-      |          CASE WHEN e_raw <= 40.0 AND v_zero > 0 THEN
-      |            (CASE ${LC_FP.zipWithIndex.map { case (fp, i) => s"WHEN v_zero = ${i + 1} THEN $fp" }.mkString(" ")} ELSE 0 END)
-      |          ELSE CAST(floor(least(e_raw, 1.0e9) * 1000000.0) AS BIGINT) END AS est_fp
-      |        FROM er),
+      |${hllRhoSql("grp")},
+      |regs AS (SELECT grp, bucket, max(rho) AS m FROM rh GROUP BY ALL),
+      |${hllEstimateSql("grp")},
       |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS n_exact
       |       FROM lineitem GROUP BY 1)
       |SELECT est.grp, CAST(n_filled AS BIGINT) AS n_filled,
@@ -215,6 +236,62 @@ object SketchOps {
       |  CAST(est_fp AS BIGINT) AS est_fp, n_exact
       |FROM est JOIN ex ON est.grp = ex.grp
       |ORDER BY est.grp""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // q178 — rolling 7-day distinct users via MERGED portable-HLL
+  // registers: the mergeability property that makes sketches the only
+  // viable windowed-distinct at 100 TB (q93's shape, but hash-checked).
+  // Per-day registers aggregate once (groupBy(day, bucket).max —
+  // partial max map-side); the rolling merge is a range join over the
+  // REGISTER TABLE only (days × ≤16 rows — never the event stream),
+  // merge = max per bucket (associative, order-free), then the q176
+  // estimator. Exact rolling distinct rides along for the oracle and
+  // the error spec; at production scale you'd drop it — that's the
+  // point of the sketch.
+  // ------------------------------------------------------------------
+  private val rollDef = QueryDef("q178_rolling_hll_portable",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(expr("ts_ms DIV 86400000").as("day"), col("user_id"),
+          md5(col("user_id").cast("string")).as("h"))
+      val dayRegs = hllRho(ev).groupBy(col("day"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+      val days = dayRegs.select(col("day")).distinct()
+      val merged = days.as("d").join(dayRegs.as("r"),
+          col("r.day").between(col("d.day") - 6, col("d.day")))
+        .select(col("d.day").as("day"), col("r.bucket").as("bucket"),
+          col("r.m").as("m"))
+        .groupBy(col("day"), col("bucket")).agg(max(col("m")).as("m"))
+      val est = hllEstimate(merged, Seq("day"))
+      val du = ev.select(col("day"), col("user_id")).distinct()
+      val exact = days.as("d").join(du.as("u"),
+          col("u.day").between(col("d.day") - 6, col("d.day")))
+        .groupBy(col("d.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("n_exact"))
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("n_filled"), col("v_zero"), col("s_fp"),
+          col("est_fp"), col("n_exact"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH ev AS (SELECT $tsMs // 86400000 AS day, user_id,
+      |         md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |src AS (SELECT day, h FROM ev),
+      |${hllRhoSql("day")},
+      |dregs AS (SELECT day, bucket, max(rho) AS m FROM rh GROUP BY ALL),
+      |days AS (SELECT DISTINCT day FROM dregs),
+      |regs AS (SELECT d.day AS day, r.bucket AS bucket, max(r.m) AS m
+      |         FROM days d JOIN dregs r ON r.day BETWEEN d.day - 6 AND d.day
+      |         GROUP BY ALL),
+      |${hllEstimateSql("day")},
+      |du AS (SELECT DISTINCT day, user_id FROM ev),
+      |ex AS (SELECT d.day AS day, count(DISTINCT u.user_id) AS n_exact
+      |       FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |       GROUP BY 1)
+      |SELECT est.day, CAST(n_filled AS BIGINT) AS n_filled,
+      |  CAST(v_zero AS BIGINT) AS v_zero, CAST(s_fp AS BIGINT) AS s_fp,
+      |  CAST(est_fp AS BIGINT) AS est_fp, n_exact
+      |FROM est JOIN ex ON est.day = ex.day
+      |ORDER BY est.day""".stripMargin))
 
   // ------------------------------------------------------------------
   // q177 — portable KMV (bottom-k) distinct sketch, distinct o_custkey
@@ -265,5 +342,5 @@ object SketchOps {
       |FROM kk JOIN ns ON kk.grp = ns.grp JOIN ex ON kk.grp = ex.grp
       |ORDER BY kk.grp""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(cmsDef, hllDef, kmvDef)
+  val defs: Seq[QueryDef] = Seq(cmsDef, hllDef, kmvDef, rollDef)
 }

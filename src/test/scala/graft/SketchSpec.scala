@@ -52,6 +52,53 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q178 rolling merged-HLL estimates within 3 sigma of exact") {
+    val rows = SparkEntry.queries("q178_rolling_hll_portable")(spark, sf())
+      .select($"day", $"est_fp", $"n_exact")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 30)
+    rows.foreach { case (d, estFp, exact) =>
+      val est = estFp / 1e6
+      val rel = math.abs(est - exact) / exact.toDouble
+      assert(rel <= 3 * 0.26, s"rolling HLL day $d out of envelope: est=$est exact=$exact")
+    }
+  }
+
+  test("q178 merged registers equal registers built from the raw window") {
+    // Mergeability: max-merging per-day registers over [d-6, d] must
+    // equal building registers from scratch over the union of those
+    // days' events. Compare the resulting fixed-point sums (s_fp is a
+    // bijection of the register vector given n_filled).
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q178_rolling_hll_portable")(spark, sf())
+      .select($"day", $"s_fp".as("s_merged"))
+    val ev = queries.Q.events(spark, sf())
+      .select(expr("ts_ms DIV 86400000").as("day"),
+        md5($"user_id".cast("string")).as("h"))
+    val days = ev.select($"day").distinct()
+    // from-scratch registers per window: re-bucket the raw rows
+    val windowed = days.as("d").join(ev.as("e"),
+        $"e.day".between($"d.day" - 6, $"d.day"))
+      .select($"d.day".as("wday"), $"h")
+      .withColumn("bucket", conv(substring($"h", 1, 1), 16, 10).cast("long"))
+      .withColumn("tail", substring($"h", 2, 12))
+      .withColumn("z", length(regexp_extract($"tail", "^(0*)", 1)))
+      .withColumn("dv", when($"z" === 12, lit(0))
+        .otherwise(expr("instr('0123456789abcdef', substr(tail, z + 1, 1)) - 1")))
+      .withColumn("rho", when($"z" === 12, lit(49))
+        .otherwise($"z" * 4 + when($"dv" >= 8, 0).when($"dv" >= 4, 1)
+          .when($"dv" >= 2, 2).otherwise(3) + 1))
+      .groupBy($"wday", $"bucket").agg(max($"rho").as("m"))
+      .groupBy($"wday")
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr("CAST(power(2, 50 - m) AS BIGINT)")).as("s_filled"))
+      .select($"wday".as("day"),
+        ($"s_filled" + (lit(16L) - $"n_filled") * lit(1125899906842624L)).as("s_scratch"))
+    val diverged = q.join(windowed, "day")
+      .filter($"s_merged" =!= $"s_scratch").count()
+    assert(diverged == 0, "merged rolling registers diverged from from-scratch registers")
+  }
+
   test("q177 sketch state is the true 32nd-smallest distinct hash") {
     // h_k in the output IS the sketch: cross-check it against a direct
     // computation with independent Spark ops (sort + row_number).
