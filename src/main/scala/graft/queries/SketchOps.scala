@@ -133,12 +133,11 @@ object SketchOps {
   // lookup — so bucket counts, fixed-point sums AND both estimator
   // branches hash-match exactly.
   // ------------------------------------------------------------------
-  private val HLL_RAW_NUM = 1.93979043150102e17 // 0.673 * 256.0 * 2^50, IEEE
-  private val TWO_50 = 1125899906842624L // 2^50
-  // round(16 * ln(16/V) * 1e6) for V = 1..16 (linear counting, fixed point)
-  private val LC_FP = Seq(44361420L, 33271065L, 26783623L, 22180710L,
-    18610413L, 15693268L, 13226857L, 11090355L, 9205826L, 7520058L,
-    5995095L, 4602913L, 3322230L, 2136502L, 1032616L, 0L)
+  // constants shared with the JVM-side twin (streaming state uses the
+  // same object, so batch, stream and oracle can never drift apart)
+  private val HLL_RAW_NUM = graft.functions.PortableHll.RawNumerator
+  private val TWO_50 = graft.functions.PortableHll.Two50
+  private val LC_FP = graft.functions.PortableHll.LcFp.toSeq
 
   /** Spark: per-row HLL (bucket, rho) from a column `h` holding the
     * md5 hex of the key. Shared by q176 (per-group distinct) and
@@ -342,5 +341,44 @@ object SketchOps {
       |FROM kk JOIN ns ON kk.grp = ns.grp JOIN ex ON kk.grp = ex.grp
       |ORDER BY kk.grp""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(cmsDef, hllDef, kmvDef, rollDef)
+  // ------------------------------------------------------------------
+  // q179 — portable approximate percentiles by DETERMINISTIC sampling:
+  // the cross-engine answer to q56's engine-internal KLL sketch. The
+  // sample is hash-gated (first 16 bits of md5(event_id) mod 10 = 0 —
+  // a reproducible 10% that is identical across engines, runs and
+  // partitionings, unlike TABLESAMPLE/rand()), and the quantile is the
+  // exact interpolated percentile OVER THE SAMPLE — q49 already pins
+  // that Spark `percentile` ≡ DuckDB `quantile_cont` on these
+  // 2-decimal values. At 100 TB only the sample shuffles: the
+  // full-data percentile sort this replaces is the non-scalable op.
+  // ------------------------------------------------------------------
+  private val pctDef = QueryDef("q179_sample_percentile",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val sampled = ev
+        .filter(hexVal(md5(col("event_id").cast("string")), 1, 4) % 10 === 0)
+      sampled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"),
+          expr("percentile(value, 0.5)").as("p50_sample"),
+          expr("percentile(value, 0.9)").as("p90_sample"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total")), Seq("event_type"))
+        .select(col("event_type"), col("n_sample"), col("n_total"),
+          col("p50_sample"), col("p90_sample"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH ev AS (SELECT event_type, value, event_id FROM events),
+      |sm AS (SELECT event_type, value FROM ev
+      |       WHERE ${hexValSql("md5(CAST(event_id AS VARCHAR))", 1, 4)} % 10 = 0),
+      |sq AS (SELECT event_type, count(*) AS n_sample,
+      |         quantile_cont(value, 0.5) AS p50_sample,
+      |         quantile_cont(value, 0.9) AS p90_sample
+      |       FROM sm GROUP BY 1),
+      |tt AS (SELECT event_type, count(*) AS n_total FROM ev GROUP BY 1)
+      |SELECT sq.event_type, sq.n_sample, tt.n_total, sq.p50_sample, sq.p90_sample
+      |FROM sq JOIN tt ON sq.event_type = tt.event_type
+      |ORDER BY sq.event_type""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef)
 }

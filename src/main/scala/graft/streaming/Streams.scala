@@ -47,6 +47,47 @@ case class DupHit(doc_id: Long, dup_of: Long, hamming: Int)
 case class Conversion(key: Long, view_ms: Long, purchase_ms: Long,
     latency_ms: Long)
 
+/** one observation for the streaming portable-HLL distinct counter:
+  * group + member key (the decimal string both engines md5-hash). */
+case class SketchObs(grp: String, member: String)
+
+/** a group's live portable-HLL register vector (state cell). */
+case class HllRegs(m: Seq[Int])
+
+/** a group's refreshed distinct estimate after a micro-batch — the
+  * same four columns the batch q176 emits (minus the exact count a
+  * stream can't afford). */
+case class SketchEstimate(grp: String, n_filled: Long, v_zero: Long,
+    s_fp: Long, est_fp: Long)
+
+/** streaming twin of q176's portable HLL — see
+  * [[Streams.portableHllStream]]. Register update and estimator both
+  * delegate to [[graft.functions.PortableHll]], the object the batch
+  * SQL mirrors, so stream-vs-batch parity is structural, not
+  * coincidental. */
+class PortableHllProcessor
+    extends StatefulProcessor[String, SketchObs, SketchEstimate] {
+
+  @transient private var regs: ValueState[HllRegs] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    regs = getHandle.getValueState[HllRegs]("regs",
+      Encoders.product[HllRegs], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[SketchObs],
+      timerValues: TimerValues): Iterator[SketchEstimate] = {
+    val m = (if (regs.exists()) regs.get().m
+             else Seq.fill(graft.functions.PortableHll.Registers)(0)).toArray
+    rows.foreach { r =>
+      val (b, rho) = graft.functions.PortableHll.bucketRho(r.member)
+      if (rho > m(b)) m(b) = rho
+    }
+    regs.update(HllRegs(m.toSeq))
+    val (nf, vz, sfp, est) = graft.functions.PortableHll.estimate(m.toSeq)
+    Iterator.single(SketchEstimate(key, nf, vz, sfp, est))
+  }
+}
+
 /** q83's conversion funnel as LIVE state — pending views AND recent
   * purchases per user in ListStates, matched within `withinMs` in
   * either arrival order (a view arriving after its purchase, across
@@ -566,6 +607,22 @@ object Streams {
       .groupByKey(e => e.ts.getTime - math.floorMod(e.ts.getTime, windowMs))
       .transformWithState(new HeavyHittersProcessor(windowMs, k),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** live distinct-count per group via the PORTABLE HLL (q176's
+    * contract, as streaming state): 16 registers per group in a
+    * ValueState, updated with [[graft.functions.PortableHll]] — the
+    * SAME object the batch/oracle contract pins, so after processing
+    * identical rows the streaming registers, fixed-point sums and
+    * estimates are bit-identical to the batch query (asserted in
+    * SketchSpec). State is 16 ints per group FOREVER — the property
+    * that makes HLL the only viable streaming distinct at 100 TB;
+    * emits the group's refreshed estimate every micro-batch. */
+  def portableHllStream(ds: Dataset[SketchObs]): Dataset[SketchEstimate] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.grp)
+      .transformWithState(new PortableHllProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** T4 — per-key running counter (the writer-state pattern): emits

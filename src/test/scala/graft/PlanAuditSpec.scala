@@ -18,7 +18,11 @@ class PlanAuditSpec extends SparkSpec {
       // range self-join over the per-DAY sketch table: ~1 row per day
       // ever (the fact table is never in the join), so a broadcast
       // nested loop over the range condition is the intended plan
-      "q93_rolling_distinct")
+      "q93_rolling_distinct",
+      // same shape, portable-HLL twin: the rolling merge range-joins
+      // the tiny days list against per-day registers (days × ≤16
+      // rows) and distinct (day, user) pairs — never the event scan
+      "q178_rolling_hll_portable")
 
   test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -114,6 +118,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       "q124: the final degree agg re-shuffles the checkpointed edge " +
         s"list — partitioning reuse lost:\n$plan")
+  }
+
+  /** Portable-sketch plans: q175's estimate probe must BROADCAST the
+    * 20-row candidate side against the 4096-cell counter table (a
+    * shuffled join here would re-shuffle the counters for nothing),
+    * and q177's bottom-k must run TopKMin with a PARTIAL phase (the
+    * map-side ≤k-per-partition reduce is the entire scale story of a
+    * KMV sketch — losing it shuffles every distinct hash). */
+  test("q175 probes counters via broadcast; q177 TopKMin aggregates partially") {
+    val cms = SparkEntry.queries("q175_cms_portable")(spark, sf())
+    cms.collect()
+    val cmsPlan = cms.queryExecution.executedPlan.toString
+    assert(cmsPlan.contains("BroadcastHashJoin"),
+      s"q175: counter probe not broadcast:\n$cmsPlan")
+    assert(!cmsPlan.contains("SortMergeJoin"),
+      s"q175: counter probe degraded to a shuffled join:\n$cmsPlan")
+    val kmv = SparkEntry.queries("q177_kmv_distinct")(spark, sf())
+    val kmvPlan = kmv.queryExecution.executedPlan.toString
+    assert(kmvPlan.contains("partial_topkmin"),
+      s"q177: TopKMin lost its partial (map-side) phase:\n$kmvPlan")
   }
 
   test("scans prune columns: no query reads full lineitem width") {

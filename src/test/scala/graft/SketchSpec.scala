@@ -99,6 +99,78 @@ class SketchSpec extends SparkSpec {
     assert(diverged == 0, "merged rolling registers diverged from from-scratch registers")
   }
 
+  test("q179 sampled percentiles approximate the full-data percentiles") {
+    import org.apache.spark.sql.functions._
+    val sampled = SparkEntry.queries("q179_sample_percentile")(spark, sf("sf0.01"))
+      .select($"event_type", $"n_sample", $"n_total", $"p50_sample", $"p90_sample")
+      .as[(String, Long, Long, Double, Double)].collect()
+    val full = queries.Q.events(spark, sf("sf0.01"))
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        (max($"value") - min($"value")).as("range"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(sampled.length == 5)
+    sampled.foreach { case (t, nS, nT, p50s, p90s) =>
+      // hash-gated 10%: the realized rate should be near 10%
+      assert(math.abs(nS.toDouble / nT - 0.1) < 0.05, s"$t sample rate ${nS.toDouble / nT}")
+      val (p50, p90, range) = full(t)
+      assert(math.abs(p50s - p50) <= 0.1 * range,
+        s"$t sampled p50 $p50s too far from exact $p50 (range $range)")
+      assert(math.abs(p90s - p90) <= 0.1 * range,
+        s"$t sampled p90 $p90s too far from exact $p90 (range $range)")
+    }
+  }
+
+  test("streaming portable HLL converges to the EXACT batch q176 state") {
+    // Same rows, chopped into two micro-batches: the streaming
+    // registers (ValueState updated via PortableHll) must land on
+    // bit-identical (n_filled, v_zero, s_fp, est_fp) as the batch
+    // DataFrame/oracle twin — parity is structural, both sides pin
+    // the same specified hash and estimator.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{SketchObs, SketchEstimate, Streams}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val obs = spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .select($"l_returnflag".as("grp"),
+          $"l_partkey".cast("string").as("member"))
+        .as[SketchObs].collect()
+      val (first, second) = obs.splitAt(obs.length / 2)
+      val updates = scala.collection.mutable.ArrayBuffer[(Long, SketchEstimate)]()
+      val in = MemoryStream[SketchObs]
+      val q = Streams.portableHllStream(in.toDS()).writeStream
+        .outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[SketchEstimate], id: Long) =>
+          val rows = ds.collect()
+          updates.synchronized { updates ++= rows.map((id, _)) }: Unit
+        }
+        .start()
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val lastBatch = updates.map(_._1).max
+      val streamed = updates.filter(_._1 == lastBatch).map(_._2)
+        .map(e => e.grp -> ((e.n_filled, e.v_zero, e.s_fp, e.est_fp))).toMap
+      val batch = SparkEntry.queries("q176_hll_portable")(spark, sf())
+        .select($"grp", $"n_filled", $"v_zero", $"s_fp", $"est_fp")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(streamed == batch,
+        s"stream state diverged from batch: stream=$streamed batch=$batch")
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("q177 sketch state is the true 32nd-smallest distinct hash") {
     // h_k in the output IS the sketch: cross-check it against a direct
     // computation with independent Spark ops (sort + row_number).
