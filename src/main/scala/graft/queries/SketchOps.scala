@@ -89,13 +89,18 @@ object SketchOps {
   private val jsExplode: Column =
     explode(array((0 until D).map(lit): _*))
 
+  /** the q175 counter build, exposed so SketchSpec can assert the
+    * streaming cell state converges to exactly this table. */
+  private[graft] def cmsCounters(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id").cast("string").as("key"))
+      .select(col("key"), jsExplode.as("j"))
+      .select(col("j"), cmsBucket(col("j"), col("key")).as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+
   private val cmsDef = QueryDef("q175_cms_portable",
     (s, dir) => {
       val ev = events(s, dir).select(col("user_id").cast("string").as("key"))
-      val counters = ev
-        .select(col("key"), jsExplode.as("j"))
-        .select(col("j"), cmsBucket(col("j"), col("key")).as("b"))
-        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+      val counters = cmsCounters(s, dir)
       val top = ev.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("key")).limit(20)
       top

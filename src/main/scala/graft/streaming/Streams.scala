@@ -60,6 +60,28 @@ case class HllRegs(m: Seq[Int])
 case class SketchEstimate(grp: String, n_filled: Long, v_zero: Long,
     s_fp: Long, est_fp: Long)
 
+/** one live CMS cell (flattened `j*w + b`) with its running count. */
+case class CmsCell(cell: Long, c: Long)
+
+/** cell-keyed additive counter for the streaming portable CMS — see
+  * [[Streams.portableCmsStream]]. */
+class CmsCellProcessor
+    extends StatefulProcessor[Long, Long, CmsCell] {
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[CmsCell] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single(CmsCell(key, n))
+  }
+}
+
 /** streaming twin of q176's portable HLL — see
   * [[Streams.portableHllStream]]. Register update and estimator both
   * delegate to [[graft.functions.PortableHll]], the object the batch
@@ -622,6 +644,23 @@ object Streams {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.grp)
       .transformWithState(new PortableHllProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** live portable count-min sketch (q175's contract as streaming
+    * state): each observed key increments its d=4 cells, state is one
+    * long PER CELL (the cell id `j*w+b` is the grouping key, so the
+    * 4096-cell sketch partitions across executors like any keyed
+    * state — no single-node counter array), and counts are additive,
+    * so the live cells converge to EXACTLY the batch counter table on
+    * any micro-batch chopping (asserted in SketchSpec). Emits each
+    * touched cell's refreshed count per batch; estimates are
+    * min-over-cells downstream ([[graft.functions.PortableCms.estimate]]). */
+  def portableCmsStream(ds: Dataset[String]): Dataset[CmsCell] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(k => graft.functions.PortableCms.cells(k))
+      .groupByKey(identity)
+      .transformWithState(new CmsCellProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -171,6 +171,44 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming portable CMS cells converge to the EXACT batch counters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{CmsCell, Streams}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val keys = queries.Q.events(spark, sf())
+        .select($"user_id".cast("string")).as[String].collect()
+      val (first, second) = keys.splitAt(keys.length / 2)
+      val cells = scala.collection.mutable.Map.empty[Long, Long]
+      val in = MemoryStream[String]
+      val q = Streams.portableCmsStream(in.toDS()).writeStream
+        .outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[CmsCell], _: Long) =>
+          val rows = ds.collect()
+          // update semantics: later batches overwrite a cell's count
+          cells.synchronized { rows.foreach(r => cells(r.cell) = r.c) }: Unit
+        }
+        .start()
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      in.addData(second.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val batch = queries.SketchOps.cmsCounters(spark, sf())
+        .select($"j", $"b", $"c").as[(Int, Long, Long)].collect()
+        .map { case (j, b, c) => (j * 1024L + b) -> c }.toMap
+      assert(cells.toMap == batch,
+        s"streaming CMS cells diverged from batch counters " +
+          s"(stream ${cells.size} cells, batch ${batch.size})")
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+
   test("q177 sketch state is the true 32nd-smallest distinct hash") {
     // h_k in the output IS the sketch: cross-check it against a direct
     // computation with independent Spark ops (sort + row_number).
