@@ -487,6 +487,71 @@ object LayoutOps {
         |  CAST(sum(cents) AS DOUBLE) / 10000 AS revenue,
         |  CAST(sum(cents) AS BIGINT)
         |    // ((SELECT total FROM tot) // 1000000) AS share_fp
-        |FROM cl GROUP BY class ORDER BY class""".stripMargin))
+        |FROM cl GROUP BY class ORDER BY class""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Deterministic EPOCH SHUFFLE — the dataloader-order op a training
+    // run needs to be reproducible: epoch e's order is the rank of
+    // md5(e:doc_id), so any worker on any cluster (or an auditor in a
+    // different engine) derives the identical permutation with no
+    // coordination and no persisted shuffle files. Global rank uses
+    // q95's two-phase trick, but hash UNIFORMITY removes q95's min/max
+    // pre-pass: fixed-width buckets over the known 2^60 hash space are
+    // balanced by construction, so the only full-data ops are one
+    // hash-agg (bucket counts) and one per-(epoch, bucket) window.
+    // The head of each epoch's order ships with an ORDER-SENSITIVE
+    // integer checksum over the WHOLE permutation — Σ(pos+1)·(doc_id
+    // mod 1000003), exact in a long through sf1 scale (~1.4e18 max;
+    // a production audit would fold mod 2^61-1) — so the oracle pins
+    // every position, not just the sampled head.
+    QueryDef("q180_epoch_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nEpochs = 3
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("epoch",
+            explode(array((0 until nEpochs).map(lit): _*)))
+          .withColumn("h",
+            conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+          // 2^60 hash space / 256 buckets = 2^52 per bucket
+          .withColumn("bucket", expr("h DIV 4503599627370496"))
+        val offsets = docs.groupBy(col("epoch"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(Window.partitionBy(col("epoch"))
+              .orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("epoch"), col("bucket"), col("offset"))
+        val wInBucket = Window.partitionBy(col("epoch"), col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+        val ranked = docs.join(broadcast(offsets), Seq("epoch", "bucket"))
+          .withColumn("pos",
+            col("offset") + row_number().over(wInBucket) - 1)
+        val stats = ranked.groupBy(col("epoch"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("pos") + 1) * (col("doc_id") % 1000003))
+              .as("order_checksum"))
+        ranked.filter(col("pos") < 5)
+          .join(broadcast(stats), Seq("epoch"))
+          .select(col("epoch"), col("pos"), col("doc_id"),
+            col("n_docs"), col("order_checksum"))
+          .orderBy(col("epoch"), col("pos"))
+      },
+      Some("""WITH e AS (SELECT * FROM (VALUES (0),(1),(2)) t(epoch)),
+        |sk AS (SELECT epoch, doc_id,
+        |        CAST(('0x' || substring(md5(CAST(epoch AS VARCHAR) || ':'
+        |          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |       FROM documents CROSS JOIN e),
+        |rk AS (SELECT epoch, doc_id,
+        |        row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+        |          - 1 AS pos FROM sk),
+        |st AS (SELECT epoch, count(*) AS n_docs,
+        |        CAST(sum((pos + 1) * (doc_id % 1000003)) AS BIGINT)
+        |          AS order_checksum FROM rk GROUP BY 1)
+        |SELECT rk.epoch, rk.pos, rk.doc_id, st.n_docs, st.order_checksum
+        |FROM rk JOIN st ON rk.epoch = st.epoch
+        |WHERE rk.pos < 5
+        |ORDER BY rk.epoch, rk.pos""".stripMargin))
   )
 }
