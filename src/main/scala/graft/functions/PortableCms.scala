@@ -15,18 +15,12 @@ object PortableCms {
   val Rows = 4
   val Width = 1024L
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
-
   /** bucket of `key` under hash row `j` — mirrors the SQL
-    * `conv(substr(md5(concat(j, ':', key)), 1, 4), 16, 10) % 1024`. */
+    * `conv(substr(md5(concat(j, ':', key)), 1, 4), 16, 10) % 1024`.
+    * The hash itself is [[PortableHll.md5Hex]] — one definition of
+    * the portable-hash contract for both sketch families. */
   def bucket(j: Int, key: String): Long = {
-    val hex = md5Hex(s"$j:$key")
+    val hex = PortableHll.md5Hex(s"$j:$key")
     val v16 = (0 until 4).foldLeft(0L)((acc, i) =>
       acc * 16 + Character.digit(hex.charAt(i), 16))
     v16 % Width

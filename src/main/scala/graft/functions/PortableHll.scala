@@ -32,7 +32,10 @@ object PortableHll {
     22180710L, 18610413L, 15693268L, 13226857L, 11090355L, 9205826L,
     7520058L, 5995095L, 4602913L, 3322230L, 2136502L, 1032616L, 0L)
 
-  private def md5Hex(s: String): String = {
+  /** lowercase md5 hex of a string's UTF-8 bytes — THE portable hash
+    * (identical to Spark `md5()` and DuckDB `md5()`); shared by the
+    * CMS twin so the contract lives in exactly one place. */
+  private[functions] def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new StringBuilder(32)

@@ -146,8 +146,10 @@ object SketchOps {
 
   /** Spark: per-row HLL (bucket, rho) from a column `h` holding the
     * md5 hex of the key. Shared by q176 (per-group distinct) and
-    * q178 (per-day registers merged over a rolling window). */
-  private def hllRho(df: DataFrame): DataFrame = df
+    * q178 (per-day registers merged over a rolling window); exposed
+    * package-private so SketchSpec's mergeability cross-check reuses
+    * the SAME rho derivation instead of a drift-prone copy. */
+  private[graft] def hllRho(df: DataFrame): DataFrame = df
     .withColumn("bucket", hexVal(col("h"), 1, 1))
     .withColumn("tail", substring(col("h"), 2, 12))
     .withColumn("z", length(regexp_extract(col("tail"), "^(0*)", 1)))

@@ -77,17 +77,10 @@ class SketchSpec extends SparkSpec {
         md5($"user_id".cast("string")).as("h"))
     val days = ev.select($"day").distinct()
     // from-scratch registers per window: re-bucket the raw rows
-    val windowed = days.as("d").join(ev.as("e"),
-        $"e.day".between($"d.day" - 6, $"d.day"))
-      .select($"d.day".as("wday"), $"h")
-      .withColumn("bucket", conv(substring($"h", 1, 1), 16, 10).cast("long"))
-      .withColumn("tail", substring($"h", 2, 12))
-      .withColumn("z", length(regexp_extract($"tail", "^(0*)", 1)))
-      .withColumn("dv", when($"z" === 12, lit(0))
-        .otherwise(expr("instr('0123456789abcdef', substr(tail, z + 1, 1)) - 1")))
-      .withColumn("rho", when($"z" === 12, lit(49))
-        .otherwise($"z" * 4 + when($"dv" >= 8, 0).when($"dv" >= 4, 1)
-          .when($"dv" >= 2, 2).otherwise(3) + 1))
+    val windowed = queries.SketchOps.hllRho(
+        days.as("d").join(ev.as("e"),
+            $"e.day".between($"d.day" - 6, $"d.day"))
+          .select($"d.day".as("wday"), $"h"))
       .groupBy($"wday", $"bucket").agg(max($"rho").as("m"))
       .groupBy($"wday")
       .agg(count(lit(1)).as("n_filled"),
