@@ -334,6 +334,58 @@ object TextOps {
     // are df-capped (JaccardMaxDf) so one stop-phrase shingle can't
     // re-introduce the quadratic blowup; the oracle applies the
     // identical cap.
+    // ------------------------------------------------------------------
+    // Dedup THRESHOLD-SENSITIVITY curve — the operational dial every
+    // dedup rollout needs before picking a cutoff: for each candidate
+    // threshold, how many pairs fire, how many docs are touched, and
+    // how many would be dropped under the smallest-id-wins rule. One
+    // pass over the session-shared mined-pair table (df-cap-bounded —
+    // the corpus is never re-scanned), explode over 10 thresholds,
+    // three hash-aggs. Threshold compares are double-deterministic:
+    // jaccard is one exact-integer divide (both engines bit-identical,
+    // q35's contract) and t is the same CAST(t_fp)/100.0 literal.
+    QueryDef("q181_dedup_threshold_curve",
+      (s, dir) => {
+        val ts = explode(array((50 to 95 by 5).map(lit): _*))
+        val fired = minedPairs(s, dir)
+          .select(col("da"), col("db"), col("jaccard"), ts.as("t_fp"))
+          .filter(col("jaccard") >= col("t_fp").cast("double") / 100.0)
+        val pairsAgg = fired.groupBy(col("t_fp"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("db")).as("n_dropped"))
+        val docsAgg = fired
+          .select(col("t_fp"), explode(array(col("da"), col("db"))).as("d"))
+          .groupBy(col("t_fp"))
+          .agg(countDistinct(col("d")).as("n_docs"))
+        pairsAgg.join(docsAgg, Seq("t_fp"))
+          .select(col("t_fp").cast("long").as("t_fp"), col("n_pairs"),
+            col("n_docs"), col("n_dropped"))
+          .orderBy(col("t_fp"))
+      },
+      Some(s"""WITH $shingleSql,
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= $JaccardMaxDf),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT da, db, CAST(c AS DOUBLE) / (sa + sb - c) AS jaccard
+        |       FROM cnt WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.5),
+        |th AS (SELECT * FROM (VALUES (50),(55),(60),(65),(70),(75),(80),(85),(90),(95)) t(t_fp)),
+        |fired AS (SELECT th.t_fp, pr.da, pr.db FROM pr CROSS JOIN th
+        |          WHERE pr.jaccard >= CAST(th.t_fp AS DOUBLE) / 100.0),
+        |pa AS (SELECT t_fp, count(*) AS n_pairs,
+        |         count(DISTINCT db) AS n_dropped FROM fired GROUP BY 1),
+        |da AS (SELECT t_fp, count(DISTINCT d) AS n_docs FROM (
+        |         SELECT t_fp, da AS d FROM fired
+        |         UNION ALL SELECT t_fp, db AS d FROM fired) GROUP BY 1)
+        |SELECT CAST(pa.t_fp AS BIGINT) AS t_fp, pa.n_pairs, da.n_docs, pa.n_dropped
+        |FROM pa JOIN da ON pa.t_fp = da.t_fp
+        |ORDER BY t_fp""".stripMargin)),
+
     QueryDef("q35_jaccard_pairs",
       (s, dir) => minedPairs(s, dir)
         .orderBy(col("da"), col("db")),
