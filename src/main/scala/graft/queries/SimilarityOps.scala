@@ -538,6 +538,105 @@ object SimilarityOps {
         |ORDER BY da, db""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Embedding-space DECONTAMINATION — the semantic complement of
+    // q92's n-gram overlap and q118's bloom probe: flag EVAL-split
+    // documents whose embedding is suspiciously close to any
+    // TRAIN-split document (paraphrased benchmark leakage that exact
+    // n-gram matching misses). The split is q73's deterministic md5
+    // rule (train < 80, eval ≥ 90 — derived from vec_id alone, so
+    // bucket rows filter WITHOUT a join), and the probe is ASYMMETRIC
+    // like q171's shard-vs-corpus minhash: the ~10% eval bucket side
+    // broadcasts against the standing train bucket index, so per-run
+    // cost is eval×occupancy, never train². Same adaptive plane
+    // count, bucket build and exact-integer cosine verify as q60;
+    // best-hit tie-break is (cosine desc, tid) under the
+    // bit-deterministic quantized divide.
+    QueryDef("q182_embed_decontam",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = vecs(s, dir)
+        val planes = adaptivePlanes(all.count(), 256)
+        val hvC = (c: Column) =>
+          conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100
+        val buckets = lshBuckets(all, 8, planes)
+          .withColumn("hv", hvC(col("vec_id")))
+        val tb = buckets.filter(col("hv") < 80)
+          .select(col("vec_id").as("tid"), col("tbl"), col("b"))
+        val eb = buckets.filter(col("hv") >= 90)
+          .select(col("vec_id").as("eid"), col("tbl"), col("b"))
+        val cand = tb.join(broadcast(eb), Seq("tbl", "b"))
+          .select(col("eid"), col("tid")).distinct()
+        val withHv = all.withColumn("hv", hvC(col("vec_id")))
+        val scored = cand
+          .join(withHv.filter(col("hv") >= 90)
+            .select(col("vec_id").as("eid"), col("v").as("av")), "eid")
+          .join(withHv.filter(col("hv") < 80)
+            .select(col("vec_id").as("tid"), col("v").as("bv")), "tid")
+          .select(col("eid"), col("tid"), qcos(s, "av", "bv").as("cosine"))
+          .filter(col("cosine") >= 0.4)
+        val w = Window.partitionBy(col("eid"))
+          .orderBy(col("cosine").desc, col("tid"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_hits", count(lit(1)).over(
+            Window.partitionBy(col("eid"))))
+          .filter(col("rn") === 1)
+          .select(col("eid"), col("n_hits"),
+            col("tid").as("best_tid"), col("cosine").as("best_cosine"))
+          .orderBy(col("eid"))
+      },
+      Some(s"""WITH params AS (
+        |  SELECT GREATEST(2, (SELECT min(pp)
+        |    FROM (SELECT unnest(range(31)) AS pp)
+        |    WHERE (CAST(256 AS BIGINT) << pp) >=
+        |      (SELECT count(*) FROM embeddings))) AS pl),
+        |qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hv
+        |  FROM qv),
+        |signs AS (
+        |  SELECT tbl, p, i,
+        |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(range(8)) AS tbl),
+        |       (SELECT unnest(range(31)) AS p),
+        |       (SELECT unnest(range(64)) AS i)
+        |  WHERE p < (SELECT pl FROM params)),
+        |proj AS (
+        |  SELECT n.vec_id, n.hv, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
+        |  FROM normed n CROSS JOIN signs s
+        |  GROUP BY n.vec_id, n.hv, s.tbl, s.p),
+        |buckets AS (
+        |  SELECT vec_id, hv, tbl,
+        |    sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
+        |  FROM proj GROUP BY vec_id, hv, tbl),
+        |cand AS (
+        |  SELECT DISTINCT e.vec_id AS eid, t.vec_id AS tid
+        |  FROM (SELECT * FROM buckets WHERE hv >= 90) e
+        |  JOIN (SELECT * FROM buckets WHERE hv < 80) t
+        |    ON e.tbl = t.tbl AND e.b = t.b),
+        |scored AS (
+        |  SELECT eid, tid,
+        |    CAST(CAST(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+        |  FROM cand JOIN normed a ON a.vec_id = eid
+        |            JOIN normed b ON b.vec_id = tid
+        |  WHERE CAST(CAST(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4),
+        |ranked AS (
+        |  SELECT eid, tid, cosine,
+        |    row_number() OVER (PARTITION BY eid ORDER BY cosine DESC, tid) AS rn,
+        |    count(*) OVER (PARTITION BY eid) AS n_hits
+        |  FROM scored)
+        |SELECT eid, n_hits, tid AS best_tid, cosine AS best_cosine
+        |FROM ranked WHERE rn = 1
+        |ORDER BY eid""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Brute-force KNN on the native codegen'd cosine Expression over
     // the RAW float embeddings (full float precision — the production
     // scoring path). Oracle-checkable by quantizing the score in the
