@@ -202,6 +202,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("JVM-side PortableHll matches the SQL-side rho derivation on arbitrary strings") {
+    // the streaming parity tests cover numeric keys from the real
+    // tables; this pins the hash contract on adversarial member
+    // strings (unicode, separators, empties-adjacent) so a UTF-8 or
+    // casing drift in either twin fails at unit level.
+    import org.apache.spark.sql.functions._
+    val members = (1 to 100).map(i => s"m$i:${"αβγ€中".take(i % 6)}|${i * 31}")
+    val df = members.toDF("member").withColumn("h", md5($"member"))
+    val sqlSide = queries.SketchOps.hllRho(df)
+      .select($"member", $"bucket", $"rho")
+      .as[(String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2.toInt, r._3))).toMap
+    members.foreach { m =>
+      assert(graft.functions.PortableHll.bucketRho(m) == sqlSide(m),
+        s"JVM vs SQL (bucket, rho) diverged for '$m'")
+    }
+  }
+
   test("q177 sketch state is the true 32nd-smallest distinct hash") {
     // h_k in the output IS the sketch: cross-check it against a direct
     // computation with independent Spark ops (sort + row_number).
