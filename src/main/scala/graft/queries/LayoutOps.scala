@@ -552,6 +552,135 @@ object LayoutOps {
         |SELECT rk.epoch, rk.pos, rk.doc_id, st.n_docs, st.order_checksum
         |FROM rk JOIN st ON rk.epoch = st.epoch
         |WHERE rk.pos < 5
-        |ORDER BY rk.epoch, rk.pos""".stripMargin))
+        |ORDER BY rk.epoch, rk.pos""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Small-file compaction planner — the storage-side sibling of
+    // q99's training-sequence packing. A crawl ingest leaves behind
+    // many under-sized files (modeled here as per-(source, doc_id
+    // DIV 32) groups with byte sizes from n_chars); the planner
+    // assigns whole input files, in file_id order, to target-sized
+    // output files by their starting byte offset (first-fit in
+    // order — each output overflows by at most one input file). The
+    // prefix sum is the two-phase bucketed form: bucket = file_id DIV
+    // 256 preserves order, so per-bucket subtotals from one hash-agg
+    // compose through a per-source window over ~n_files/256 rows —
+    // never a single-partition window over the file catalog (which at
+    // 100 TB is millions of rows even though the DATA never moves:
+    // compaction planning reads only the catalog).
+    QueryDef("q184_compaction_plan",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 65536L
+        val files = t(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id DIV 32").as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes"),
+            count(lit(1)).as("n_docs"))
+        val buckets = files
+          .groupBy(col("source"), expr("file_id DIV 256").as("bkt"))
+          .agg(sum(col("bytes")).as("tot"))
+          .withColumn("bkt_off",
+            coalesce(sum(col("tot")).over(Window.partitionBy(col("source"))
+              .orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("bkt"), col("bkt_off"))
+        val wIn = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("file_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        files.withColumn("bkt", expr("file_id DIV 256"))
+          .join(broadcast(buckets), Seq("source", "bkt"))
+          .withColumn("cum_before",
+            col("bkt_off") + coalesce(sum(col("bytes")).over(wIn), lit(0L)))
+          .withColumn("out_file", expr(s"cum_before DIV $target"))
+          .groupBy(col("source"), col("out_file"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+            sum(col("bytes")).as("bytes"))
+          .orderBy(col("source"), col("out_file"))
+      },
+      Some("""WITH f AS (
+        |  SELECT source, doc_id // 32 AS file_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source, doc_id // 32),
+        |c AS (
+        |  SELECT source, file_id, bytes, n_docs,
+        |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM f)
+        |SELECT source, CAST(cum_before // 65536 AS BIGINT) AS out_file,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes
+        |FROM c GROUP BY source, cum_before // 65536
+        |ORDER BY source, out_file""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Stratified eval-split quota via largest-remainder (Hamilton)
+    // allocation — how a 5% eval budget is split across (source,
+    // lang) strata so that Σ quota = budget EXACTLY and each
+    // stratum's share is within one doc of proportional (floor
+    // quotas first, then +1 to the strata with the largest
+    // remainders). Naive round(n·p) drifts from the budget by up to
+    // one doc per stratum. The ideal-share product n_docs·budget is
+    // computed in DECIMAL(38,0)/HUGEINT on both engines: at 10^11
+    // docs (100 TB of text) the long product would wrap silently in
+    // Spark while DuckDB raised — the q137 overflow contract. The
+    // windows run over the STRATA table (sources × langs — bounded
+    // cardinality, like q99's 256-bucket offset window), never over
+    // per-doc rows.
+    QueryDef("q185_stratified_quota",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val strata = t(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val alloc = strata
+          .withColumn("n_total", sum(col("n_docs")).over(wAll))
+          .withColumn("budget", expr("n_total DIV 20"))
+          .withColumn("base_quota", expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * budget DIV n_total AS BIGINT)"))
+          .withColumn("rem", expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * budget % n_total AS BIGINT)"))
+        alloc
+          .withColumn("leftover",
+            col("budget") - sum(col("base_quota")).over(wAll))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"), col("lang"))))
+          .withColumn("extra",
+            when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("base_quota"), col("extra"),
+            (col("base_quota") + col("extra")).as("quota"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH s AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |a AS (
+        |  SELECT source, lang, n_docs,
+        |    sum(n_docs) OVER () AS n_total,
+        |    sum(n_docs) OVER () // 20 AS budget
+        |  FROM s),
+        |b AS (
+        |  SELECT source, lang, n_docs, budget,
+        |    CAST((CAST(n_docs AS HUGEINT) * budget) // n_total AS BIGINT)
+        |      AS base_quota,
+        |    CAST((CAST(n_docs AS HUGEINT) * budget) % n_total AS BIGINT)
+        |      AS rem
+        |  FROM a),
+        |r AS (
+        |  SELECT source, lang, n_docs, base_quota,
+        |    budget - sum(base_quota) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source, lang) AS rnk
+        |  FROM b)
+        |SELECT source, lang, n_docs, base_quota,
+        |  CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM r ORDER BY source, lang""".stripMargin))
   )
 }

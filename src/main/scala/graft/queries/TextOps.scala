@@ -603,7 +603,7 @@ object TextOps {
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
     minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
-    dupLeakageQueryDef, incrementalMinhashQueryDef)
+    dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2062,6 +2062,47 @@ object TextOps {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** BPE vocabulary induction, one merge step — the pair-counting
+    * core of byte-pair-encoding tokenizer training (q74 counts tokens
+    * under a FIXED BPE-ish segmentation; this is the step that LEARNS
+    * the segmentation). Classic word-bounded BPE: weight each
+    * adjacent character pair by the frequency of the word it occurs
+    * in, and the top pair is the next merge. Scale shape: the corpus
+    * is scanned once into a word-frequency hash-agg (shuffle carries
+    * distinct words, not tokens); the pair explode then runs over the
+    * VOCABULARY (distinct words ≪ corpus tokens — Heaps' law), so the
+    * expensive expansion is corpus-size-independent. Counts are exact
+    * integers; ties at the top-20 boundary break on the pair string. */
+  private lazy val bpeMergeQueryDef = QueryDef("q183_bpe_merge_step",
+    (s, dir) => {
+      val wf = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      wf.select(col("w"), col("f"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"),
+          col("w"), col("f"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("pair_count"),
+          countDistinct(col("w")).as("n_words"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(20)
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT unnest($tokSql) AS w FROM documents),
+      |wf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |pr AS (
+      |  SELECT w, f, unnest(generate_series(1, len(w) - 1)) AS i
+      |  FROM wf),
+      |pc AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, w, f FROM pr)
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count,
+      |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      |FROM pc GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin))
 
   /** DuckDB CTE mirroring [[simhashSig]]: `sig(doc_id, simhash)`. */
   private def simhashSqlCte(bits: Int): String = {
