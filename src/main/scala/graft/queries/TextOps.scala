@@ -195,6 +195,49 @@ object TextOps {
         shingleRows(s, dir).localCheckpoint(false))
     }
 
+  /** The corpus (doc_id, term, tf) table — the tokenized-corpus
+    * materialization behind the retrieval family, memoized per
+    * (session, dataset) like [[shingleTable]]: q113 and q131 each
+    * consume it 4-5 times (idf, norms, probe terms, dot join, and
+    * q131's Jaccard channel), and without the cut every consumer
+    * re-runs the corpus tokenize + hash-agg. At 100 TB this is the
+    * postings-source table a production retrieval pipeline persists
+    * as parquet; here it lives in the block store for the session. */
+  private val tfCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def termFreq(s: SparkSession, dir: String): DataFrame =
+    tfCache.synchronized {
+      tfCache.getOrElseUpdate((s, dir),
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false))
+    }
+
+  /** The TF-IDF weighted postings index (doc_id, w, wt) over
+    * [[termFreq]]: integer idf quantized as least(n·1000 div df,
+    * 100000) with n = |documents|. Built once per (session, dataset)
+    * and shared by q113 (cosine retrieval) and q131 (RRF channel A) —
+    * the idf hash-agg + postings join is the second-most expensive
+    * retrieval stage after the tokenize itself. */
+  private val wtCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def tfidfPostings(s: SparkSession, dir: String): DataFrame =
+    wtCache.synchronized {
+      wtCache.getOrElseUpdate((s, dir), {
+        val n = t(s, dir, "documents").count()
+        val tf = termFreq(s, dir)
+        val idf = tf.groupBy(col("w"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .select(col("w"),
+            least(expr(s"${n}L * 1000L DIV df"), lit(100000L)).as("idf_q"))
+        tf.join(idf, "w")
+          .select(col("doc_id"), col("w"),
+            (col("tf") * col("idf_q")).as("wt"))
+          .localCheckpoint(false)
+      })
+    }
+
   /** the near-dup DROP SET (docs losing the smallest-id-wins rule)
     * at the dedup threshold 0.8, derived from [[minedPairs]]; q63
     * (resolution) and q64 (corpus clean) both anti-join against it. */
@@ -1099,20 +1142,9 @@ object TextOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val probes = Seq(0L, 100L, 200L, 300L, 400L)
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        // feeds idf, norms, probe terms, and the dot join
-        .localCheckpoint(true)
-      val nDocs = tf.select(col("doc_id")).distinct().count()
-      // --- channel A: TF-IDF cosine (q113's integer-idf weighting) ---
-      val idf = tf.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .select(col("w"),
-          least(expr(s"(${nDocs}L * 1000) div df"), lit(100000L)).as("idf_q"))
-      val wt = tf.join(idf, "w")
-        .select(col("doc_id"), col("w"), (col("tf") * col("idf_q")).as("wt"))
-        .localCheckpoint(true)
+      // --- channel A: TF-IDF cosine — the SAME session-shared
+      // postings index q113 retrieves with (build paid once) ---
+      val wt = tfidfPostings(s, dir)
       val norms = wt.groupBy(col("doc_id")).agg(sum(col("wt") * col("wt")).as("n2"))
       val pTerms = wt.filter(col("doc_id").isin(probes: _*))
         .select(col("doc_id").as("probe_id"), col("w"), col("wt").as("pwt"))
@@ -1131,7 +1163,7 @@ object TextOps {
         .filter(col("ra") <= 20)
         .select(col("probe_id"), col("doc_id"), col("ra"))
       // --- channel B: distinct-token Jaccard overlap ---
-      val tokd = tf.select(col("doc_id"), col("w"))
+      val tokd = termFreq(s, dir).select(col("doc_id"), col("w"))
       val sizes = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
       val pTok = tokd.filter(col("doc_id").isin(probes: _*))
         .select(col("doc_id").as("probe_id"), col("w"))
@@ -1166,7 +1198,7 @@ object TextOps {
       |  SELECT doc_id, w, count(*) AS tf
       |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
       |  GROUP BY doc_id, w),
-      |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |nn AS (SELECT count(*) AS n FROM documents),
       |idf AS (
       |  SELECT w, least((n * 1000) // count(DISTINCT doc_id), 100000)
       |    AS idf_q
@@ -1451,21 +1483,9 @@ object TextOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val probes = Seq(0L, 100L, 200L, 300L, 400L)
-      val docs = t(s, dir, "documents")
-      val n = docs.select(col("doc_id")).count()
-      val tf = docs
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val idf = tf.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .withColumn("idf_q", least(expr(s"${n}L * 1000L DIV df"),
-          lit(100000L)))
-      // the TF-IDF postings index: built once, read three times
-      // (norms, probe vectors, dot join)
-      val wt = tf.join(idf.select(col("w"), col("idf_q")), "w")
-        .select(col("doc_id"), col("w"),
-          (col("tf") * col("idf_q")).as("wt"))
-        .localCheckpoint(true)
+      // the TF-IDF postings index: session-shared with q131, read
+      // three times here (norms, probe vectors, dot join)
+      val wt = tfidfPostings(s, dir)
       val norms = wt.groupBy(col("doc_id"))
         .agg(sum(col("wt") * col("wt")).as("n2"))
       val probeTerms = wt.filter(col("doc_id").isin(probes: _*))
