@@ -379,6 +379,9 @@ object LayoutOps {
             (size(filter(tk, x => x.isInCollection(stop))).cast("double")
               / size(tk) * least(size(tk), lit(400)).cast("double"))
               .as("quality"))
+          // checkpointed: the budget action, the bucket-offsets agg and
+          // the final join would otherwise each re-run the tokenize scan
+          .localCheckpoint(false)
         val budget = docs.agg(sum(col("n_tokens"))).head().getLong(0) / 4
         val width = 400.0 / 256
         val bucketed = docs.withColumn("bucket",
@@ -428,10 +431,15 @@ object LayoutOps {
     QueryDef("q169_pareto",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // checkpointed: the stats action below would otherwise run the
+        // lineitem scan + hash-agg once for min/max/total and the main
+        // plan a second time — the per-part table is 3000× smaller
+        // than the scan, so materializing it costs less than one re-scan
         val rev = t(s, dir, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(sum(money(col("l_extendedprice")) * 10000)
             .cast("long").as("cents"))
+          .localCheckpoint(false)
         val Array(minC, maxC, total) = rev
           .agg(min(col("cents")), max(col("cents")), sum(col("cents")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray

@@ -387,9 +387,14 @@ object PipelineOps {
         val o = t(s, dir, "orders")
           .select(substring(floor(col("o_totalprice") * 10000 + 0.5)
             .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
-        val n = o.count()
+        // n comes from a window sum over the ≤9-row digit table — no
+        // driver action, so the orders scan runs once, not twice
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
         o.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-          .withColumn("exp_n_fp4", lit(n) * expCol)
+          .withColumn("exp_n_fp4", sum(col("n_obs")).over(wAll) * expCol)
           .withColumn("dev_fp4", col("n_obs") * 10000L - col("exp_n_fp4"))
           .withColumn("chi2_term_fp",
             expr("(dev_fp4 * dev_fp4) div exp_n_fp4"))
@@ -431,8 +436,11 @@ object PipelineOps {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        // 5-row table checkpointed so the Σw action and the quota
+        // projection share one documents scan
         val cnts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
           .withColumn("wt", floor(sqrt(col("n").cast("double"))).cast("long"))
+          .localCheckpoint(false)
         val tot = cnts.agg(sum(col("wt"))).head().getLong(0)
         val quota = cnts.select(col("source"),
           expr(s"(200 * wt) div ${tot}L").as("quota"))

@@ -481,9 +481,12 @@ object TemporalOps {
     // are emitted (the same guard q93 applies).
     QueryDef("q148_rolling_distinct_exact",
       (s, dir) => {
+        // checkpointed: the day-span action below and the main explode
+        // would otherwise each re-run the event scan + distinct shuffle
         val days = events(s, dir)
           .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
           .distinct()
+          .localCheckpoint(false)
         val Array(minD, maxD) = days.agg(min(col("day")), max(col("day")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         days
@@ -579,8 +582,11 @@ object TemporalOps {
         val ev = events(s, dir)
           .select(expr("((ts_ms div 86400000 + 4) % 7)").as("dow"),
             expr("(ts_ms div 3600000) % 24").as("hour"))
+        // 168-row table checkpointed so the totals action and the main
+        // projection share one event scan
         val slots = ev.groupBy(col("dow"), col("hour"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(false)
         val Array(tot, nslots) = slots
           .agg(sum(col("n")), count(lit(1))).head().toSeq
           .map(_.asInstanceOf[Long]).toArray
