@@ -646,7 +646,8 @@ object TextOps {
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
     minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
-    dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef)
+    dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef,
+    repeatTrimQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -1858,6 +1859,110 @@ object TextOps {
         |  CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams AS dup_fraction
         |FROM per LEFT JOIN dup ON per.doc_id = dup.doc_id
         |ORDER BY per.doc_id""".stripMargin))
+  }
+
+  /** Within-document repeated-span trim report — the intra-doc half
+    * of exact-substring dedup (q100 flags spans shared ACROSS docs;
+    * boilerplate that repeats INSIDE one doc — headers, templated
+    * lists, scraper loops — is invisible to it and pure noise to a
+    * trainer). Every 8-token span that re-occurs later in the same
+    * doc marks its repeat occurrences removable; overlapping repeats
+    * are merged by an exact interval-union boundary sweep (the q165
+    * ±1 pattern, per doc) so no token is double-counted. All integer
+    * arithmetic; the ppm ratio multiplies in DECIMAL/HUGEINT per the
+    * q137 overflow contract. Scale shape: one positional explode,
+    * per-doc windows (doc-bounded sorts), one hash-agg per stage —
+    * the boundary table holds only REPEAT occurrences, a vanishing
+    * fraction of the corpus. */
+  private lazy val repeatTrimQueryDef = {
+    val k = 8
+    QueryDef("q186_repeat_span_trim",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        val withLeads = (1 until k).foldLeft(tok) { (d, i) =>
+          d.withColumn(s"w$i", lead(col("w"), i).over(w))
+        }
+        val gram = withLeads.filter(col(s"w${k - 1}").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            md5(concat_ws(" ",
+              col("w") +: (1 until k).map(i => col(s"w$i")): _*)).as("g"))
+        val dups = gram
+          .withColumn("first_pos",
+            min(col("pos")).over(Window.partitionBy(col("doc_id"), col("g"))))
+          .filter(col("pos") > col("first_pos"))
+          .select(col("doc_id"), col("pos"))
+        val bounds = dups
+          .select(col("doc_id"), col("pos").as("bpos"), lit(1L).as("delta"))
+          .unionByName(dups.select(col("doc_id"),
+            (col("pos") + k).as("bpos"), lit(-1L).as("delta")))
+          .groupBy(col("doc_id"), col("bpos"))
+          .agg(sum(col("delta")).as("delta"))
+        val ws = Window.partitionBy(col("doc_id")).orderBy(col("bpos"))
+        val covered = bounds
+          .withColumn("running", sum(col("delta"))
+            .over(ws.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("prev_b", lag(col("bpos"), 1).over(ws))
+          .withColumn("seg",
+            when(col("prev_b").isNotNull && col("running") - col("delta") > 0,
+              col("bpos") - col("prev_b")).otherwise(lit(0L)))
+          .groupBy(col("doc_id")).agg(sum(col("seg")).as("removable"))
+        val docTok = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tokens"))
+        docTok.join(covered, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(coalesce(col("removable"), lit(0L))).as("removable_tokens"))
+          .withColumn("removable_ppm", expr(
+            "CAST(CAST(removable_tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV total_tokens AS BIGINT)"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH tk AS (
+        |  SELECT doc_id, source, $tokSql AS a FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(range(len(a) - ${k - 1})) AS pos,
+        |    unnest(list_transform(range(len(a) - ${k - 1}),
+        |      i -> md5(${(0 until k).map(j => s"a[i+${j + 1}]")
+          .mkString(" || ' ' || ")}))) AS g
+        |  FROM tk),
+        |d AS (
+        |  SELECT doc_id, pos,
+        |    min(pos) OVER (PARTITION BY doc_id, g) AS first_pos
+        |  FROM g),
+        |dup AS (SELECT doc_id, pos FROM d WHERE pos > first_pos),
+        |b AS (
+        |  SELECT doc_id, bpos, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        |    SELECT doc_id, pos AS bpos, 1 AS delta FROM dup
+        |    UNION ALL
+        |    SELECT doc_id, pos + $k, -1 FROM dup)
+        |  GROUP BY doc_id, bpos),
+        |c AS (
+        |  SELECT doc_id, bpos, delta,
+        |    sum(delta) OVER (PARTITION BY doc_id ORDER BY bpos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+        |    lag(bpos) OVER (PARTITION BY doc_id ORDER BY bpos) AS prev_b
+        |  FROM b),
+        |cov AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN prev_b IS NOT NULL
+        |      AND running - delta > 0 THEN bpos - prev_b ELSE 0 END)
+        |    AS BIGINT) AS removable
+        |  FROM c GROUP BY doc_id),
+        |dt AS (SELECT doc_id, source, CAST(len(a) AS BIGINT) AS n_tokens
+        |  FROM tk)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(coalesce(removable, 0)) AS BIGINT) AS removable_tokens,
+        |  CAST((CAST(sum(coalesce(removable, 0)) AS HUGEINT) * 1000000)
+        |    // sum(n_tokens) AS BIGINT) AS removable_ppm
+        |FROM dt LEFT JOIN cov USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin))
   }
 
   /** Overlapping token-window CHUNKING — the doc→training-example /
