@@ -624,6 +624,51 @@ object LayoutOps {
         |ORDER BY source, out_file""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // File-skipping stats index — the zone-map simulation that closes
+    // the layout story: per-file min/max column stats (the file
+    // catalog a lakehouse keeps; files modeled as the q184 groups)
+    // evaluated against a range predicate, reporting how many files a
+    // scan PRUNES without opening vs how many docs it must actually
+    // read. This is the quantitative readout behind q77's z-order and
+    // ScaleReadSpec's pruning proofs: at 100 TB the difference
+    // between n_docs_scanned and n_docs_matching is the I/O a better
+    // layout (tighter per-file ranges) eliminates. One scan, two
+    // hash-aggs, all integers.
+    QueryDef("q188_file_skip_index",
+      (s, dir) => {
+        val lo = 900L; val hi = 1200L
+        val files = t(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id DIV 32").as("file_id"))
+          .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+            count(lit(1)).as("n_docs"),
+            count(when(col("n_chars").between(lo, hi), 1)).as("n_match"))
+        files
+          .withColumn("skipped",
+            (col("mx") < lo || col("mn") > hi).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("skipped")).as("n_files_skipped"),
+            sum(when(col("skipped") === 0, col("n_docs"))
+              .otherwise(lit(0L))).as("n_docs_scanned"),
+            sum(col("n_match")).as("n_docs_matching"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (
+        |  SELECT source, doc_id // 32 AS file_id,
+        |    min(n_chars) AS mn, max(n_chars) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(CASE WHEN n_chars BETWEEN 900 AND 1200 THEN 1 END)
+        |      AS BIGINT) AS n_match
+        |  FROM documents GROUP BY source, doc_id // 32)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN mx < 900 OR mn > 1200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_files_skipped,
+        |  CAST(sum(CASE WHEN mx < 900 OR mn > 1200 THEN 0 ELSE n_docs END)
+        |    AS BIGINT) AS n_docs_scanned,
+        |  CAST(sum(n_match) AS BIGINT) AS n_docs_matching
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Stratified eval-split quota via largest-remainder (Hamilton)
     // allocation — how a 5% eval budget is split across (source,
     // lang) strata so that Σ quota = budget EXACTLY and each

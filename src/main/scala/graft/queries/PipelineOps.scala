@@ -995,6 +995,84 @@ object PipelineOps {
         |      + (85 * sum(r // outdeg)) // 100 AS r
         |  FROM ej JOIN r2 ON ej.src = r2.node GROUP BY dst)
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
-        |ORDER BY r DESC, node LIMIT 100""".stripMargin))
+        |ORDER BY r DESC, node LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Incremental aggregate refresh — the materialized-rollup
+    // maintenance operator: an arriving shard (the md5-bucket 'f'
+    // sixteenth of events, the q106/q171 arrival model) refreshes a
+    // standing per-(event_type, day) rollup by MERGING shard partials
+    // into it, instead of recomputing the cube from the full corpus.
+    // The merge is a full-outer join of the standing rollup with the
+    // shard partials on the group key: at 100 TB the partials are
+    // shard-sized (broadcastable), untouched standing rows stream
+    // through, and only affected groups change — per-batch cost is
+    // O(shard), not O(corpus). Like q138/q146, the query carries its
+    // own proof: matches_scratch compares every merged row against an
+    // independent from-scratch aggregation (count + exact ×10⁴
+    // fixed-point sum), so a merge bug flips flags both engines see.
+    QueryDef("q187_incremental_agg_refresh",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_type"), expr("ts_ms DIV 86400000").as("day"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v"),
+            (substring(md5(col("event_id").cast("string")), 1, 1) === "f")
+              .as("in_shard"))
+        val standing = ev.filter(!col("in_shard"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n0"), sum(col("v")).as("s0"))
+        val shard = ev.filter(col("in_shard"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("dn"), sum(col("v")).as("ds"))
+        val merged = standing
+          .join(shard, Seq("event_type", "day"), "full_outer")
+          .select(col("event_type"), col("day"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+              .as("sum_fp"),
+            col("dn").isNotNull.cast("long").as("touched"))
+        val scratch = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n2"), sum(col("v")).as("s2"))
+        merged.join(scratch, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"), col("n"), col("sum_fp"),
+            col("touched"),
+            (col("n") === col("n2") && col("sum_fp") === col("s2"))
+              .cast("long").as("matches_scratch"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, $tsMs // 86400000 AS day,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+        |    substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'f'
+        |      AS in_shard
+        |  FROM events),
+        |standing AS (
+        |  SELECT event_type, day, count(*) AS n0,
+        |    CAST(sum(v) AS BIGINT) AS s0
+        |  FROM ev WHERE NOT in_shard GROUP BY event_type, day),
+        |shard AS (
+        |  SELECT event_type, day, count(*) AS dn,
+        |    CAST(sum(v) AS BIGINT) AS ds
+        |  FROM ev WHERE in_shard GROUP BY event_type, day),
+        |merged AS (
+        |  SELECT coalesce(standing.event_type, shard.event_type)
+        |      AS event_type,
+        |    coalesce(standing.day, shard.day) AS day,
+        |    coalesce(n0, 0) + coalesce(dn, 0) AS n,
+        |    coalesce(s0, 0) + coalesce(ds, 0) AS sum_fp,
+        |    CAST(dn IS NOT NULL AS BIGINT) AS touched
+        |  FROM standing FULL OUTER JOIN shard
+        |    ON standing.event_type = shard.event_type
+        |      AND standing.day = shard.day),
+        |scratch AS (
+        |  SELECT event_type, day, count(*) AS n2,
+        |    CAST(sum(v) AS BIGINT) AS s2
+        |  FROM ev GROUP BY event_type, day)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_fp AS BIGINT) AS sum_fp, touched,
+        |  CAST(n = n2 AND sum_fp = s2 AS BIGINT) AS matches_scratch
+        |FROM merged JOIN scratch USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin))
   )
 }
