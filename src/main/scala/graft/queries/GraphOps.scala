@@ -397,6 +397,74 @@ object GraphOps {
         |SELECT s_nationkey, n,
         |  CAST(((2 * CAST(six AS HUGEINT) - (n + 1) * CAST(sx AS HUGEINT))
         |    * 1000000) // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_fp
-        |FROM agg ORDER BY s_nationkey""".stripMargin))
+        |FROM agg ORDER BY s_nationkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Label propagation (two synchronous rounds) — the cheap
+    // community detector corpus curation uses to find content farms
+    // and template families: seed every co-purchase node with its
+    // part brand, then each round every node adopts the MOST FREQUENT
+    // label among its neighbors (ties → lexicographically smallest
+    // label — the deterministic contract that makes synchronous LPA
+    // reproducible; classic LPA breaks ties randomly). Distinct from
+    // q80's connected components: LPA segments WITHIN a connected
+    // blob by local label density rather than mere reachability.
+    //
+    // Scale shape: one equi-join (symmetric edges ⋈ labels on the
+    // neighbor key) + one (node, label) hash-agg + one per-node
+    // window per round over the once-checkpointed edge list — the
+    // same O(|E|)-per-round message-passing shape as q120's PageRank,
+    // with the label table re-keyed by node between rounds.
+    QueryDef("q192_label_propagation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = coPurchaseEdges(s, dir)
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .join(t(s, dir, "part")
+            .select(col("p_partkey").as("node"), col("p_brand").as("lbl")),
+            "node")
+        def round(labels: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("src"))
+            .orderBy(col("cnt").desc, col("lbl"))
+          sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("lbl"))
+        }
+        round(round(seeds))
+          .groupBy(col("lbl").as("label"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $edgeSql,
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v AS src, u AS dst FROM e),
+        |l0 AS (
+        |  SELECT n.node, p.p_brand AS lbl
+        |  FROM (SELECT DISTINCT src AS node FROM sym) n
+        |  JOIN part p ON p.p_partkey = n.node),
+        |r1 AS (
+        |  SELECT src AS node, lbl FROM (
+        |    SELECT n.src, l.lbl,
+        |      row_number() OVER (PARTITION BY n.src
+        |        ORDER BY count(*) DESC, l.lbl) AS rn
+        |    FROM sym n JOIN l0 l ON l.node = n.dst
+        |    GROUP BY n.src, l.lbl)
+        |  WHERE rn = 1),
+        |r2 AS (
+        |  SELECT src AS node, lbl FROM (
+        |    SELECT n.src, l.lbl,
+        |      row_number() OVER (PARTITION BY n.src
+        |        ORDER BY count(*) DESC, l.lbl) AS rn
+        |    FROM sym n JOIN r1 l ON l.node = n.dst
+        |    GROUP BY n.src, l.lbl)
+        |  WHERE rn = 1)
+        |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM r2 GROUP BY 1 ORDER BY label""".stripMargin))
   )
 }

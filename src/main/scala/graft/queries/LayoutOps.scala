@@ -734,6 +734,68 @@ object LayoutOps {
         |    AS extra,
         |  CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
         |    AS BIGINT) AS quota
-        |FROM r ORDER BY source, lang""".stripMargin))
+        |FROM r ORDER BY source, lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Weighted SYSTEMATIC sampling — select ~50 documents with
+    // inclusion probability proportional to length (n_chars), the
+    // deterministic alternative to Poisson/Bernoulli sampling every
+    // reproducible-pipeline spec prefers: lay all docs on the
+    // cumulative-weight axis in doc_id order and pick the doc under
+    // every stride-th tick (stride = total_weight / 50). Selection is
+    // pure integer arithmetic — a doc is picked iff its cumulative
+    // interval (cum-w, cum] crosses a stride boundary — so the oracle
+    // hash-matches, and unlike rand()-based sampling a re-run over
+    // the same corpus returns the identical sample.
+    //
+    // Scale shape: the global cumulative sum uses q95's two-phase
+    // bucketed prefix sum (a 256-row offsets table broadcast back; no
+    // single-partition window), and the weight total is a 1-row agg
+    // of that same offsets table — the corpus column is scanned for
+    // weights exactly once.
+    QueryDef("q191_systematic_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nBuckets = 256L
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val Array(minId, maxId) = docs
+          .agg(min(col("doc_id")), max(col("doc_id")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+        val bucketed = docs.withColumn("bucket",
+          ((col("doc_id") - minId) / width).cast("long"))
+        val perBucket = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("n_chars")).as("wsum"))
+        val offsets = perBucket
+          .withColumn("offset",
+            coalesce(sum(col("wsum")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val total = perBucket.agg(sum(col("wsum"))).head().getLong(0)
+        val stride = math.max(1L, total / 50L)
+        val wInBucket = Window.partitionBy(col("bucket"))
+          .orderBy(col("doc_id"))
+        bucketed.join(broadcast(offsets), "bucket")
+          .withColumn("cum", col("offset") +
+            sum(col("n_chars")).over(wInBucket
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(expr(s"cum DIV ${stride}L > (cum - n_chars) DIV ${stride}L"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("cum"),
+            expr(s"cum DIV ${stride}L").as("slot"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents),
+        |st AS (
+        |  SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 50, 1) AS stride
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, cum,
+        |  CAST(cum // stride AS BIGINT) AS slot
+        |FROM w, st
+        |WHERE cum // stride > (cum - n_chars) // stride
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -852,7 +852,102 @@ object SimilarityOps {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
         |  label AS neg_label, cosine
         |FROM ranked WHERE rank <= 3
-        |ORDER BY qid, rank""".stripMargin))
+        |ORDER BY qid, rank""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Mutual-kNN pairs — the co-retrieval filter hard-positive mining
+    // and consistency-based dedup use: keep (a, b) only when b ranks
+    // in a's top-k AND a ranks in b's top-k. Ranks are computed over
+    // the SAME LSH candidate graph q41 builds (8 tables × 4-plane
+    // sign projections), so the whole query is bucketed — the
+    // all-pairs matrix never exists. Each unordered candidate pair
+    // (u < v) is scored ONCE with the codegen'd exact quantized
+    // cosine and then viewed in both directions for the per-node
+    // ranking: half the scoring cost of ranking each direction
+    // independently, and the mutual check is a self-equi-join of the
+    // rank≤k slice on the reversed (src, dst) key. Scale: candidates
+    // cost Σ_bucket size² per table (planes are the occupancy knob,
+    // see lshBuckets), ranking is one hash-partitioned window, and
+    // the mutual join's inputs are already k-bounded per node.
+    QueryDef("q189_mutual_knn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = vecs(s, dir)
+        val buckets = lshBuckets(all, 8, 4)
+        val cand = buckets.as("a").join(buckets.as("b"),
+            col("a.tbl") === col("b.tbl") && col("a.b") === col("b.b")
+              && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("cu"), col("b.vec_id").as("cv"))
+          .distinct()
+        val scored = cand
+          .join(all.select(col("vec_id").as("cu"), col("v").as("uv")), "cu")
+          .join(all.select(col("vec_id").as("cv"), col("v").as("vv")), "cv")
+          .select(col("cu"), col("cv"), qcos(s, "uv", "vv").as("cosine"))
+        val sym = scored
+          .select(col("cu").as("src"), col("cv").as("dst"), col("cosine"))
+          .unionAll(scored
+            .select(col("cv").as("src"), col("cu").as("dst"), col("cosine")))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cosine").desc, col("dst"))
+        val kept = sym.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+        kept.as("f").join(kept.as("r"),
+            col("f.src") === col("r.dst") && col("f.dst") === col("r.src")
+              && col("f.src") < col("f.dst"))
+          .select(col("f.src").as("va"), col("f.dst").as("vb"),
+            col("f.rn").cast("long").as("rank_ab"),
+            col("r.rn").cast("long").as("rank_ba"),
+            col("f.cosine").as("cosine"))
+          .orderBy(col("va"), col("vb"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |signs AS (
+        |  SELECT tbl, p, i,
+        |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(range(8)) AS tbl),
+        |       (SELECT unnest(range(4)) AS p),
+        |       (SELECT unnest(range(64)) AS i)),
+        |proj AS (
+        |  SELECT n.vec_id, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
+        |  FROM normed n CROSS JOIN signs s
+        |  GROUP BY n.vec_id, s.tbl, s.p),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
+        |  FROM proj GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS cu, b.vec_id AS cv
+        |  FROM buckets a JOIN buckets b
+        |    ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.cu, c.cv,
+        |    CAST(CAST(list_sum(list_transform(range(len(x.v)), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cosine
+        |  FROM cand c
+        |  JOIN normed x ON x.vec_id = c.cu
+        |  JOIN normed y ON y.vec_id = c.cv),
+        |sym AS (
+        |  SELECT cu AS src, cv AS dst, cosine FROM scored
+        |  UNION ALL
+        |  SELECT cv AS src, cu AS dst, cosine FROM scored),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT src, dst, cosine,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY cosine DESC, dst) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 3)
+        |SELECT f.src AS va, f.dst AS vb, CAST(f.rn AS BIGINT) AS rank_ab,
+        |  CAST(r.rn AS BIGINT) AS rank_ba, f.cosine AS cosine
+        |FROM kept f JOIN kept r
+        |  ON f.src = r.dst AND f.dst = r.src AND f.src < f.dst
+        |ORDER BY va, vb""".stripMargin))
   )
 
   /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into

@@ -925,6 +925,75 @@ object TemporalOps {
         |SELECT day * 86400000 AS win_start_ms, CAST(rk AS BIGINT) AS rk,
         |  user_id, n
         |FROM ranked WHERE rk <= 3
-        |ORDER BY win_start_ms, rk""".stripMargin))
+        |ORDER BY win_start_ms, rk""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SCD type-2 run collapse (gaps-and-islands) — the dimension-build
+    // step every warehouse CDC pipeline runs: collapse each user's
+    // CONSECUTIVE events of the same type into one validity row
+    // [valid_from, valid_to) with the run's event count, where
+    // valid_to is the next run's start (NULL = still current).
+    // Distinct from q72 (one validity row per EVENT) and q172 (latest
+    // state only): this is the full change history at run
+    // granularity. Tie contract shared with the oracle: events order
+    // by (ts_ms, event_id) within user.
+    //
+    // Scale shape: two stacked windows partitioned by the SAME
+    // user_id key (change flag + running run_id), one (user, run)
+    // hash-agg, then one more user-partitioned window for valid_to —
+    // Catalyst plans ONE Exchange on user_id and sorts once; nothing
+    // is joined, nothing is quadratic in events per user.
+    QueryDef("q193_scd2_runs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("run_id"))
+        events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_ms"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("ts_ms")).as("valid_from_ms"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to_ms",
+            lead(col("valid_from_ms"), 1).over(wRun))
+          .select(col("user_id"), col("run_id"), col("event_type"),
+            col("valid_from_ms"), col("valid_to_ms"), col("n_events"))
+          .orderBy(col("user_id"), col("run_id"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, $tsMs AS ts_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM flagged),
+        |collapsed AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type,
+        |    min(ts_ms) AS valid_from_ms,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from_ms,
+        |  lead(valid_from_ms) OVER (PARTITION BY user_id
+        |    ORDER BY run_id) AS valid_to_ms,
+        |  n_events
+        |FROM collapsed
+        |ORDER BY user_id, run_id""".stripMargin))
   )
 }

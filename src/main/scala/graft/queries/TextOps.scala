@@ -647,7 +647,7 @@ object TextOps {
     minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
     dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef,
-    repeatTrimQueryDef)
+    repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2245,4 +2245,129 @@ object TextOps {
        |  FROM exploded GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sig AS simhash FROM sums)""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Per-source boilerplate n-gram detection — the CCNet/C4-style
+  // template filter: a 3-gram shingle appearing in ≥30% of one
+  // source's documents is boilerplate (navigation chrome, license
+  // headers, cookie banners), and a doc's boilerplate coverage is the
+  // share of its distinct shingles that are flagged. Everything is
+  // integer (10·df ≥ 3·n_docs; per-mille coverage via integer DIV),
+  // so the oracle hash-matches exactly.
+  //
+  // Scale shape: reuses the session shingle table; the df pass is one
+  // hash-agg keyed (source, shingle); the per-source doc counts are a
+  // |sources|-row broadcast; the coverage pass is a left-semi join of
+  // shingle rows against the flagged set on the SAME (source, shingle)
+  // key — no text moves after tokenization, and nothing is quadratic.
+  private lazy val boilerplateQueryDef = QueryDef("q190_boilerplate_ngrams",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val sh = shingleTable(s, dir).join(docs, "doc_id")
+      val nDocsSrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val boiler = sh.groupBy(col("source"), col("s"))
+        .agg(count(lit(1)).as("df"))
+        .join(broadcast(nDocsSrc), "source")
+        .filter(col("df") * 10 >= col("n_docs") * 3)
+        .select(col("source"), col("s"))
+      val nBoiler = boiler.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_boiler"))
+      val cov = sh.join(boiler, Seq("source", "s"), "left_semi")
+        .groupBy(col("source"), col("doc_id"), col("sz"))
+        .agg(count(lit(1)).as("b_cnt"))
+        .withColumn("pm", expr("(b_cnt * 1000) DIV sz"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("affected_docs"), sum(col("pm")).as("spm"))
+        .withColumn("avg_permille", expr("spm DIV affected_docs"))
+        .select(col("source"), col("affected_docs"), col("avg_permille"))
+      nDocsSrc.join(nBoiler, Seq("source"), "left_outer")
+        .join(cov, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          coalesce(col("affected_docs"), lit(0L)).as("affected_docs"),
+          coalesce(col("avg_permille"), lit(0L)).as("avg_permille"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |z AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+      |d AS (SELECT doc_id, source FROM documents),
+      |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |df AS (
+      |  SELECT d.source, ex.s, count(*) AS df
+      |  FROM ex JOIN d USING (doc_id) GROUP BY 1, 2),
+      |boiler AS (
+      |  SELECT df.source, df.s FROM df JOIN nd ON df.source = nd.source
+      |  WHERE df.df * 10 >= nd.n_docs * 3),
+      |nb AS (SELECT source, count(*) AS n_boiler FROM boiler GROUP BY 1),
+      |perdoc AS (
+      |  SELECT d.source, ex.doc_id, count(*) AS b_cnt
+      |  FROM ex JOIN d USING (doc_id)
+      |  JOIN boiler b ON b.source = d.source AND b.s = ex.s
+      |  GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT p.source, count(*) AS affected_docs,
+      |    sum((p.b_cnt * 1000) // z.sz) AS spm
+      |  FROM perdoc p JOIN z ON z.doc_id = p.doc_id
+      |  GROUP BY 1)
+      |SELECT nd.source, nd.n_docs,
+      |  CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+      |  CAST(coalesce(cov.affected_docs, 0) AS BIGINT) AS affected_docs,
+      |  CAST(coalesce(cov.spm // cov.affected_docs, 0) AS BIGINT)
+      |    AS avg_permille
+      |FROM nd LEFT JOIN nb ON nb.source = nd.source
+      |LEFT JOIN cov ON cov.source = nd.source
+      |ORDER BY nd.source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Corpus novelty curve — for each tenth of the corpus (by doc_id
+  // ingestion order), the average share of a document's distinct
+  // 3-gram shingles that appear HERE FIRST (their global minimum
+  // doc_id is this doc). This is the dataset-growth diagnostic dedup
+  // research tracks: as a crawl saturates, novelty decays, and a
+  // sudden drop marks a duplicated ingest batch.
+  //
+  // Scale shape: first-occurrence is one hash-agg keyed by shingle
+  // (min doc_id); per-doc novel counts come from re-aggregating that
+  // |shingles|-row table by its first_doc — the shingle rows are
+  // never joined back against themselves, so the whole query is two
+  // hash-aggs plus a |docs|-row left join. Per-mille integer math
+  // throughout for the exact-hash oracle.
+  private lazy val noveltyQueryDef = QueryDef("q194_ngram_novelty",
+    (s, dir) => {
+      val sh = shingleTable(s, dir)
+      val sz = sh.select(col("doc_id"), col("sz")).distinct()
+      val novel = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("novel"))
+        .withColumnRenamed("first_doc", "doc_id")
+      val maxId = t(s, dir, "documents")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      sz.join(novel, Seq("doc_id"), "left_outer")
+        .withColumn("pm",
+          expr("(coalesce(novel, 0L) * 1000) DIV sz"))
+        .withColumn("bucket", expr(s"(doc_id * 10) DIV ${maxId + 1}L"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pm")).as("spm"))
+        .withColumn("avg_novelty_pm", expr("spm DIV n_docs"))
+        .select(col("bucket"), col("n_docs"), col("avg_novelty_pm"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |z AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+      |novel AS (
+      |  SELECT first_doc AS doc_id, count(*) AS novel FROM (
+      |    SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+      |  GROUP BY 1),
+      |perdoc AS (
+      |  SELECT z.doc_id,
+      |    (coalesce(n.novel, 0) * 1000) // z.sz AS pm
+      |  FROM z LEFT JOIN novel n ON n.doc_id = z.doc_id)
+      |SELECT (doc_id * 10) // ((SELECT max(doc_id) + 1 FROM documents))
+      |    AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(pm) // count(*) AS BIGINT) AS avg_novelty_pm
+      |FROM perdoc GROUP BY 1
+      |ORDER BY bucket""".stripMargin))
 }
