@@ -421,23 +421,36 @@ object GraphOps {
         val e = coPurchaseEdges(s, dir)
         val sym = e.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        // labels shuffle through every round, so propagate a DENSE
+        // INTEGER code instead of the brand string: codes are the
+        // lexicographic rank of the ~25 distinct brands (a broadcast
+        // dict), which keeps min-code ≡ min-lexicographic for the tie
+        // contract; the string comes back via one tiny join at the end.
+        val dict = t(s, dir, "part").select(col("p_brand").as("lbl"))
+          .distinct()
+          .withColumn("code",
+            row_number().over(Window.orderBy(col("lbl"))).cast("long"))
         val seeds = sym.select(col("src").as("node")).distinct()
           .join(t(s, dir, "part")
             .select(col("p_partkey").as("node"), col("p_brand").as("lbl")),
             "node")
+          .join(broadcast(dict), "lbl")
+          .select(col("node"), col("code"))
         def round(labels: DataFrame): DataFrame = {
           val w = Window.partitionBy(col("src"))
-            .orderBy(col("cnt").desc, col("lbl"))
+            .orderBy(col("cnt").desc, col("code"))
           sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src"), col("lbl"))
+            .groupBy(col("src"), col("code"))
             .agg(count(lit(1)).as("cnt"))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("src").as("node"), col("lbl"))
+            .select(col("src").as("node"), col("code"))
         }
         round(round(seeds))
-          .groupBy(col("lbl").as("label"))
+          .groupBy(col("code"))
           .agg(count(lit(1)).as("n_nodes"))
+          .join(broadcast(dict), "code")
+          .select(col("lbl").as("label"), col("n_nodes"))
           .orderBy(col("label"))
       },
       Some(s"""WITH $edgeSql,

@@ -865,15 +865,18 @@ object SimilarityOps {
     // cosine and then viewed in both directions for the per-node
     // ranking: half the scoring cost of ranking each direction
     // independently, and the mutual check is a self-equi-join of the
-    // rank≤k slice on the reversed (src, dst) key. Scale: candidates
-    // cost Σ_bucket size² per table (planes are the occupancy knob,
-    // see lshBuckets), ranking is one hash-partitioned window, and
-    // the mutual join's inputs are already k-bounded per node.
+    // rank≤k slice on the reversed (src, dst) key. Scale: planes are
+    // ADAPTIVE (occupancy ≤64 per bucket, see adaptivePlanes), so the
+    // candidate cost Σ_bucket size² per table stays ~n·64·tables —
+    // linear in the corpus; ranking is one hash-partitioned window,
+    // and the mutual join's inputs are already k-bounded per node.
+    // The oracle derives the same plane count in-SQL from the same
+    // integer rule (the q60/q182 params pattern).
     QueryDef("q189_mutual_knn",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val all = vecs(s, dir)
-        val buckets = lshBuckets(all, 8, 4)
+        val buckets = lshBuckets(all, 8, adaptivePlanes(all.count(), 64))
         val cand = buckets.as("a").join(buckets.as("b"),
             col("a.tbl") === col("b.tbl") && col("a.b") === col("b.b")
               && col("a.vec_id") < col("b.vec_id"))
@@ -900,7 +903,12 @@ object SimilarityOps {
             col("f.cosine").as("cosine"))
           .orderBy(col("va"), col("vb"))
       },
-      Some(s"""WITH qv AS (
+      Some(s"""WITH params AS (
+        |  SELECT GREATEST(2, (SELECT min(pp)
+        |    FROM (SELECT unnest(range(31)) AS pp)
+        |    WHERE (CAST(64 AS BIGINT) << pp) >=
+        |      (SELECT count(*) FROM embeddings))) AS pl),
+        |qv AS (
         |  SELECT vec_id, $quantSql AS v FROM embeddings),
         |normed AS (
         |  SELECT vec_id, v,
@@ -911,8 +919,9 @@ object SimilarityOps {
         |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
         |      THEN 1 ELSE -1 END AS sg
         |  FROM (SELECT unnest(range(8)) AS tbl),
-        |       (SELECT unnest(range(4)) AS p),
-        |       (SELECT unnest(range(64)) AS i)),
+        |       (SELECT unnest(range(31)) AS p),
+        |       (SELECT unnest(range(64)) AS i)
+        |  WHERE p < (SELECT pl FROM params)),
         |proj AS (
         |  SELECT n.vec_id, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
         |  FROM normed n CROSS JOIN signs s
