@@ -647,7 +647,9 @@ object TextOps {
     minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
     dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef,
-    repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef)
+    repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
+    crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
+    rarityQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2370,4 +2372,224 @@ object TextOps {
       |  CAST(sum(pm) // count(*) AS BIGINT) AS avg_novelty_pm
       |FROM perdoc GROUP BY 1
       |ORDER BY bucket""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Cross-source duplicate overlap matrix on the HEAD digest — which
+  // pairs of ingestion sources ship the same documents (q164's
+  // near-dup leakage aggregated to the source level). The digest
+  // covers the first 32 tokens rather than the full text: re-crawls
+  // and syndicated copies share their head while diverging in
+  // boilerplate tails, so head duplication is the standard feed-
+  // overlap probe (full-text equality is a strict subset). Per
+  // unordered source pair: shared head-digest count, normalized
+  // per-mille by the smaller source's digest count — the first table
+  // a corpus integrator reads when deciding which feed to drop.
+  //
+  // Scale shape: the text collapses to a 16-byte digest immediately
+  // (text never shuffles); the pair join is keyed on digest, and its
+  // per-digest fan-out is bounded by the SOURCE count (≤ sources²
+  // pairs per digest), not the document count; the per-source totals
+  // are a |sources|-row broadcast.
+  private lazy val crossSourceOverlapQueryDef = QueryDef(
+    "q195_cross_source_overlap",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          md5(concat_ws(" ", slice(toks(col("text")), 1, 32)))
+            .as("digest"))
+        .distinct()
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      d.as("a").join(d.as("b"),
+          col("a.digest") === col("b.digest")
+            && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(n.select(col("source").as("src_a"),
+          col("nd").as("na"))), "src_a")
+        .join(broadcast(n.select(col("source").as("src_b"),
+          col("nd").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("(n_shared * 1000) DIV least(na, nb)").as("overlap_pm"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(($tokSql)[1:32], ' ')) AS digest
+      |  FROM documents),
+      |n AS (SELECT source, count(*) AS nd FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM d a JOIN d b
+      |    ON a.digest = b.digest AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST((n_shared * 1000) // least(x.nd, y.nd) AS BIGINT)
+      |    AS overlap_pm
+      |FROM p JOIN n x ON x.source = src_a
+      |JOIN n y ON y.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Source-to-source MinHash similarity matrix — sketch ALGEBRA at
+  // the corpus level: a source's signature is the element-wise MIN of
+  // its documents' 16-slot minhash signatures (the union property —
+  // merging sketches of parts gives the sketch of the whole with no
+  // re-scan), and matching slots / 16 estimates the Jaccard
+  // similarity of the two sources' combined shingle sets. This is
+  // how a 100 TB pipeline compares feeds WITHOUT pairwise document
+  // work: per-source signatures are a few hundred bytes, maintained
+  // incrementally as shards arrive, and the comparison matrix is
+  // sources² × 16 — driver-trivial forever.
+  //
+  // Scale shape: one (source, seed) min-agg over the session slot
+  // table (the same partial-aggregable min every shard merge uses),
+  // then a self-join of a |sources|×16-row table.
+  private lazy val sourceMinhashQueryDef = QueryDef(
+    "q196_source_minhash_matrix",
+    (s, dir) => {
+      val sig = minhashSlots(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"), col("seed"))
+        .agg(min(col("mh")).as("mh"))
+      sig.as("a").join(sig.as("b"),
+          col("a.seed") === col("b.seed")
+            && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(when(col("a.mh") === col("b.mh"), 1)).as("n_agree"))
+        .withColumn("est_jaccard_fp", expr("(n_agree * 1000000) DIV 16"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH $shingleSql,
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |sig AS (
+      |  SELECT d.source, h.seed, min(h.mh) AS mh
+      |  FROM hashed h JOIN documents d USING (doc_id)
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(count(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS n_agree,
+      |  CAST((count(*) FILTER (WHERE a.mh = b.mh) * 1000000) // 16
+      |    AS BIGINT) AS est_jaccard_fp
+      |FROM sig a JOIN sig b
+      |  ON a.seed = b.seed AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Distinct-n diversity per source — the generation-diversity metric
+  // (distinct-1 / distinct-3 of Zhu et al.) applied to corpus
+  // curation: distinct unigrams over total tokens, and distinct
+  // 3-gram shingles over the sum of per-doc distinct shingles (the
+  // cross-document repetition axis — 1000‰ means no trigram is
+  // shared between two docs of the source). Low distinct-3 with
+  // normal distinct-1 is the signature of templated/spun content.
+  //
+  // Scale shape: unigram stats ride the session (doc, term, tf)
+  // table re-keyed by source; trigram stats are two aggs over the
+  // session shingle table. Integer per-mille throughout.
+  private lazy val diversityQueryDef = QueryDef(
+    "q197_ngram_diversity",
+    (s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val uni = termFreq(s, dir).join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("tf")).as("total_tokens"),
+          count_distinct(col("w")).as("distinct_tokens"))
+      val tri = shingleTable(s, dir).join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_shingles"),
+          count_distinct(col("s")).as("distinct_shingles"))
+      uni.join(tri, "source")
+        .select(col("source"), col("total_tokens"), col("distinct_tokens"),
+          expr("(distinct_tokens * 1000) DIV total_tokens")
+            .as("distinct1_pm"),
+          col("total_shingles"), col("distinct_shingles"),
+          expr("(distinct_shingles * 1000) DIV total_shingles")
+            .as("distinct3_pm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $shingleSql,
+      |tk AS (
+      |  SELECT d.source, t.w
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents) t
+      |  JOIN documents d USING (doc_id)),
+      |uni AS (
+      |  SELECT source, count(*) AS total_tokens,
+      |    count(DISTINCT w) AS distinct_tokens
+      |  FROM tk GROUP BY 1),
+      |ex AS (
+      |  SELECT d.source, e.s
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) e
+      |  JOIN documents d USING (doc_id)),
+      |tri AS (
+      |  SELECT source, count(*) AS total_shingles,
+      |    count(DISTINCT s) AS distinct_shingles
+      |  FROM ex GROUP BY 1)
+      |SELECT uni.source,
+      |  CAST(total_tokens AS BIGINT) AS total_tokens,
+      |  CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+      |  CAST((distinct_tokens * 1000) // total_tokens AS BIGINT)
+      |    AS distinct1_pm,
+      |  CAST(total_shingles AS BIGINT) AS total_shingles,
+      |  CAST(distinct_shingles AS BIGINT) AS distinct_shingles,
+      |  CAST((distinct_shingles * 1000) // total_shingles AS BIGINT)
+      |    AS distinct3_pm
+      |FROM uni JOIN tri ON uni.source = tri.source
+      |ORDER BY uni.source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Token-rarity score per source — the inverse-document-frequency
+  // quality axis q31's surface heuristics miss: a document's rarity
+  // is its tf-weighted mean of 10⁶/df(w) (integer fixed point), high
+  // when the doc leans on corpus-rare vocabulary (jargon, misspelled
+  // spam, or genuinely novel content — either way, the docs a
+  // curation pass wants ranked). Reported per source as the doc-mean
+  // and doc-max.
+  //
+  // Scale shape: df is one distinct-doc agg keyed by term; the score
+  // join is (doc, term, tf) ⋈ df on the term key — the postings
+  // shape every retrieval query here uses; per-doc and per-source
+  // rollups are ordinary hash-aggs. No floats anywhere.
+  private lazy val rarityQueryDef = QueryDef(
+    "q198_token_rarity",
+    (s, dir) => {
+      val tf = termFreq(s, dir)
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val perDoc = tf.join(df, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("tf * (1000000L DIV df)")).as("wsum"),
+          sum(col("tf")).as("ntok"))
+        .withColumn("rarity_fp", expr("wsum DIV ntok"))
+      perDoc
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(rarity_fp) DIV count(1)").as("mean_rarity_fp"),
+          max(col("rarity_fp")).as("max_rarity_fp"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tf AS (
+      |  SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |perdoc AS (
+      |  SELECT doc_id,
+      |    sum(tf * (1000000 // df)) // sum(tf) AS rarity_fp
+      |  FROM tf JOIN df USING (w)
+      |  GROUP BY 1)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(p.rarity_fp) // count(*) AS BIGINT) AS mean_rarity_fp,
+      |  CAST(max(p.rarity_fp) AS BIGINT) AS max_rarity_fp
+      |FROM perdoc p JOIN documents d USING (doc_id)
+      |GROUP BY 1 ORDER BY d.source""".stripMargin))
 }
