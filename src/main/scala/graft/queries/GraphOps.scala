@@ -209,6 +209,94 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** brand → dense integer code dict (~25 rows, broadcast): codes are
+    * the lexicographic rank of the distinct brands, so min-code ≡
+    * min-lexicographic and the LPA tie contract survives the
+    * string→int swap that keeps labels cheap to shuffle. */
+  private val dictCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def brandDict(s: SparkSession, dir: String): DataFrame =
+    dictCache.synchronized {
+      dictCache.getOrElseUpdate((s, dir), {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "part").select(col("p_brand").as("lbl"))
+          .distinct()
+          .withColumn("code",
+            row_number().over(Window.orderBy(col("lbl"))).cast("long"))
+          .localCheckpoint(false)
+      })
+    }
+
+  /** Two synchronous label-propagation rounds over the co-purchase
+    * graph, seeded with part-brand codes: each round every node
+    * adopts the most frequent neighbor label, ties → smallest code
+    * (= lexicographically smallest brand). Memoized + checkpointed
+    * like [[coPurchaseEdges]]: q192 reads the final labels once, but
+    * q201's modularity audit reads them three times (intra-edge
+    * count + degree mass + node count), and each read would re-run
+    * both O(|E|) rounds without the cut. */
+  private val lpaCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaCache.synchronized {
+      lpaCache.getOrElseUpdate((s, dir), {
+        import org.apache.spark.sql.expressions.Window
+        val e = coPurchaseEdges(s, dir)
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .join(t(s, dir, "part")
+            .select(col("p_partkey").as("node"), col("p_brand").as("lbl")),
+            "node")
+          .join(broadcast(brandDict(s, dir)), "lbl")
+          .select(col("node"), col("code"))
+        def round(labels: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("src"))
+            .orderBy(col("cnt").desc, col("code"))
+          sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src"), col("code"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("src").as("node"), col("code"))
+        }
+        round(round(seeds)).localCheckpoint(false)
+      })
+    }
+
+  /** the q192 LPA pipeline as DuckDB CTEs (needs $edgeSql in scope
+    * upstream): yields `dict(lbl, code)` and final labels
+    * `r2(node, code)`. Shared by the q192 and q201 oracles. */
+  private val lpaSql =
+    """sym AS (
+      |  SELECT u AS src, v AS dst FROM e
+      |  UNION ALL SELECT v AS src, u AS dst FROM e),
+      |dict AS (
+      |  SELECT lbl, CAST(row_number() OVER (ORDER BY lbl) AS BIGINT)
+      |    AS code
+      |  FROM (SELECT DISTINCT p_brand AS lbl FROM part)),
+      |l0 AS (
+      |  SELECT n.node, d.code
+      |  FROM (SELECT DISTINCT src AS node FROM sym) n
+      |  JOIN part p ON p.p_partkey = n.node
+      |  JOIN dict d ON d.lbl = p.p_brand),
+      |r1 AS (
+      |  SELECT src AS node, code FROM (
+      |    SELECT n.src, l.code,
+      |      row_number() OVER (PARTITION BY n.src
+      |        ORDER BY count(*) DESC, l.code) AS rn
+      |    FROM sym n JOIN l0 l ON l.node = n.dst
+      |    GROUP BY n.src, l.code)
+      |  WHERE rn = 1),
+      |r2 AS (
+      |  SELECT src AS node, code FROM (
+      |    SELECT n.src, l.code,
+      |      row_number() OVER (PARTITION BY n.src
+      |        ORDER BY count(*) DESC, l.code) AS rn
+      |    FROM sym n JOIN r1 l ON l.node = n.dst
+      |    GROUP BY n.src, l.code)
+      |  WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -416,68 +504,88 @@ object GraphOps {
     // same O(|E|)-per-round message-passing shape as q120's PageRank,
     // with the label table re-keyed by node between rounds.
     QueryDef("q192_label_propagation",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = coPurchaseEdges(s, dir)
-        val sym = e.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-        // labels shuffle through every round, so propagate a DENSE
-        // INTEGER code instead of the brand string: codes are the
-        // lexicographic rank of the ~25 distinct brands (a broadcast
-        // dict), which keeps min-code ≡ min-lexicographic for the tie
-        // contract; the string comes back via one tiny join at the end.
-        val dict = t(s, dir, "part").select(col("p_brand").as("lbl"))
-          .distinct()
-          .withColumn("code",
-            row_number().over(Window.orderBy(col("lbl"))).cast("long"))
-        val seeds = sym.select(col("src").as("node")).distinct()
-          .join(t(s, dir, "part")
-            .select(col("p_partkey").as("node"), col("p_brand").as("lbl")),
-            "node")
-          .join(broadcast(dict), "lbl")
-          .select(col("node"), col("code"))
-        def round(labels: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("src"))
-            .orderBy(col("cnt").desc, col("code"))
-          sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src"), col("code"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("src").as("node"), col("code"))
-        }
-        round(round(seeds))
+      (s, dir) =>
+        lpaLabels(s, dir)
           .groupBy(col("code"))
           .agg(count(lit(1)).as("n_nodes"))
-          .join(broadcast(dict), "code")
+          .join(broadcast(brandDict(s, dir)), "code")
           .select(col("lbl").as("label"), col("n_nodes"))
+          .orderBy(col("label")),
+      Some(s"""WITH $edgeSql,
+        |$lpaSql
+        |SELECT d.lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM r2 JOIN dict d USING (code)
+        |GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Modularity audit of the q192 communities — the quality score
+    // that tells a curation pipeline whether its cheap LPA partition
+    // is MEANINGFUL before acting on it: per community c,
+    // term_c = e_c/m − (d_c/2m)², where e_c = intra-community edges,
+    // d_c = total degree mass, m = |E|; Σ term_c is Newman
+    // modularity. All ×10⁶ fixed point with the products in
+    // DECIMAL(38,0)/HUGEINT (d_c² ~ 4m² overflows Long past
+    // m ≈ 1.5×10⁹ edges — the q137 overflow contract).
+    //
+    // Scale shape: labels come from the memoized LPA table; intra
+    // edges are one join of the checkpointed edge list against the
+    // label table on EACH endpoint (two |E| equi-joins) + a hash-agg;
+    // degree mass is a |V|-row join; m is a 1-row count of the
+    // checkpointed list.
+    QueryDef("q201_graph_modularity",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        val labels = lpaLabels(s, dir)
+        val m = e.count()
+        val intra = e
+          .join(labels.select(col("node").as("u"), col("code").as("cu")), "u")
+          .join(labels.select(col("node").as("v"), col("code").as("cv")), "v")
+          .filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("code"))
+          .agg(count(lit(1)).as("e_c"))
+        val mass = coPurchaseDegrees(s, dir).join(labels, "node")
+          .groupBy(col("code"))
+          .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
+        mass.join(intra, Seq("code"), "left_outer")
+          .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+          .withColumn("term_fp", expr(
+            s"CAST((CAST(e_c AS DECIMAL(38,0)) * 1000000) div ${m}L" +
+              s" AS BIGINT) - CAST((CAST(d_c AS DECIMAL(38,0)) * d_c" +
+              s" * 1000000) div (4 * CAST(${m}L AS DECIMAL(38,0))" +
+              s" * ${m}L) AS BIGINT)"))
+          .join(broadcast(brandDict(s, dir)), "code")
+          .select(col("lbl").as("label"), col("n_nodes"), col("e_c"),
+            col("d_c"), col("term_fp"))
           .orderBy(col("label"))
       },
       Some(s"""WITH $edgeSql,
-        |sym AS (
-        |  SELECT u AS src, v AS dst FROM e
-        |  UNION ALL SELECT v AS src, u AS dst FROM e),
-        |l0 AS (
-        |  SELECT n.node, p.p_brand AS lbl
-        |  FROM (SELECT DISTINCT src AS node FROM sym) n
-        |  JOIN part p ON p.p_partkey = n.node),
-        |r1 AS (
-        |  SELECT src AS node, lbl FROM (
-        |    SELECT n.src, l.lbl,
-        |      row_number() OVER (PARTITION BY n.src
-        |        ORDER BY count(*) DESC, l.lbl) AS rn
-        |    FROM sym n JOIN l0 l ON l.node = n.dst
-        |    GROUP BY n.src, l.lbl)
-        |  WHERE rn = 1),
-        |r2 AS (
-        |  SELECT src AS node, lbl FROM (
-        |    SELECT n.src, l.lbl,
-        |      row_number() OVER (PARTITION BY n.src
-        |        ORDER BY count(*) DESC, l.lbl) AS rn
-        |    FROM sym n JOIN r1 l ON l.node = n.dst
-        |    GROUP BY n.src, l.lbl)
-        |  WHERE rn = 1)
-        |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes
-        |FROM r2 GROUP BY 1 ORDER BY label""".stripMargin))
+        |$lpaSql,
+        |m AS (SELECT count(*) AS m FROM e),
+        |intra AS (
+        |  SELECT lu.code, count(*) AS e_c
+        |  FROM e
+        |  JOIN r2 lu ON lu.node = e.u
+        |  JOIN r2 lv ON lv.node = e.v AND lv.code = lu.code
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |mass AS (
+        |  SELECT l.code, sum(d.deg) AS d_c, count(*) AS n_nodes
+        |  FROM deg d JOIN r2 l USING (node)
+        |  GROUP BY 1)
+        |SELECT dt.lbl AS label,
+        |  CAST(mass.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(intra.e_c, 0) AS BIGINT) AS e_c,
+        |  CAST(mass.d_c AS BIGINT) AS d_c,
+        |  CAST((CAST(coalesce(intra.e_c, 0) AS HUGEINT) * 1000000)
+        |      // (SELECT m FROM m) AS BIGINT)
+        |    - CAST((CAST(mass.d_c AS HUGEINT) * mass.d_c * 1000000)
+        |      // (4 * CAST((SELECT m FROM m) AS HUGEINT)
+        |        * (SELECT m FROM m)) AS BIGINT) AS term_fp
+        |FROM mass LEFT JOIN intra ON intra.code = mass.code
+        |JOIN dict dt ON dt.code = mass.code
+        |ORDER BY label""".stripMargin))
   )
 }

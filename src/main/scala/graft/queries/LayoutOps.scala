@@ -796,6 +796,55 @@ object LayoutOps {
         |  CAST(cum // stride AS BIGINT) AS slot
         |FROM w, st
         |WHERE cum // stride > (cum - n_chars) // stride
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Rendezvous (highest-random-weight) sharding — the elastic
+    // placement rule distributed stores use so that GROWING the shard
+    // count moves only the documents that land on the NEW shard
+    // (~1/(n+1) of the corpus), instead of rehash-scattering
+    // everything the way `hash(id) % n` does. Each doc goes to the
+    // shard with the highest md5(doc:shard) weight; the query assigns
+    // under 8 and under 9 shards and reports per-shard occupancy and
+    // move-ins — every n_moved_in for shards 0-7 is provably zero
+    // (dropping a candidate never changes an argmax among the rest),
+    // which the hash-compare against the oracle re-proves on real
+    // data.
+    //
+    // Scale shape: embarrassingly parallel — |docs|×9 weight rows
+    // built map-side from the instruction stream, one max_by
+    // hash-agg keyed by doc, one |shards|-row rollup. No joins at
+    // all; this is the shape that keeps placement recomputable by
+    // any worker with no routing table.
+    QueryDef("q199_rendezvous_shards",
+      (s, dir) => {
+        val weights = t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("shard", explode(sequence(lit(0), lit(8))))
+          .withColumn("w", conv(substring(md5(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("shard").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        weights.groupBy(col("doc_id"))
+          .agg(expr("max_by(shard, w)").as("a9"),
+            expr("max_by(shard, CASE WHEN shard < 8 THEN w END)").as("a8"))
+          .groupBy(col("a9").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("a8") =!= col("a9"), 1L).otherwise(0L))
+              .as("n_moved_in"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH wts AS (
+        |  SELECT doc_id, shard,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' ||
+        |      shard::VARCHAR), 1, 15)) AS BIGINT) AS w
+        |  FROM documents, (SELECT unnest(range(9)) AS shard)),
+        |asg AS (
+        |  SELECT doc_id, max_by(shard, w) AS a9,
+        |    max_by(shard, CASE WHEN shard < 8 THEN w END) AS a8
+        |  FROM wts GROUP BY 1)
+        |SELECT CAST(a9 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE a8 <> a9) AS BIGINT) AS n_moved_in
+        |FROM asg GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

@@ -575,6 +575,79 @@ object PipelineOps {
         |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // Keep-BEST dedup resolution — q80's duplicate clusters resolved
+    // to the representative production pipelines actually keep: the
+    // LONGEST document (n_chars, ties → smallest doc_id), not the
+    // smallest id. Smallest-id-wins (q63) is the cheap contract for
+    // incremental dedup; keep-longest preserves the most content per
+    // cluster, which is what a training-corpus pass wants when a
+    // truncated re-crawl collides with the full original. Output is
+    // the per-doc verdict: cluster, elected keeper, kept flag.
+    //
+    // Scale shape: one |clusters|-keyed window over the component
+    // table (|dup docs| rows, tiny vs corpus) + one join back — the
+    // candidate mining and CC already ran once per session via the
+    // shared tables.
+    QueryDef("q200_dedup_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = TextOps.minedPairs(s, dir)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da").as("src"), col("db").as("dst"))
+        val comp = connectedComponents(pairs)
+        val withLen = comp.join(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("node"), col("n_chars")), "node")
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("n_chars").desc, col("node"))
+        val reps = withLen.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("node").as("keeper_id"))
+        withLen.join(reps, "label")
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+            col("keeper_id"),
+            when(col("node") === col("keeper_id"), 1L).otherwise(0L)
+              .as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${TextOps.shingleSql},
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= ${TextOps.JaccardMaxDf}),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT da, db FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |edges AS (
+        |  SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |walk(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |comp AS (
+        |  SELECT node, min(reach) AS label FROM walk GROUP BY node),
+        |wl AS (
+        |  SELECT c.node, c.label, d.n_chars
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node),
+        |reps AS (
+        |  SELECT label, node AS keeper_id FROM (
+        |    SELECT label, node, row_number() OVER (PARTITION BY label
+        |      ORDER BY n_chars DESC, node) AS rn
+        |    FROM wl)
+        |  WHERE rn = 1)
+        |SELECT wl.node AS doc_id, wl.label AS cluster_id, reps.keeper_id,
+        |  CAST(CASE WHEN wl.node = reps.keeper_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept
+        |FROM wl JOIN reps USING (label)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Mergeable-sketch rollup — the incremental analytics pattern for
     // 100 TB: per-(source, lang) HLL sketches are a few KB each and
     // UNION-merge, so per-source (or per-anything-coarser) distinct
