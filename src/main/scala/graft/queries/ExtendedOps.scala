@@ -850,6 +850,78 @@ object ExtendedOps {
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin))
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21-shaped "sole blocking supplier": suppliers (one
+    // nation) whose shipment was LATE (shipdate > orderdate + 60
+    // days) on a finished multi-supplier order where NO OTHER
+    // supplier was late — the hardest standard join graph: the same
+    // fact table consumed three ways (base + left-semi on a
+    // different-supplier sibling + left-anti on a different-supplier
+    // LATE sibling), all keyed on the order. This data has no
+    // commit/receipt dates, so lateness is derived against the order
+    // date — same shape, same plan stress.
+    //
+    // Scale shape: the semi/anti probes re-key the SAME lineitem scan
+    // by orderkey — three hash joins on one key, no hints (supplier
+    // and the per-nation slice are AQE-broadcastable at bench SF,
+    // shuffled at 100 TB); the final agg is |suppliers|-sized.
+    QueryDef("q203_waiting_suppliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val finished = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = li.join(finished,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") +
+                expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l1 = late
+          .join(li.select(col("l_orderkey").as("k2"),
+              col("l_suppkey").as("s2")),
+            col("l_orderkey") === col("k2") &&
+              col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(late.select(col("l_orderkey").as("k3"),
+              col("l_suppkey").as("s3")),
+            col("l_orderkey") === col("k3") &&
+              col("l_suppkey") =!= col("s3"), "left_anti")
+        l1.join(t(s, dir, "supplier")
+              .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "nation")
+              .filter(col("n_name") === "NATION_3")
+              .select(col("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(25)
+      },
+      Some("""WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        |l1 AS (
+        |  SELECT a.l_orderkey, a.l_suppkey FROM late a
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM lineitem b
+        |    WHERE b.l_orderkey = a.l_orderkey
+        |      AND b.l_suppkey <> a.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late c
+        |    WHERE c.l_orderkey = a.l_orderkey
+        |      AND c.l_suppkey <> a.l_suppkey))
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin))
   )
 }

@@ -994,6 +994,104 @@ object TemporalOps {
         |    ORDER BY run_id) AS valid_to_ms,
         |  n_events
         |FROM collapsed
-        |ORDER BY user_id, run_id""".stripMargin))
+        |ORDER BY user_id, run_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Behavioral sequence mining — the top-20 event-type TRIGRAMS
+    // (three consecutive events per user, ordered by (ts_ms,
+    // event_id)): the path-mining step funnel design starts from,
+    // one order up from q139's 1-step transition matrix. Sequences
+    // that cross users never form (the window partitions by user).
+    //
+    // Scale shape: two lead() columns on ONE user-partitioned window
+    // (same Exchange the other behavioral queries use), then a
+    // |distinct trigrams|-sized hash-agg and a top-k sort on that
+    // small aggregate — the event table itself is never re-scanned
+    // or joined.
+    QueryDef("q202_event_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"),
+            col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("trigram"))
+          .groupBy(col("trigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("trigram"))
+          .limit(20)
+      },
+      Some(s"""WITH seq AS (
+        |  SELECT user_id, event_type, $tsMs AS ts_ms, event_id,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsMs, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, trigram
+        |LIMIT 20""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Merkle-style bucket-digest reconciliation — how two 100 TB
+    // replicas are compared WITHOUT a row-level diff: each side folds
+    // its rows into 256 per-bucket (count, digest-sum) summaries, and
+    // only buckets whose summaries disagree need row-level repair
+    // (q134's snapshot diff, now localized). Snapshot A simulates a
+    // 2%-loss replica (md5-bucket split — the standard deterministic
+    // sampling rule here); digests are md5-derived longs summed in
+    // DECIMAL(38,0)/HUGEINT so the fold is exact and order-free on
+    // both engines. Output: ONLY the differing buckets (count +
+    // digest deltas) — at scale this is what crosses the wire, 256
+    // rows per replica regardless of table size.
+    QueryDef("q204_merkle_bucket_diff",
+      (s, dir) => {
+        val digested = events(s, dir)
+          .select(col("event_id"), col("user_id"))
+          .withColumn("hv",
+            conv(substring(md5(col("event_id").cast("string")), 1, 15),
+              16, 10).cast("long"))
+          .withColumn("bucket", col("user_id") % 256)
+        def fold(df: org.apache.spark.sql.DataFrame, suffix: String) =
+          df.groupBy(col("bucket"))
+            .agg(count(lit(1)).as(s"n_$suffix"),
+              sum(col("hv").cast(org.apache.spark.sql.types
+                .DataTypes.createDecimalType(38, 0))).as(s"d_$suffix"))
+        val a = fold(digested.filter(col("hv") % 100 < 98), "a")
+        val b = fold(digested, "b")
+        b.join(a, Seq("bucket"), "left_outer")
+          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+          .filter(col("n_a") =!= col("n_b") ||
+            !(col("d_a") <=> col("d_b")))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            (col("n_b") - col("n_a")).as("n_missing"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH digested AS (
+        |  SELECT event_id, user_id,
+        |    CAST(('0x' || substring(md5(event_id::VARCHAR), 1, 15))
+        |      AS BIGINT) AS hv,
+        |    user_id % 256 AS bucket
+        |  FROM events),
+        |a AS (
+        |  SELECT bucket, count(*) AS n_a, sum(CAST(hv AS HUGEINT)) AS d_a
+        |  FROM digested WHERE hv % 100 < 98 GROUP BY 1),
+        |b AS (
+        |  SELECT bucket, count(*) AS n_b, sum(CAST(hv AS HUGEINT)) AS d_b
+        |  FROM digested GROUP BY 1)
+        |SELECT b.bucket,
+        |  CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+        |  CAST(b.n_b AS BIGINT) AS n_b,
+        |  CAST(b.n_b - coalesce(a.n_a, 0) AS BIGINT) AS n_missing
+        |FROM b LEFT JOIN a ON a.bucket = b.bucket
+        |WHERE coalesce(a.n_a, 0) <> b.n_b
+        |  OR a.d_a IS DISTINCT FROM b.d_b
+        |ORDER BY b.bucket""".stripMargin))
   )
 }
