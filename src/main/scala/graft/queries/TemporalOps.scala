@@ -1092,6 +1092,129 @@ object TemporalOps {
         |FROM b LEFT JOIN a ON a.bucket = b.bucket
         |WHERE coalesce(a.n_a, 0) <> b.n_b
         |  OR a.d_a IS DISTINCT FROM b.d_b
-        |ORDER BY b.bucket""".stripMargin))
+        |ORDER BY b.bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Point-in-time feature join — the feature-store correctness
+    // contract: enrich each purchase with the user's STATE AS OF the
+    // purchase instant, where state is the q193-style SCD2 dimension
+    // built from the user's non-purchase events. Composing the two
+    // operators is the point: runs partition each user's timeline, so
+    // "the run containing t" ≡ "the latest run starting ≤ t", which
+    // is exactly the native backward as-of operator — no range
+    // predicate, no interval join, no leakage from the future (the
+    // bug PIT joins exist to prevent). Right side deduped to one run
+    // per (user, ms) per the operator's unique-(key, time) contract.
+    //
+    // Scale shape: the dimension build is q193's single user-keyed
+    // Exchange; the as-of is the native merge exec on the same key.
+    QueryDef("q205_pit_feature_join",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_ms"))
+        val state = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(min(col("event_type")).as("state_type"),
+            min(col("ts_ms")).as("state_since_ms"))
+        val dedup = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("state_since_ms"))
+          .orderBy(col("run_id").desc)
+        val dim = state.withColumn("rn", row_number().over(dedup))
+          .filter(col("rn") === 1)
+          .select(col("user_id").as("d_user"), col("run_id"),
+            col("state_type"), col("state_since_ms"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        graft.plans.AsOfJoin.backward(purchases, dim,
+            Seq("user_id"), Seq("d_user"), "ts_ms", "state_since_ms")
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("state_type"), col("state_since_ms"), col("run_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, $tsMs AS ts_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, ts_ms,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM ev WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type, ts_ms,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM flagged),
+        |state AS (
+        |  SELECT user_id, run_id, min(event_type) AS state_type,
+        |    min(ts_ms) AS state_since_ms
+        |  FROM runs GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id, run_id, state_type, state_since_ms FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id,
+        |      state_since_ms ORDER BY run_id DESC) AS rn
+        |    FROM state)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev
+        |  WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, d.state_type, d.state_since_ms, d.run_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY d.state_since_ms DESC) AS rn
+        |  FROM p JOIN dim d
+        |    ON d.user_id = p.user_id AND d.state_since_ms <= p.ts_ms)
+        |SELECT p.event_id, p.user_id, p.ts_ms,
+        |  j.state_type, j.state_since_ms, j.run_id
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  USING (event_id)
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Event debounce audit — the TTL-dedup every log/metrics pipeline
+    // applies at ingest: an event is SUPPRESSED when the same
+    // (user, type) fired within the trailing hour. Reported per type
+    // as counts + suppressed per-mille, the dial that decides the
+    // debounce window before it is enforced. One lag() on a
+    // (user, type)-partitioned window — no self-join against the
+    // trailing interval.
+    QueryDef("q206_event_debounce",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts_ms"))
+          .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("gap") < 3600000L, 1L).otherwise(0L))
+              .as("n_suppressed"))
+          .withColumn("suppressed_pm",
+            expr("(n_suppressed * 1000) DIV n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH g AS (
+        |  SELECT event_type,
+        |    $tsMs - lag($tsMs) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY $tsMs, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE gap < 3600000) AS BIGINT)
+        |    AS n_suppressed,
+        |  CAST((count(*) FILTER (WHERE gap < 3600000) * 1000)
+        |    // count(*) AS BIGINT) AS suppressed_pm
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
