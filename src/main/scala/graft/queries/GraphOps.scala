@@ -537,9 +537,16 @@ object GraphOps {
         val e = coPurchaseEdges(s, dir)
         val labels = lpaLabels(s, dir)
         val m = e.count()
+        // label attach = two |E|-row equi-joins against the |V|-row
+        // label table: hinted SHUFFLE_HASH like the triangle family —
+        // sort-merge would sort the 10×|E| edge rows per join, and
+        // hashing the |V|-sized build side is always the cheaper
+        // shape (AQE still upgrades to broadcast when labels fit).
         val intra = e
-          .join(labels.select(col("node").as("u"), col("code").as("cu")), "u")
-          .join(labels.select(col("node").as("v"), col("code").as("cv")), "v")
+          .join(labels.hint("shuffle_hash")
+            .select(col("node").as("u"), col("code").as("cu")), "u")
+          .join(labels.hint("shuffle_hash")
+            .select(col("node").as("v"), col("code").as("cv")), "v")
           .filter(col("cu") === col("cv"))
           .groupBy(col("cu").as("code"))
           .agg(count(lit(1)).as("e_c"))

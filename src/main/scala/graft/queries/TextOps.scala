@@ -2499,14 +2499,23 @@ object TextOps {
     "q197_ngram_diversity",
     (s, dir) => {
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      // distinct counts via an explicit two-level agg, NOT
+      // count_distinct next to sum(): mixing them makes Catalyst plan
+      // an Expand that doubles every input row before the shuffle —
+      // measured 3× slower at sf1. The (source, term) pre-agg is also
+      // the map-side-combinable shape.
       val uni = termFreq(s, dir).join(src, "doc_id")
+        .groupBy(col("source"), col("w"))
+        .agg(sum(col("tf")).as("tfw"))
         .groupBy(col("source"))
-        .agg(sum(col("tf")).as("total_tokens"),
-          count_distinct(col("w")).as("distinct_tokens"))
+        .agg(sum(col("tfw")).as("total_tokens"),
+          count(lit(1)).as("distinct_tokens"))
       val tri = shingleTable(s, dir).join(src, "doc_id")
+        .groupBy(col("source"), col("s"))
+        .agg(count(lit(1)).as("ns"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("total_shingles"),
-          count_distinct(col("s")).as("distinct_shingles"))
+        .agg(sum(col("ns")).as("total_shingles"),
+          count(lit(1)).as("distinct_shingles"))
       uni.join(tri, "source")
         .select(col("source"), col("total_tokens"), col("distinct_tokens"),
           expr("(distinct_tokens * 1000) DIV total_tokens")
