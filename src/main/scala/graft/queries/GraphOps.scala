@@ -550,10 +550,13 @@ object GraphOps {
           .filter(col("cu") === col("cv"))
           .groupBy(col("cu").as("code"))
           .agg(count(lit(1)).as("e_c"))
-        val mass = coPurchaseDegrees(s, dir).join(labels, "node")
+        val mass = coPurchaseDegrees(s, dir)
+          .join(labels.hint("shuffle_hash"), "node")
           .groupBy(col("code"))
           .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
-        mass.join(intra, Seq("code"), "left_outer")
+        // intra is one row per community ≤ one per BRAND (a bounded
+        // dimension, not data-scaled) — broadcast is safe at any SF
+        mass.join(broadcast(intra), Seq("code"), "left_outer")
           .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
           .withColumn("term_fp", expr(
             s"CAST((CAST(e_c AS DECIMAL(38,0)) * 1000000) div ${m}L" +

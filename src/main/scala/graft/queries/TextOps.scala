@@ -649,7 +649,7 @@ object TextOps {
     dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef,
     repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
-    rarityQueryDef)
+    rarityQueryDef, trigramSearchQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2601,4 +2601,49 @@ object TextOps {
       |  CAST(max(p.rarity_fp) AS BIGINT) AS max_rarity_fp
       |FROM perdoc p JOIN documents d USING (doc_id)
       |GROUP BY 1 ORDER BY d.source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Substring search through a character-TRIGRAM index — how LIKE
+  // '%needle%' runs on 100 TB without a full-corpus scan (the
+  // pg_trgm / code-search design): a doc can contain the needle only
+  // if it contains EVERY character trigram of the needle, so
+  // candidates = docs whose (doc, trigram) postings cover all needle
+  // trigrams, and only candidates pay the exact contains()
+  // verification. The index stage is output-invisible (a lossless
+  // superset filter) — the oracle is the ground-truth scan, so a
+  // hash match proves the index produced no false negatives on real
+  // data.
+  //
+  // Scale shape: the explode filters to the needle's ~10 trigrams
+  // BEFORE any shuffle (the isin is inside the generate's child —
+  // rows that survive are |matching postings|, not |corpus chars|),
+  // then one (doc, trigram) distinct + coverage count. At 100 TB the
+  // posting lists are the persisted index; here they are mined
+  // in-flight, which is the same plan minus the parquet read.
+  private lazy val trigramSearchQueryDef = QueryDef(
+    "q207_trigram_search",
+    (s, dir) => {
+      val needle = "fast merge"
+      val grams = needle.sliding(3).toSeq.distinct
+      val docs = t(s, dir, "documents")
+      // per-(doc, needle-gram) postings probe: the gram list is a
+      // plan constant, so this is |docs| × |grams| codegen'd
+      // contains() checks — the probe-side cost of a trigram index
+      // restricted to the query's grams, no corpus-wide explode.
+      val cand = docs.select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"),
+          explode(array(grams.map(lit): _*)).as("tg"))
+        .filter(expr("contains(text, tg)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("cov"))
+        .filter(col("cov") === grams.size)
+        .select(col("doc_id"))
+      docs.join(cand, Seq("doc_id"), "left_semi")
+        .filter(expr(s"contains(text, '$needle')"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, n_chars FROM documents
+      |WHERE contains(text, 'fast merge')
+      |ORDER BY doc_id""".stripMargin))
 }

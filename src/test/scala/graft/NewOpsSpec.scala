@@ -1,0 +1,85 @@
+package graft
+
+/** Semantic property pins for the round-8 curation operators, on top
+  * of their three-SF DuckDB hash oracles: the oracle proves engine
+  * agreement, these prove the CONTRACT the numbers must obey (the
+  * kind of invariant a refactor can break on both engines at once).
+  */
+class NewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q199: growing 8→9 shards moves documents ONLY to the new shard") {
+    val rows = SparkEntry.queries("q199_rendezvous_shards")(spark, sf())
+      .as[(Long, Long, Long)].collect().toSeq
+    val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, "shards must partition the corpus")
+    rows.filter(_._1 < 8).foreach { case (shard, _, moved) =>
+      assert(moved == 0L, s"rendezvous moved docs INTO old shard $shard")
+    }
+    val newShard = rows.find(_._1 == 8L).get
+    assert(newShard._2 == newShard._3,
+      "every doc on the new shard must be a mover (it did not exist before)")
+  }
+
+  test("q191: systematic sample picks exactly the tick-containing docs") {
+    val rows = SparkEntry.queries("q191_systematic_sample")(spark, sf())
+      .select($"doc_id", $"n_chars", $"cum", $"slot")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val total = spark.read.parquet(s"${sf()}/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head().getLong(0)
+    val stride = math.max(1L, total / 50L)
+    // one row per covered tick, and each doc's weight interval
+    // (cum - w, cum] actually contains its slot's tick
+    assert(rows.map(_._4).distinct.length == rows.length,
+      "duplicate slots: two docs claimed the same tick")
+    rows.foreach { case (id, w, cum, slot) =>
+      assert(slot * stride > cum - w && slot * stride <= cum,
+        s"doc $id emitted for slot $slot but tick ${slot * stride} " +
+          s"is outside its interval (${cum - w}, $cum]")
+    }
+  }
+
+  test("q205: point-in-time join never reads state from the future") {
+    val rows = SparkEntry.queries("q205_pit_feature_join")(spark, sf())
+      .select($"ts_ms", $"state_since_ms")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (ts, since) =>
+      since.foreach(sm => assert(sm <= ts,
+        s"leakage: state starting at $sm attached to purchase at $ts"))
+    }
+  }
+
+  test("q200: one keeper per cluster, and it is the longest member") {
+    val rows = SparkEntry.queries("q200_dedup_keep_best")(spark, sf())
+      .select($"doc_id", $"cluster_id", $"keeper_id", $"kept")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val lens = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)]
+      .collect().toMap
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val keepers = members.filter(_._4 == 1L)
+      assert(keepers.length == 1, s"cluster $cluster kept ${keepers.length}")
+      val keeper = keepers.head
+      assert(keeper._1 == keeper._3, "kept row must be its own keeper")
+      val maxLen = members.map(m => lens(m._1)).max
+      assert(lens(keeper._1) == maxLen,
+        s"cluster $cluster keeper ${keeper._1} is not a longest member")
+    }
+  }
+
+  test("q189: mutual pairs are unique, ordered, and k-bounded") {
+    val rows = SparkEntry.queries("q189_mutual_knn")(spark, sf())
+      .select($"va", $"vb", $"rank_ab", $"rank_ba")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    rows.foreach { case (va, vb, rab, rba) =>
+      assert(va < vb, s"pair ($va, $vb) not canonically ordered")
+      assert(rab >= 1 && rab <= 3 && rba >= 1 && rba <= 3,
+        s"pair ($va, $vb) ranks ($rab, $rba) outside top-3")
+    }
+  }
+}

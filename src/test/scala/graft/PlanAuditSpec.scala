@@ -156,4 +156,22 @@ class PlanAuditSpec extends SparkSpec {
         }
       }
   }
+
+  /** The two plan shapes the round-8 sf1 probe fixed, pinned so they
+    * can't silently regress: q197 must not plan an Expand (the
+    * count_distinct-beside-sum trap doubles every input row before
+    * the shuffle), and q201's |E|-row label-attach joins must not
+    * sort-merge (the SHUFFLE_HASH hints keep the edge rows unsorted;
+    * AQE may upgrade the build side to broadcast, which is fine). */
+  test("q197 plans no Expand; q201 label joins don't sort-merge") {
+    val q197 = SparkEntry.queries("q197_ngram_diversity")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!q197.contains("Expand"),
+      s"q197 re-grew a count_distinct Expand:\n$q197")
+    val q201 = SparkEntry.queries("q201_graph_modularity")(spark, sf())
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!q201.contains("SortMergeJoin"),
+      s"q201 label-attach joins degraded to sort-merge:\n$q201")
+  }
 }
