@@ -922,6 +922,149 @@ object ExtendedOps {
         |WHERE n.n_name = 'NATION_3'
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 25""".stripMargin))
+        |LIMIT 25""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Deterministic bootstrap CI — resampling statistics without
+    // rand(): 100 replicates of n draws-with-replacement, where draw
+    // (r, i) picks document md5(r:i) mod n, so any engine (and any
+    // re-run) derives the identical resample. Reports the 2.5/50/97.5
+    // percentile of the replicate means of n_chars, ×1000 fixed
+    // point. At 100 TB the same estimator runs as a Poissonized
+    // bootstrap (per-row Poisson(R/n) weights, one pass); the exact
+    // multinomial form here is the small-R reference both share.
+    //
+    // Scale shape: the draw table is a range() source (no data
+    // read) joined to the corpus on the doc key — |R·n| rows, one
+    // hash join, one per-replicate agg; the CI pick is a window over
+    // the 100-row means table.
+    QueryDef("q208_bootstrap_ci",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val n = docs.count()
+        val draws = s.range(100L * n)
+          .select(expr(s"id DIV ${n}L").as("rep"),
+            expr(s"id % ${n}L").as("i"))
+          .withColumn("doc",
+            conv(substring(md5(concat(col("rep").cast("string"), lit(":"),
+              col("i").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % n)
+        val means = draws
+          .join(docs, draws("doc") === docs("doc_id"))
+          .groupBy(col("rep"))
+          .agg(sum(col("n_chars")).as("sx"))
+          .withColumn("mean_fp", expr(s"(sx * 1000) DIV ${n}L"))
+        val ranked = means.withColumn("rk",
+          row_number().over(Window.orderBy(col("mean_fp"), col("rep"))))
+        ranked.agg(
+          max(when(col("rk") === 3, col("mean_fp"))).as("lo_fp"),
+          max(when(col("rk") === 50, col("mean_fp"))).as("med_fp"),
+          max(when(col("rk") === 98, col("mean_fp"))).as("hi_fp"))
+          .select(lit(n).as("n_docs"), lit(100L).as("n_reps"),
+            col("lo_fp"), col("med_fp"), col("hi_fp"))
+      },
+      Some("""WITH params AS (SELECT count(*) AS n FROM documents),
+        |draws AS (
+        |  SELECT x // (SELECT n FROM params) AS rep,
+        |    CAST(('0x' || substring(md5(
+        |      (x // (SELECT n FROM params))::VARCHAR || ':' ||
+        |      (x % (SELECT n FROM params))::VARCHAR), 1, 15)) AS BIGINT)
+        |      % (SELECT n FROM params) AS doc
+        |  FROM (SELECT unnest(range(100 * (SELECT n FROM params))) AS x)),
+        |means AS (
+        |  SELECT d.rep,
+        |    CAST((sum(doc0.n_chars) * 1000) // (SELECT n FROM params)
+        |      AS BIGINT) AS mean_fp
+        |  FROM draws d JOIN documents doc0 ON doc0.doc_id = d.doc
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT rep, mean_fp,
+        |    row_number() OVER (ORDER BY mean_fp, rep) AS rk
+        |  FROM means)
+        |SELECT CAST((SELECT n FROM params) AS BIGINT) AS n_docs,
+        |  CAST(100 AS BIGINT) AS n_reps,
+        |  CAST(max(CASE WHEN rk = 3 THEN mean_fp END) AS BIGINT) AS lo_fp,
+        |  CAST(max(CASE WHEN rk = 50 THEN mean_fp END) AS BIGINT) AS med_fp,
+        |  CAST(max(CASE WHEN rk = 98 THEN mean_fp END) AS BIGINT) AS hi_fp
+        |FROM ranked""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Hash-split A/B test — the experimentation readout: users split
+    // 50/50 by md5 (the same deterministic splitter as q73), purchase
+    // values compared with a Welch t statistic. Moments are EXACT
+    // (DECIMAL sums of x and x², partition-order-free, q65's
+    // discipline); the handful of final double ops (means, variances,
+    // t) run in one pinned left-to-right order through the dSplit
+    // engine-identical DECIMAL→DOUBLE cast, then quantize to 1e-6 —
+    // so the oracle hash-matches a STATISTIC, not just counts.
+    //
+    // Scale shape: one filter + one 2-group partial-aggregable
+    // hash-agg over the event scan; everything after is on 2 rows.
+    QueryDef("q209_ab_test",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"))
+          .withColumn("grp",
+            conv(substring(md5(col("user_id").cast("string")), 1, 15),
+              16, 10).cast("long") % 2)
+        val agg = ev.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).as("sx"),
+            sum(dec(col("value")) * dec(col("value"))).as("sxx"))
+        val one = agg.agg(
+          max(when(col("grp") === 0, col("n"))).as("na"),
+          max(when(col("grp") === 0, col("sx"))).as("sxa"),
+          max(when(col("grp") === 0, col("sxx"))).as("sxxa"),
+          max(when(col("grp") === 1, col("n"))).as("nb"),
+          max(when(col("grp") === 1, col("sx"))).as("sxb"),
+          max(when(col("grp") === 1, col("sxx"))).as("sxxb"))
+        val ma = dSplit(col("sxa")) / col("na")
+        val mb = dSplit(col("sxb")) / col("nb")
+        val va = (dSplit(col("sxxa")) -
+          dSplit(col("sxa")) * dSplit(col("sxa")) / col("na")) /
+          (col("na") - 1)
+        val vb = (dSplit(col("sxxb")) -
+          dSplit(col("sxb")) * dSplit(col("sxb")) / col("nb")) /
+          (col("nb") - 1)
+        val tStat = (ma - mb) / sqrt(va / col("na") + vb / col("nb"))
+        one.select(col("na"), col("nb"),
+          floor(ma * 1000000 + 0.5).cast("long").as("mean_a_fp"),
+          floor(mb * 1000000 + 0.5).cast("long").as("mean_b_fp"),
+          floor(tStat * 1000000 + 0.5).cast("long").as("t_fp"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+        |      AS BIGINT) % 2 AS grp
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT grp, count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx
+        |  FROM ev GROUP BY 1),
+        |one AS (
+        |  SELECT
+        |    max(CASE WHEN grp = 0 THEN n END) AS na,
+        |    max(CASE WHEN grp = 0 THEN sx END) AS sxa,
+        |    max(CASE WHEN grp = 0 THEN sxx END) AS sxxa,
+        |    max(CASE WHEN grp = 1 THEN n END) AS nb,
+        |    max(CASE WHEN grp = 1 THEN sx END) AS sxb,
+        |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb
+        |  FROM g),
+        |f AS (
+        |  SELECT na, nb,
+        |    ${dSplitSql("sxa")} / na AS ma,
+        |    ${dSplitSql("sxb")} / nb AS mb,
+        |    (${dSplitSql("sxxa")} - ${dSplitSql("sxa")} *
+        |      ${dSplitSql("sxa")} / na) / (na - 1) AS va,
+        |    (${dSplitSql("sxxb")} - ${dSplitSql("sxb")} *
+        |      ${dSplitSql("sxb")} / nb) / (nb - 1) AS vb
+        |  FROM one)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(floor(ma * 1000000 + 0.5) AS BIGINT) AS mean_a_fp,
+        |  CAST(floor(mb * 1000000 + 0.5) AS BIGINT) AS mean_b_fp,
+        |  CAST(floor((ma - mb) / sqrt(va / na + vb / nb) * 1000000 + 0.5)
+        |    AS BIGINT) AS t_fp
+        |FROM f""".stripMargin))
   )
 }
