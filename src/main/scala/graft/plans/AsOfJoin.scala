@@ -79,6 +79,38 @@ case class AsOfJoinPlan(
   * all of it. Otherwise fall back to the co-partitioned merge
   * [[AsOfJoinExec]]. Everything else falls through to the built-in
   * strategies. */
+/** Optimizer `Rule[LogicalPlan]` — the rule rung of the §2.10 custom
+  * ladder, solving the real problem custom nodes create: Catalyst's
+  * PushDownPredicates does not know [[AsOfJoinPlan]], so a filter
+  * written ABOVE an as-of join sits there and the full fact table is
+  * scanned, joined, and only then filtered. Left-side conjuncts are
+  * safe to push — as-of output is per-left-row independent (each left
+  * row's match depends only on the right TABLE, never on other left
+  * rows) — so deterministic predicates referencing only left-side
+  * columns move below the join, where the physical planner folds them
+  * into the parquet scan's PushedFilters. Right-side predicates are
+  * NOT pushed: filtering candidate state rows before the join would
+  * change which row is "the latest" (semantics, not just cost).
+  */
+object PushFilterThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val leftOut = AttributeSet(aj.left.output)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(leftOut))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
@@ -458,6 +490,7 @@ object AsOfJoin {
       forward: Boolean): DataFrame = {
     val spark: SparkSession = left.sparkSession
     Shim.addStrategy(spark, AsOfJoinStrategy)
+    Shim.addOptimizerRule(spark, PushFilterThroughAsOfJoin)
     val lp = Shim.analyzed(left)
     val rp = Shim.analyzed(right)
     def resolve(plan: LogicalPlan, name: String): Attribute =

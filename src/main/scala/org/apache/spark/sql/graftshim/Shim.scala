@@ -47,4 +47,20 @@ object Shim {
           cs.experimental.extraStrategies :+ strategy
     }
   }
+
+  /** idempotently add an optimizer rule to the session — same public
+    * `ExperimentalMethods` channel as [[addStrategy]]; the rules run
+    * in the optimizer's user-provided batch, BEFORE physical
+    * planning, so a Filter a rule places over a file relation still
+    * reaches the scan's PushedFilters. */
+  def addOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.experimental.synchronized {
+      if (!cs.experimental.extraOptimizations.contains(rule))
+        cs.experimental.extraOptimizations =
+          cs.experimental.extraOptimizations :+ rule
+    }
+  }
 }

@@ -304,4 +304,39 @@ class AsOfJoinPlanSpec extends SparkSpec {
       assert(countOf(merge, """(?<!Broadcast)AsOfJoin \[""") == 1, merge)
     }
   }
+
+  test("optimizer rule pushes left-side filters under the as-of join, to the scan") {
+    // parquet-backed LEFT so the pushed conjunct can reach the scan's
+    // PushedFilters; built-in PushDownPredicates can't see through
+    // the custom node, so any pushdown observed is OUR rule's work.
+    val dir = java.nio.file.Files
+      .createTempDirectory("asof-pushdown").toString
+    spark.range(1000).select((col("id") % 50).as("k"),
+      col("id").as("t"), col("id").as("lv"))
+      .write.mode("overwrite").parquet(s"$dir/left")
+    val pleft = spark.read.parquet(s"$dir/left")
+    val right = spark.range(200).select((col("id") % 50).as("rk"),
+      (col("id") * 3).as("rt"), col("id").as("rv"))
+    val joined = AsOfJoin
+      .backward(pleft, right, Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("lv") < 100 && col("rv") > 3)
+    val plan = joined.queryExecution.executedPlan.toString
+    // left conjunct reached the parquet scan
+    assert(plan.contains("LessThan(lv,100)"),
+      s"left-side filter not pushed to the scan:\n$plan")
+    // right conjunct must NOT be pushed (it would change which right
+    // row is latest) — no scan-level pushdown of rv anywhere
+    assert(!plan.contains("GreaterThan(rv,3)"),
+      s"right-side filter illegally pushed:\n$plan")
+    // semantics unchanged: identical to pre-filtering the left side
+    // by hand and filtering the right payload after the join
+    val manual = AsOfJoin
+      .backward(pleft.filter(col("lv") < 100), right,
+        Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("rv") > 3)
+    assert(joined.count() == manual.count())
+    assert(joined.exceptAll(manual).isEmpty &&
+      manual.exceptAll(joined).isEmpty)
+    assert(joined.count() > 0)
+  }
 }
