@@ -111,6 +111,40 @@ object PushFilterThroughAsOfJoin
   }
 }
 
+/** Column pruning through the custom node — the other optimizer rule
+  * Catalyst can't apply for us (ColumnPruning, like
+  * PushDownPredicates, stops at unknown operators): without it an
+  * as-of join materializes and shuffles EVERY column of both inputs
+  * even when the query reads two of them — at 100 TB the difference
+  * between shuffling the join keys + one payload column and shuffling
+  * the whole fact row. A Project above the node narrows each child to
+  * the columns the projection references plus the node's own
+  * keys/times; the guard (only rewrite when a side actually narrows)
+  * keeps the fixed-point batch stable.
+  */
+object PruneColumnsThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(fields, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(fields.flatMap(_.references)) ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
+        AttributeSet(aj.rightKeys.flatMap(_.references)) ++
+        aj.leftTime.references ++ aj.rightTime.references
+      val lKeep = aj.left.output.filter(needed.contains)
+      val rKeep = aj.right.output.filter(needed.contains)
+      if (lKeep.length == aj.left.output.length &&
+        rKeep.length == aj.right.output.length) p
+      else p.copy(child = aj.copy(
+        left = if (lKeep.length == aj.left.output.length) aj.left
+          else Project(lKeep, aj.left),
+        right = if (rKeep.length == aj.right.output.length) aj.right
+          else Project(rKeep, aj.right)))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
@@ -491,6 +525,7 @@ object AsOfJoin {
     val spark: SparkSession = left.sparkSession
     Shim.addStrategy(spark, AsOfJoinStrategy)
     Shim.addOptimizerRule(spark, PushFilterThroughAsOfJoin)
+    Shim.addOptimizerRule(spark, PruneColumnsThroughAsOfJoin)
     val lp = Shim.analyzed(left)
     val rp = Shim.analyzed(right)
     def resolve(plan: LogicalPlan, name: String): Attribute =

@@ -339,4 +339,40 @@ class AsOfJoinPlanSpec extends SparkSpec {
       manual.exceptAll(joined).isEmpty)
     assert(joined.count() > 0)
   }
+
+  test("optimizer rule prunes unread columns of both as-of inputs at the scan") {
+    // wide parquet inputs; the query reads 2 of 6 payload columns —
+    // without PruneColumnsThroughAsOfJoin both scans read full width
+    // (ColumnPruning can't see through the custom node)
+    val dir = java.nio.file.Files
+      .createTempDirectory("asof-prune").toString
+    spark.range(500).select((col("id") % 20).as("k"), col("id").as("t"),
+      col("id").as("lv1"), (col("id") * 2).as("lv2"),
+      (col("id") * 3).as("lv3"))
+      .write.mode("overwrite").parquet(s"$dir/left")
+    spark.range(100).select((col("id") % 20).as("rk"),
+      (col("id") * 5).as("rt"), col("id").as("rv1"),
+      (col("id") * 7).as("rv2"), (col("id") * 11).as("rv3"))
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val joined = AsOfJoin.backward(
+        spark.read.parquet(s"$dir/left"),
+        spark.read.parquet(s"$dir/right"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lv2"), col("rv3"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(schemas.length == 2, s"expected two scans:\n$plan")
+    schemas.foreach { cols =>
+      assert(!cols.contains("lv1") && !cols.contains("lv3:") &&
+        !cols.contains("rv1") && !cols.contains("rv2"),
+        s"unread column survived pruning: $cols\n$plan")
+    }
+    // keys/times must still be read
+    assert(schemas.exists(c => c.contains("k:") && c.contains("t:")))
+    assert(schemas.exists(c => c.contains("rk:") && c.contains("rt:")))
+    // and the result is still correct
+    val rows = joined.orderBy("lv2").collect()
+    assert(rows.length == 500)
+  }
 }
