@@ -112,4 +112,17 @@ class OracleLintSpec extends AnyFunSuite {
         "bug class; wrap in CAST(... AS BIGINT/DOUBLE)):\n" +
         offenders.mkString("\n"))
   }
+
+  test("catalog integrity: unique well-formed names; every oracle has a query") {
+    val names = SparkEntry.catalog.map(_.name)
+    // a duplicate name silently drops one entry from the `queries`
+    // map while the catalog Seq still lists both — the driver's gate
+    // would pass with coverage quietly shrunk
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
+    names.foreach(n => assert(n.matches("^q\\d+_[a-z0-9_]+$"),
+      s"malformed query name: $n"))
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
 }
