@@ -956,7 +956,87 @@ object SimilarityOps {
         |  CAST(r.rn AS BIGINT) AS rank_ba, f.cosine AS cosine
         |FROM kept f JOIN kept r
         |  ON f.src = r.dst AND f.dst = r.src AND f.src < f.dst
-        |ORDER BY va, vb""".stripMargin))
+        |ORDER BY va, vb""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Embedding-space drift monitor — the vector-QC readout: split
+    // each label's vectors into two md5 halves, compare the halves'
+    // centroids by cosine. A stable, well-populated label scores
+    // ≈1.0; a label whose two random halves point in different
+    // directions is heterogeneous or mislabeled and will poison any
+    // centroid/IVF/SemDeDup structure built on it. Same estimator a
+    // production pipeline runs BETWEEN ingest batches (yesterday's
+    // centroid vs today's) — the hash split stands in for the batch
+    // boundary. Centroid coordinates are sums/n in DOUBLE before the
+    // cosine so magnitudes stay bounded at any corpus size (raw
+    // sum-vector dots overflow Long past ~500k vectors/label); the
+    // double op sequence is pinned left-to-right on both engines and
+    // the score quantized to 1e-6 (the q43 contract).
+    //
+    // Scale shape: one VecSum hash-agg keyed (label, split) — the
+    // map-side-combinable centroid build every similarity query here
+    // uses — then arithmetic on a 2×|labels|-row table.
+    QueryDef("q210_embedding_drift",
+      (s, dir) => {
+        val all = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            quant(col("embedding")).as("v"))
+          .withColumn("split",
+            conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+              16, 10).cast("long") % 2)
+        val sums = all.groupBy(col("label"), col("split"))
+          .agg(vecSum(col("v")).as("sv"), count(lit(1)).as("n"))
+        val a = sums.filter(col("split") === 0)
+          .select(col("label"), col("sv").as("sa"), col("n").as("na"))
+        val b = sums.filter(col("split") === 1)
+          .select(col("label"), col("sv").as("sb"), col("n").as("nb"))
+        val prod = aggregate(
+          zip_with(col("sa"), col("sb"),
+            (x, y) => (x.cast("double") / col("na")) *
+              (y.cast("double") / col("nb"))),
+          lit(0.0), (acc, x) => acc + x)
+        def n2(v: Column, n: Column) = aggregate(
+          transform(v, x => (x.cast("double") / n) *
+            (x.cast("double") / n)),
+          lit(0.0), (acc, x) => acc + x)
+        a.join(b, "label")
+          .select(col("label"), col("na"), col("nb"),
+            floor(prod / sqrt(n2(col("sa"), col("na")) *
+              n2(col("sb"), col("nb"))) * 1000000 + 0.5)
+              .cast("long").as("cos_fp"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v,
+        |    CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 15))
+        |      AS BIGINT) % 2 AS split
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, split, i AS dim, v[i + 1] AS x
+        |  FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i)),
+        |sums AS (
+        |  SELECT label, split, dim, CAST(sum(x) AS BIGINT) AS sx,
+        |    count(*) AS n
+        |  FROM ex GROUP BY 1, 2, 3),
+        |sv AS (
+        |  SELECT label, split, list(sx ORDER BY dim) AS v, max(n) AS n
+        |  FROM sums GROUP BY 1, 2)
+        |SELECT a.label, CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+        |  CAST(floor(
+        |    list_sum(list_transform(range(64), i ->
+        |      (CAST(a.v[i+1] AS DOUBLE) / a.n)
+        |        * (CAST(b.v[i+1] AS DOUBLE) / b.n)))
+        |    / sqrt(
+        |      list_sum(list_transform(range(64), i ->
+        |        (CAST(a.v[i+1] AS DOUBLE) / a.n)
+        |          * (CAST(a.v[i+1] AS DOUBLE) / a.n)))
+        |      * list_sum(list_transform(range(64), i ->
+        |        (CAST(b.v[i+1] AS DOUBLE) / b.n)
+        |          * (CAST(b.v[i+1] AS DOUBLE) / b.n))))
+        |    * 1000000 + 0.5) AS BIGINT) AS cos_fp
+        |FROM (SELECT * FROM sv WHERE split = 0) a
+        |JOIN (SELECT * FROM sv WHERE split = 1) b USING (label)
+        |ORDER BY a.label""".stripMargin))
   )
 
   /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into
