@@ -596,6 +596,102 @@ object GraphOps {
         |        * (SELECT m FROM m)) AS BIGINT) AS term_fp
         |FROM mass LEFT JOIN intra ON intra.code = mass.code
         |JOIN dict dt ON dt.code = mass.code
-        |ORDER BY label""".stripMargin))
+        |ORDER BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Personalized PageRank — q120's damped fixpoint with the
+    // teleport restricted to a SEED SET (one brand's parts): the
+    // "related items" / seed-expansion primitive recommendation and
+    // data-curation pipelines use to grow a small trusted set along
+    // graph structure. Three unrolled rounds over the co-purchase
+    // graph, exact integer fixed-point arithmetic (r/outdeg and the
+    // 85/100 damping both truncating DIV — bit-identical to the
+    // oracle's unrolled CTEs), mass injected each round only at the
+    // seeds via a full-outer merge of spread and teleport.
+    //
+    // Scale shape: identical to q120 — one equi-join + one hash-agg
+    // per round over the checkpointed edge list, O(|E|) per round;
+    // the teleport side is |seeds| rows.
+    QueryDef("q212_ppr",
+      (s, dir) => {
+        val unit = 1000000000000L
+        val e = coPurchaseEdges(s, dir)
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        val deg = coPurchaseDegrees(s, dir)
+        val ej = sym.join(deg.select(col("node").as("src"),
+          col("deg").as("outdeg")).hint("shuffle_hash"), "src")
+        val seeds = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#11")
+          .select(col("p_partkey").as("node"))
+          .join(deg.select(col("node")), Seq("node"), "left_semi")
+        val ns = seeds.count()
+        val teleport = seeds
+          .withColumn("b", lit(15L * unit / 100L / ns))
+        var ranks = seeds.withColumn("r", lit(unit / ns))
+        for (_ <- 1 to 3) {
+          val spread = ej.join(ranks, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("r div outdeg")).as("m"))
+            .select(col("dst").as("node"),
+              expr("(85 * m) div 100").as("d"))
+          ranks = spread.join(teleport, Seq("node"), "full_outer")
+            .select(col("node"),
+              (coalesce(col("d"), lit(0L)) + coalesce(col("b"), lit(0L)))
+                .as("r"))
+        }
+        ranks
+          .join(teleport.select(col("node"), lit(1L).as("is_seed")),
+            Seq("node"), "left_outer")
+          .select(col("node"), col("r").as("rank_fp"),
+            coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+          .orderBy(col("rank_fp").desc, col("node")).limit(50)
+      },
+      Some(s"""WITH $edgeSql,
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v AS src, u AS dst FROM e),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY 1),
+        |ej AS (
+        |  SELECT sym.src, sym.dst, deg.outdeg
+        |  FROM sym JOIN deg ON deg.node = sym.src),
+        |seeds AS (
+        |  SELECT p_partkey AS node FROM part
+        |  WHERE p_brand = 'Brand#11'
+        |    AND p_partkey IN (SELECT node FROM deg)),
+        |ns AS (SELECT count(*) AS ns FROM seeds),
+        |tp AS (
+        |  SELECT node,
+        |    (15 * 1000000000000 // 100) // (SELECT ns FROM ns) AS b
+        |  FROM seeds),
+        |r0 AS (
+        |  SELECT node, 1000000000000 // (SELECT ns FROM ns) AS r
+        |  FROM seeds),
+        |s1 AS (
+        |  SELECT dst AS node, (85 * sum(r // outdeg)) // 100 AS d
+        |  FROM ej JOIN r0 ON ej.src = r0.node GROUP BY 1),
+        |r1 AS (
+        |  SELECT coalesce(s1.node, tp.node) AS node,
+        |    coalesce(s1.d, 0) + coalesce(tp.b, 0) AS r
+        |  FROM s1 FULL JOIN tp ON s1.node = tp.node),
+        |s2 AS (
+        |  SELECT dst AS node, (85 * sum(r // outdeg)) // 100 AS d
+        |  FROM ej JOIN r1 ON ej.src = r1.node GROUP BY 1),
+        |r2 AS (
+        |  SELECT coalesce(s2.node, tp.node) AS node,
+        |    coalesce(s2.d, 0) + coalesce(tp.b, 0) AS r
+        |  FROM s2 FULL JOIN tp ON s2.node = tp.node),
+        |s3 AS (
+        |  SELECT dst AS node, (85 * sum(r // outdeg)) // 100 AS d
+        |  FROM ej JOIN r2 ON ej.src = r2.node GROUP BY 1),
+        |r3 AS (
+        |  SELECT coalesce(s3.node, tp.node) AS node,
+        |    coalesce(s3.d, 0) + coalesce(tp.b, 0) AS r
+        |  FROM s3 FULL JOIN tp ON s3.node = tp.node)
+        |SELECT r3.node, CAST(r3.r AS BIGINT) AS rank_fp,
+        |  CAST(CASE WHEN r3.node IN (SELECT node FROM seeds)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+        |FROM r3
+        |ORDER BY r3.r DESC, r3.node LIMIT 50""".stripMargin))
   )
 }

@@ -1215,6 +1215,81 @@ object TemporalOps {
         |    AS n_suppressed,
         |  CAST((count(*) FILTER (WHERE gap < 3600000) * 1000)
         |    // count(*) AS BIGINT) AS suppressed_pm
-        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Position-based (U-shaped) multi-touch attribution — the
+    // marketing-analytics standard: each purchase's value is credited
+    // across the user's clicks in the prior 7 days, 40% to the first
+    // touch, 40% to the last, 20% split over the middle (1 touch →
+    // 100%, 2 → 50/50); campaign = the click's props k. Credit is
+    // integer BASIS POINTS and money stays DECIMAL, so the credited
+    // totals are exact and order-free; the middle share uses a
+    // truncating div (the remainder basis points stay unattributed —
+    // deterministic, identical on both engines).
+    //
+    // Scale shape: the touch table is an equi-join on user_id with
+    // the 7-day band as a post-join filter (per-user × per-week
+    // fan-out, bounded by activity, never |events|²); position ranks
+    // are two windows on ONE purchase-keyed Exchange; the rollup is a
+    // |campaigns|-sized hash-agg.
+    QueryDef("q211_position_attribution",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts_ms").as("pts"), dec(col("value")).as("pval"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("cid"),
+            col("ts_ms").as("cts"),
+            regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+              .cast("long").as("campaign"))
+        val touches = purchases.join(clicks, Seq("user_id"))
+          .filter(col("cts") < col("pts") &&
+            col("cts") >= col("pts") - lit(7L * 86400000L))
+        val w = Window.partitionBy(col("pid"))
+        val ranked = touches
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("cts"), col("cid"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("bp",
+            when(col("n") === 1, 10000L)
+              .when(col("n") === 2, 5000L)
+              .when(col("rk") === 1 || col("rk") === col("n"), 4000L)
+              .otherwise(expr("2000L DIV (n - 2)")))
+        ranked.groupBy(col("campaign"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("pval") * col("bp")).as("craw"))
+          .select(col("campaign"), col("n_touches"),
+            expr("CAST(craw * 10000 AS BIGINT)").as("credited_fp"))
+          .orderBy(col("campaign"))
+      },
+      Some(s"""WITH p AS (
+        |  SELECT event_id AS pid, user_id, $tsMs AS pts,
+        |    CAST(value AS DECIMAL(18,4)) AS pval
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS cid, $tsMs AS cts,
+        |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+        |      AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |touches AS (
+        |  SELECT p.pid, p.pval, c.cid, c.cts, c.campaign,
+        |    row_number() OVER (PARTITION BY p.pid
+        |      ORDER BY c.cts, c.cid) AS rk,
+        |    count(*) OVER (PARTITION BY p.pid) AS n
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |  WHERE c.cts < p.pts AND c.cts >= p.pts - 604800000),
+        |credited AS (
+        |  SELECT campaign, pval,
+        |    CASE WHEN n = 1 THEN 10000
+        |         WHEN n = 2 THEN 5000
+        |         WHEN rk = 1 OR rk = n THEN 4000
+        |         ELSE 2000 // (n - 2) END AS bp
+        |  FROM touches)
+        |SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(pval * bp) * 10000 AS BIGINT) AS credited_fp
+        |FROM credited GROUP BY 1
+        |ORDER BY campaign""".stripMargin))
   )
 }
