@@ -626,6 +626,8 @@ object GraphOps {
           .select(col("p_partkey").as("node"))
           .join(deg.select(col("node")), Seq("node"), "left_semi")
         val ns = seeds.count()
+        require(ns > 0, "q212_ppr: empty seed set (no Brand#11 parts " +
+          "in the co-purchase graph at this SF)")
         val teleport = seeds
           .withColumn("b", lit(15L * unit / 100L / ns))
         var ranks = seeds.withColumn("r", lit(unit / ns))
