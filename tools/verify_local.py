@@ -58,9 +58,18 @@ def run_with_timeout(con, sql, timeout):
 
 def main(sf_dir, out_dir, timeout=None):
     con = duckdb.connect()
+    import os
+    # out-of-core: heavy graph oracles (recursive closure, unrolled
+    # fixpoints) exceed RAM at sf1 without a spill directory
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written
+        # scale-up data (tools.ScaleUp) ships directory tables
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     failures = 0
@@ -71,6 +80,12 @@ def main(sf_dir, out_dir, timeout=None):
                 print(f"SKIP {name}: oracle exceeded {timeout}s in DuckDB")
                 continue
         except Exception as e:
+            if "Out of Memory" in str(e):
+                # same class as a timeout: the ORACLE engine can't
+                # complete at this SF on this host — no ground truth,
+                # not a wrong answer
+                print(f"SKIP {name}: oracle out of memory in DuckDB")
+                continue
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
