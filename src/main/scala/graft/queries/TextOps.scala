@@ -649,7 +649,8 @@ object TextOps {
     dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef,
     repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
-    rarityQueryDef, trigramSearchQueryDef)
+    rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
+    dupQualityQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2646,4 +2647,123 @@ object TextOps {
     Some("""SELECT doc_id, source, n_chars FROM documents
       |WHERE contains(text, 'fast merge')
       |ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Duplicate-distance histogram — the operational dial for
+  // windowed dedup: how far apart (in ingestion order) do near-dup
+  // partners actually sit? If 99% of pairs fall within a 10⁴-doc
+  // horizon, the production dedup can run per bounded shard window
+  // instead of corpus-global (q171's incremental mode with a TTL).
+  // Distance buckets are decimal digit counts (length of |da−db| as
+  // a string — exact on both engines, no float log), over the shared
+  // mined-pair table at the dedup threshold.
+  private lazy val dupDistanceQueryDef = QueryDef(
+    "q213_dup_distance",
+    (s, dir) => {
+      minedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select((col("db") - col("da")).as("d"))
+        .withColumn("digits", length(col("d").cast("string")).cast("long"))
+        .groupBy(col("digits"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy(col("digits"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |ex AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |d AS (
+      |  SELECT db - da AS d FROM cnt
+      |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8)
+      |SELECT CAST(length(CAST(d AS VARCHAR)) AS BIGINT) AS digits,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+      |FROM d GROUP BY 1 ORDER BY digits""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Duplication × quality contingency — does duplication correlate
+  // with low quality? The 2×2 table (near-dup membership at the 0.8
+  // threshold × q31's quality gate) plus an integer fixed-point odds
+  // ratio. A strong positive odds ratio is the empirical license to
+  // run cheap quality filters BEFORE expensive dedup at 100 TB (most
+  // of what dedup would drop is already gone); ≈1 means the two
+  // passes are independent and order is a pure cost choice.
+  private lazy val dupQualityQueryDef = QueryDef(
+    "q214_dup_quality",
+    (s, dir) => {
+      val dupDocs = minedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select(explode(array(col("da"), col("db"))).as("doc_id"))
+        .distinct()
+      val tk = toks(col("text"))
+      val stop = Seq("the", "a", "of", "and", "to")
+      val flagged = t(s, dir, "documents")
+        .withColumn("quality_ok",
+          when(size(tk).between(10, 1000) &&
+            size(filter(tk, x => x.isInCollection(stop))).cast("double")
+              / size(tk) < 0.5, 1L).otherwise(0L))
+        .join(dupDocs.withColumn("is_dup", lit(1L)), Seq("doc_id"),
+          "left_outer")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      flagged.agg(
+        sum(when(col("is_dup") === 1 && col("quality_ok") === 1, 1L)
+          .otherwise(0L)).as("dup_ok"),
+        sum(when(col("is_dup") === 1 && col("quality_ok") === 0, 1L)
+          .otherwise(0L)).as("dup_bad"),
+        sum(when(col("is_dup") === 0 && col("quality_ok") === 1, 1L)
+          .otherwise(0L)).as("clean_ok"),
+        sum(when(col("is_dup") === 0 && col("quality_ok") === 0, 1L)
+          .otherwise(0L)).as("clean_bad"))
+        .withColumn("odds_fp", expr(
+          "CASE WHEN dup_ok > 0 AND clean_bad > 0 AND dup_bad > 0 " +
+            "AND clean_ok > 0 THEN (dup_bad * clean_ok * 1000000) " +
+            "DIV (dup_ok * clean_bad) ELSE 0 END"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |ex AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |dup AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT da AS doc_id FROM cnt
+      |    WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8
+      |    UNION ALL
+      |    SELECT db FROM cnt
+      |    WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8)),
+      |flagged AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN len(tk) BETWEEN 10 AND 1000
+      |      AND CAST(len(list_filter(tk, x -> x IN
+      |        ('the','a','of','and','to'))) AS DOUBLE) / len(tk) < 0.5
+      |      THEN 1 ELSE 0 END AS quality_ok,
+      |    CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      |  FROM (SELECT doc_id, $tokSql AS tk FROM documents) d
+      |  LEFT JOIN dup ON dup.doc_id = d.doc_id),
+      |cells AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE is_dup = 1 AND quality_ok = 1)
+      |      AS BIGINT) AS dup_ok,
+      |    CAST(count(*) FILTER (WHERE is_dup = 1 AND quality_ok = 0)
+      |      AS BIGINT) AS dup_bad,
+      |    CAST(count(*) FILTER (WHERE is_dup = 0 AND quality_ok = 1)
+      |      AS BIGINT) AS clean_ok,
+      |    CAST(count(*) FILTER (WHERE is_dup = 0 AND quality_ok = 0)
+      |      AS BIGINT) AS clean_bad
+      |  FROM flagged)
+      |SELECT dup_ok, dup_bad, clean_ok, clean_bad,
+      |  CAST(CASE WHEN dup_ok > 0 AND clean_bad > 0 AND dup_bad > 0
+      |    AND clean_ok > 0 THEN (dup_bad * clean_ok * 1000000)
+      |    // (dup_ok * clean_bad) ELSE 0 END AS BIGINT) AS odds_fp
+      |FROM cells""".stripMargin))
 }
