@@ -650,7 +650,7 @@ object TextOps {
     repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
-    dupQualityQueryDef)
+    dupQualityQueryDef, listaggQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2766,4 +2766,48 @@ object TextOps {
       |    AND clean_ok > 0 THEN (dup_bad * clean_ok * 1000000)
       |    // (dup_ok * clean_bad) ELSE 0 END AS BIGINT) AS odds_fp
       |FROM cells""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Ordered string aggregation (LISTAGG/string_agg) — the reshaping
+  // surface report builders use: each source's top-3 tokens by
+  // frequency folded into ONE ordered comma-joined string column.
+  // Spark's collect_list is unordered by contract, so the ordered
+  // fold goes through sort_array over (rank, token) structs — the
+  // deterministic spelling of DuckDB's `string_agg(... ORDER BY)`.
+  // Scale shape: the fold happens AFTER the rank≤3 cut, so at most
+  // k tiny structs per group ever reach the aggregation buffer.
+  private lazy val listaggQueryDef = QueryDef(
+    "q215_listagg_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("w"))
+      termFreq(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"), col("w"))
+        .agg(sum(col("tf")).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy(col("source"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("rk"), col("w")))),
+            x => x.getField("w"))).as("top_terms"),
+          sum(col("n")).as("top_n"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tk AS (
+      |  SELECT d.source, t.w
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents) t
+      |  JOIN documents d USING (doc_id)),
+      |stf AS (SELECT source, w, count(*) AS n FROM tk GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, w, n, row_number() OVER (PARTITION BY source
+      |    ORDER BY n DESC, w) AS rk
+      |  FROM stf)
+      |SELECT source,
+      |  string_agg(w, ',' ORDER BY rk) AS top_terms,
+      |  CAST(sum(n) AS BIGINT) AS top_n
+      |FROM ranked WHERE rk <= 3
+      |GROUP BY source ORDER BY source""".stripMargin))
 }
