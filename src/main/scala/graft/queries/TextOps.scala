@@ -650,7 +650,8 @@ object TextOps {
     repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
-    dupQualityQueryDef, listaggQueryDef)
+    dupQualityQueryDef, listaggQueryDef, dedupSavingsQueryDef,
+    langConfusionQueryDef)
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
@@ -2810,4 +2811,132 @@ object TextOps {
       |  CAST(sum(n) AS BIGINT) AS top_n
       |FROM ranked WHERE rk <= 3
       |GROUP BY source ORDER BY source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Dedup token-savings planner — the capacity number the keep-best
+  // pass (q200) is run FOR: per source, how many tokens would leave
+  // the corpus if every near-dup cluster kept only its longest
+  // member. This is the before/after readout that justifies (or
+  // kills) a dedup pass at 100 TB: per-mille savings under ~5 means
+  // the cluster pipeline costs more than the storage it frees.
+  // One pass over the cluster table (|dup docs| rows) + per-doc token
+  // counts; the corpus-wide totals ride the same hash-agg.
+  private lazy val dedupSavingsQueryDef = QueryDef(
+    "q216_dedup_savings",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = minedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comp = graft.queries.PipelineOps.connectedComponents(pairs)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+      val withLen = comp
+        .join(docs.withColumnRenamed("doc_id", "node"), "node")
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("n_chars_proxy").desc, col("node"))
+      val dropped = withLen
+        .withColumn("n_chars_proxy", col("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_dropped"),
+          sum(col("n_tokens")).as("tokens_dropped"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_total"))
+        .join(dropped, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+          expr("(coalesce(tokens_dropped, 0L) * 1000)" +
+            " DIV tokens_total").as("savings_pm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |ex AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pairs AS (
+      |  SELECT da, db FROM cnt
+      |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+      |edges AS (
+      |  SELECT da AS src, db AS dst FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs),
+      |walk(node, reach) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+      |comp AS (SELECT node, min(reach) AS label FROM walk GROUP BY node),
+      |dtok AS (
+      |  SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |wl AS (
+      |  SELECT c.node, c.label, d.source, d.n_tokens,
+      |    row_number() OVER (PARTITION BY c.label
+      |      ORDER BY d.n_tokens DESC, c.node) AS rn
+      |  FROM comp c JOIN dtok d ON d.doc_id = c.node),
+      |dropped AS (
+      |  SELECT source, count(*) AS n_dropped,
+      |    sum(n_tokens) AS tokens_dropped
+      |  FROM wl WHERE rn > 1 GROUP BY 1),
+      |tot AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS tokens_total
+      |  FROM dtok GROUP BY 1)
+      |SELECT tot.source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(tokens_total AS BIGINT) AS tokens_total,
+      |  CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(coalesce(tokens_dropped, 0) AS BIGINT) AS tokens_dropped,
+      |  CAST((coalesce(tokens_dropped, 0) * 1000) // tokens_total
+      |    AS BIGINT) AS savings_pm
+      |FROM tot LEFT JOIN dropped ON dropped.source = tot.source
+      |ORDER BY tot.source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Language-ID confusion matrix — q34's n-gram-heuristic classifier
+  // audited against the declared `lang` column: (declared, predicted,
+  // count). The standard readout before trusting a cheap classifier
+  // to gate a corpus; off-diagonal mass localizes WHICH declared
+  // language the heuristic mistakes. One codegen'd projection + one
+  // (lang, predicted) hash-agg.
+  private lazy val langConfusionQueryDef = QueryDef(
+    "q217_lang_confusion",
+    (s, dir) => {
+      val tk = toks(col("text"))
+      def hits(words: Seq[String]) =
+        size(filter(tk, x => x.isInCollection(words))).cast("long")
+      val s1 = hits(Seq("the", "a", "of"))
+      val s2 = hits(Seq("table", "row", "column"))
+      val s3 = hits(Seq("stream", "batch", "window"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          when(s1 >= s2 && s1 >= s3, "article")
+            .when(s2 >= s3, "tabular")
+            .otherwise("streaming").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    Some(s"""WITH scored AS (
+      |  SELECT lang,
+      |    CASE
+      |      WHEN len(list_filter(tk, x -> x IN ('the','a','of')))
+      |          >= len(list_filter(tk, x -> x IN ('table','row','column')))
+      |        AND len(list_filter(tk, x -> x IN ('the','a','of')))
+      |          >= len(list_filter(tk, x -> x IN ('stream','batch','window')))
+      |        THEN 'article'
+      |      WHEN len(list_filter(tk, x -> x IN ('table','row','column')))
+      |          >= len(list_filter(tk, x -> x IN ('stream','batch','window')))
+      |        THEN 'tabular'
+      |      ELSE 'streaming' END AS predicted
+      |  FROM (SELECT lang, $tokSql AS tk FROM documents))
+      |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      |FROM scored GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin))
 }
