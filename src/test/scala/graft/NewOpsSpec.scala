@@ -70,6 +70,20 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q216: savings are consistent — dropped ⊂ corpus, per-mille ≤ 1000") {
+    val rows = SparkEntry.queries("q216_dedup_savings")(spark, sf())
+      .select($"n_docs", $"tokens_total", $"n_dropped", $"tokens_dropped",
+        $"savings_pm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, tt, dr, td, pm) =>
+      assert(dr <= nd && td <= tt,
+        s"dropped ($dr docs / $td tokens) exceeds corpus ($nd / $tt)")
+      assert(pm >= 0 && pm <= 1000 && pm == td * 1000 / tt,
+        s"savings_pm $pm inconsistent with $td/$tt")
+    }
+  }
+
   test("q189: mutual pairs are unique, ordered, and k-bounded") {
     val rows = SparkEntry.queries("q189_mutual_knn")(spark, sf())
       .select($"va", $"vb", $"rank_ab", $"rank_ba")
