@@ -1036,7 +1036,64 @@ object SimilarityOps {
         |    * 1000000 + 0.5) AS BIGINT) AS cos_fp
         |FROM (SELECT * FROM sv WHERE split = 0) a
         |JOIN (SELECT * FROM sv WHERE split = 1) b USING (label)
-        |ORDER BY a.label""".stripMargin))
+        |ORDER BY a.label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Embedding-norm outlier screen — the cheapest vector-QC gate: a
+    // vector whose squared norm sits outside [mean/4, 4·mean] for its
+    // label is a broken-encoder row (zeroed buffer, double-scaled
+    // batch, wrong dtype round-trip) and poisons cosine rankings
+    // silently because cosine normalizes it away. Exact integer
+    // squared norms and per-label integer means (sum DIV n), so the
+    // band membership is bit-deterministic; reported per label with
+    // the worst offender id for triage.
+    //
+    // Scale shape: norms already ride the memoized quantized-corpus
+    // table; one (label) hash-agg for means, one broadcast-joined
+    // band filter, one rollup. Nothing sorts, nothing is quadratic.
+    QueryDef("q218_norm_outliers",
+      (s, dir) => {
+        val all = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            quant(col("embedding")).as("v"))
+          .withColumn("n2", nrm2(col("v")))
+        val means = all.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("n2")).as("s2"))
+          .withColumn("mean_n2", expr("s2 DIV n"))
+          .select(col("label"), col("n"), col("mean_n2"))
+        all.join(broadcast(means), "label")
+          .withColumn("low", col("n2") * 4 < col("mean_n2"))
+          .withColumn("high", col("n2") > col("mean_n2") * 4)
+          .groupBy(col("label"), col("n"), col("mean_n2"))
+          .agg(sum(when(col("low"), 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("high"), 1L).otherwise(0L)).as("n_high"),
+            min(when(col("low") || col("high"), col("vec_id")))
+              .as("first_outlier"))
+          .select(col("label"), col("n"), col("mean_n2"),
+            col("n_low"), col("n_high"),
+            coalesce(col("first_outlier"), lit(-1L)).as("first_outlier"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(list_sum(list_transform($quantSql, x -> x*x))
+        |      AS BIGINT) AS n2
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, count(*) AS n,
+        |    CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2
+        |  FROM qv GROUP BY 1)
+        |SELECT qv.label, CAST(m.n AS BIGINT) AS n, m.mean_n2,
+        |  CAST(count(*) FILTER (WHERE qv.n2 * 4 < m.mean_n2) AS BIGINT)
+        |    AS n_low,
+        |  CAST(count(*) FILTER (WHERE qv.n2 > m.mean_n2 * 4) AS BIGINT)
+        |    AS n_high,
+        |  CAST(coalesce(min(qv.vec_id) FILTER (WHERE
+        |    qv.n2 * 4 < m.mean_n2 OR qv.n2 > m.mean_n2 * 4), -1)
+        |    AS BIGINT) AS first_outlier
+        |FROM qv JOIN m USING (label)
+        |GROUP BY qv.label, m.n, m.mean_n2
+        |ORDER BY qv.label""".stripMargin))
   )
 
   /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into
