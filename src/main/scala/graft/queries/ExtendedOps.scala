@@ -941,7 +941,15 @@ object ExtendedOps {
     QueryDef("q208_bootstrap_ci",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        // Draws address documents through a DENSE 0-based index (the
+        // shared two-phase q95 machinery), not raw doc_id: md5 mod n
+        // only hits every document when the id space is dense in
+        // [0, n), which replicated/sharded corpora (ids offset per
+        // shard) violate — raw-id addressing silently deflates the
+        // resample there.
+        val docs = denseIndex(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
         val n = docs.count()
         val draws = s.range(100L * n)
           .select(expr(s"id DIV ${n}L").as("rep"),
@@ -951,7 +959,7 @@ object ExtendedOps {
               col("i").cast("string"))), 1, 15), 16, 10)
               .cast("long") % n)
         val means = draws
-          .join(docs, draws("doc") === docs("doc_id"))
+          .join(docs, draws("doc") === docs("idx"))
           .groupBy(col("rep"))
           .agg(sum(col("n_chars")).as("sx"))
           .withColumn("mean_fp", expr(s"(sx * 1000) DIV ${n}L"))
@@ -965,6 +973,9 @@ object ExtendedOps {
             col("lo_fp"), col("med_fp"), col("hi_fp"))
       },
       Some("""WITH params AS (SELECT count(*) AS n FROM documents),
+        |indexed AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx, n_chars
+        |  FROM documents),
         |draws AS (
         |  SELECT x // (SELECT n FROM params) AS rep,
         |    CAST(('0x' || substring(md5(
@@ -976,7 +987,7 @@ object ExtendedOps {
         |  SELECT d.rep,
         |    CAST((sum(doc0.n_chars) * 1000) // (SELECT n FROM params)
         |      AS BIGINT) AS mean_fp
-        |  FROM draws d JOIN documents doc0 ON doc0.doc_id = d.doc
+        |  FROM draws d JOIN indexed doc0 ON doc0.idx = d.doc
         |  GROUP BY 1),
         |ranked AS (
         |  SELECT rep, mean_fp,

@@ -171,8 +171,11 @@ object LayoutOps {
           .agg(min(col("doc_id")), max(col("doc_id")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+        // Integer division, not (x / width).cast("long"): the double
+        // form is only exact while id magnitudes stay under ~2^53;
+        // DIV makes bucket assignment exact by construction.
         val bucketed = docs.withColumn("bucket",
-          ((col("doc_id") - minId) / width).cast("long"))
+          expr(s"(doc_id - ${minId}L) DIV ${width}L"))
         val offsets = bucketed.groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"))
           .withColumn("offset",
@@ -447,7 +450,7 @@ object LayoutOps {
         val width = math.max(1L, (maxC - minC + nBuckets) / nBuckets)
         // bucket 0 = HIGHEST revenue (descending order key)
         val bucketed = rev.withColumn("bucket",
-          ((lit(maxC) - col("cents")) / width).cast("long"))
+          expr(s"(${maxC}L - cents) DIV ${width}L"))
         val offsets = bucketed.groupBy(col("bucket"))
           .agg(sum(col("cents")).as("bs"))
           .withColumn("offset",
@@ -763,8 +766,11 @@ object LayoutOps {
           .agg(min(col("doc_id")), max(col("doc_id")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+        // Integer division, not (x / width).cast("long"): the double
+        // form is only exact while id magnitudes stay under ~2^53;
+        // DIV makes bucket assignment exact by construction.
         val bucketed = docs.withColumn("bucket",
-          ((col("doc_id") - minId) / width).cast("long"))
+          expr(s"(doc_id - ${minId}L) DIV ${width}L"))
         val perBucket = bucketed.groupBy(col("bucket"))
           .agg(sum(col("n_chars")).as("wsum"))
         val offsets = perBucket

@@ -489,7 +489,7 @@ object PipelineOps {
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val width = math.max(1L, (maxV - minV + nBuckets) / nBuckets)
         val bucketed = docs.withColumn("bucket",
-          ((col("n_chars") - minV) / width).cast("long"))
+          expr(s"(n_chars - ${minV}L) DIV ${width}L"))
         val offsets = bucketed.groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"))
           .withColumn("offset",

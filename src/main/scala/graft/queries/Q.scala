@@ -91,6 +91,35 @@ object Q {
   def dSplitSql(x: String): String =
     s"(CAST(floor($x) AS DOUBLE) + CAST(($x) - floor($x) AS DOUBLE))"
 
+  /** Scalable 0-based dense index over a distinct LONG key column —
+    * the q95 two-phase shape, shared: range-bucket the key (256 fixed
+    * buckets from a 1-row min/max agg), rank WITHIN buckets in
+    * parallel, add per-bucket count offsets from a 256-row cumsum
+    * broadcast back. Same answer as the naive single-partition
+    * `row_number() OVER (ORDER BY key) - 1`, which is what oracles
+    * should mirror — but no task ever sees more than one bucket.
+    * Keys must be distinct (ties would make the rank nondeterministic). */
+  def denseIndex(df: DataFrame, key: String, out: String = "idx"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 256L
+    val Array(minK, maxK) = df.agg(min(col(key)), max(col(key)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(1L, (maxK - minK + nBuckets) / nBuckets)
+    val bucketed = df.withColumn("__bucket",
+      expr(s"($key - ${minK}L) DIV ${width}L"))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn(out, col("__offset") +
+        row_number().over(Window.partitionBy(col("__bucket"))
+          .orderBy(col(key))).cast("long") - 1L)
+      .drop("__bucket", "__offset")
+  }
+
   /** DuckDB-side spellings of the same casts. */
   val sqlDec = "DECIMAL(18,4)"
   def sumDec(col: String): String =

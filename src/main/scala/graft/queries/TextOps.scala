@@ -2720,10 +2720,14 @@ object TextOps {
           .otherwise(0L)).as("clean_ok"),
         sum(when(col("is_dup") === 0 && col("quality_ok") === 0, 1L)
           .otherwise(0L)).as("clean_bad"))
+        // Odds ratio in DECIMAL(38,0)/HUGEINT (the q137/q201 overflow
+        // contract): cell counts above ~3M docs overflow a Long product —
+        // Spark would wrap silently, DuckDB would raise.
         .withColumn("odds_fp", expr(
           "CASE WHEN dup_ok > 0 AND clean_bad > 0 AND dup_bad > 0 " +
-            "AND clean_ok > 0 THEN (dup_bad * clean_ok * 1000000) " +
-            "DIV (dup_ok * clean_bad) ELSE 0 END"))
+            "AND clean_ok > 0 THEN CAST((CAST(dup_bad AS DECIMAL(38,0))" +
+            " * clean_ok * 1000000) DIV (CAST(dup_ok AS DECIMAL(38,0))" +
+            " * clean_bad) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
     },
     Some(s"""WITH $shingleSql,
       |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
@@ -2764,8 +2768,10 @@ object TextOps {
       |  FROM flagged)
       |SELECT dup_ok, dup_bad, clean_ok, clean_bad,
       |  CAST(CASE WHEN dup_ok > 0 AND clean_bad > 0 AND dup_bad > 0
-      |    AND clean_ok > 0 THEN (dup_bad * clean_ok * 1000000)
-      |    // (dup_ok * clean_bad) ELSE 0 END AS BIGINT) AS odds_fp
+      |    AND clean_ok > 0 THEN (CAST(dup_bad AS HUGEINT) * clean_ok
+      |      * 1000000)
+      |    // (CAST(dup_ok AS HUGEINT) * clean_bad) ELSE 0 END
+      |    AS BIGINT) AS odds_fp
       |FROM cells""".stripMargin))
 
   // --------------------------------------------------------------------
@@ -2829,14 +2835,18 @@ object TextOps {
         .select(col("da").as("src"), col("db").as("dst"))
       val comp = graft.queries.PipelineOps.connectedComponents(pairs)
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), col("n_chars"),
           size(toks(col("text"))).cast("long").as("n_tokens"))
       val withLen = comp
         .join(docs.withColumnRenamed("doc_id", "node"), "node")
+      // Keeper election mirrors q200_dedup_keep_best EXACTLY
+      // (n_chars DESC, doc_id ASC): this query sizes the savings of
+      // q200's pass, so it must drop the same documents q200 drops —
+      // ranking by token count instead would diverge whenever char
+      // and token orderings disagree within a cluster.
       val w = Window.partitionBy(col("label"))
-        .orderBy(col("n_chars_proxy").desc, col("node"))
+        .orderBy(col("n_chars").desc, col("node"))
       val dropped = withLen
-        .withColumn("n_chars_proxy", col("n_tokens"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") > 1)
         .groupBy(col("source"))
@@ -2875,12 +2885,13 @@ object TextOps {
       |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
       |comp AS (SELECT node, min(reach) AS label FROM walk GROUP BY node),
       |dtok AS (
-      |  SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len($tokSql) AS BIGINT) AS n_tokens
       |  FROM documents),
       |wl AS (
       |  SELECT c.node, c.label, d.source, d.n_tokens,
       |    row_number() OVER (PARTITION BY c.label
-      |      ORDER BY d.n_tokens DESC, c.node) AS rn
+      |      ORDER BY d.n_chars DESC, c.node) AS rn
       |  FROM comp c JOIN dtok d ON d.doc_id = c.node),
       |dropped AS (
       |  SELECT source, count(*) AS n_dropped,
