@@ -678,6 +678,19 @@ object TemporalOps {
     QueryDef("q165_peak_concurrency",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // Two-phase bucketed sweep, NOT a window partitioned by day
+        // alone: the testdata spans a fixed ~30 days, so per-day
+        // partitions grow linearly with SF at constant parallelism —
+        // the naive form serializes the whole table through ~30 tasks.
+        // Instead each day's [0, 86.4M ms) offset axis is cut into 256
+        // FIXED-width sub-buckets (boundary ts for day d lies in
+        // [d·86400000, (d+1)·86400000], so the bucket id is pure
+        // arithmetic — no min/max pass): the delta running sum is
+        // computed WITHIN (day, bucket) in parallel, and each bucket
+        // inherits the live-count offset from its predecessors via a
+        // cumsum over the tiny (day, bucket) totals table (≤257 rows
+        // per day), joined back. live = offset + in-bucket run.
+        val bWidth = 86400000L / 256L + 1L
         val iv = events(s, dir)
           .groupBy(col("user_id"), expr("ts_ms div 86400000").as("day"))
           .agg(min(col("ts_ms")).as("t_start"),
@@ -686,11 +699,21 @@ object TemporalOps {
             lit(1L).as("delta"), col("user_id"))
           .unionAll(iv.select(col("day"), col("t_end").as("ts"),
             lit(-1L).as("delta"), col("user_id")))
-        val w = Window.partitionBy(col("day"))
+          .withColumn("bucket", expr(s"(ts - day * 86400000L) DIV ${bWidth}L"))
+        val wIn = Window.partitionBy(col("day"), col("bucket"))
           .orderBy(col("ts"), col("delta").desc, col("user_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
+        val offsets = bounds.groupBy(col("day"), col("bucket"))
+          .agg(sum(col("delta")).as("bd"))
+          .withColumn("offset",
+            coalesce(sum(col("bd")).over(Window.partitionBy(col("day"))
+              .orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("day"), col("bucket"), col("offset"))
         bounds
-          .withColumn("live", sum(col("delta")).over(w))
+          .withColumn("run", sum(col("delta")).over(wIn))
+          .join(broadcast(offsets), Seq("day", "bucket"))
+          .withColumn("live", col("offset") + col("run"))
           .groupBy(col("day"))
           .agg(count(lit(1)).as("n_boundaries"),
             (count(lit(1)) / 2).cast("long").as("n_users"),
@@ -724,20 +747,49 @@ object TemporalOps {
     // process diagnostic behind rate-limit and autoscale sizing.
     QueryDef("q166_interarrival",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_ms"), col("event_id"))
-        events(s, dir)
+        // Two-phase bucketed gaps (the q95/q180 shape), NOT a window
+        // partitioned by event_type alone: event_type has ~4 values, so
+        // the naive per-type lag funnels |events|/4 rows through ONE
+        // task — correct but parallelism-capped at any scale. Instead:
+        // range-bucket the timeline (equal ts always lands in one
+        // bucket, so in-bucket (ts, event_id) order agrees with the
+        // global order), lag WITHIN (type, bucket) in parallel, and
+        // stitch each bucket to its predecessor with ONE boundary gap
+        // computed on the tiny per-bucket summary (≤256 rows per type).
+        // Gap values depend only on ts, so first/last ts per bucket
+        // fully determine the boundary gap.
+        val nBuckets = 256L
+        val ev = events(s, dir)
           .select(col("event_type"), col("event_id"), col("ts_ms"))
+        val Array(minT, maxT) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val partials = ev
+          .withColumn("bucket", expr(s"(ts_ms - ${minT}L) DIV ${width}L"))
           .withColumn("gap_s",
-            expr("(ts_ms - lag(ts_ms, 1) OVER (PARTITION BY event_type " +
-              "ORDER BY ts_ms, event_id)) div 1000"))
-          .filter(col("gap_s").isNotNull)
+            expr(s"(ts_ms - lag(ts_ms, 1) OVER (PARTITION BY event_type, " +
+              "bucket ORDER BY ts_ms, event_id)) div 1000"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(min(col("ts_ms")).as("first_ts"),
+            max(col("ts_ms")).as("last_ts"),
+            sum(when(col("gap_s").isNotNull, 1L).otherwise(0L)).as("n_in"),
+            sum(coalesce(col("gap_s"), lit(0L))).as("sg"),
+            sum(coalesce(col("gap_s") * col("gap_s"), lit(0L))).as("sg2"))
+        partials
+          .withColumn("bgap",
+            expr("(first_ts - lag(last_ts, 1) OVER (PARTITION BY " +
+              "event_type ORDER BY bucket)) div 1000"))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_gaps"),
-            expr("sum(gap_s) div count(1)").as("mean_gap_s"),
-            (count(lit(1)) * sum(col("gap_s") * col("gap_s"))
-              - sum(col("gap_s")) * sum(col("gap_s"))).as("dispersion_fp"))
+          .agg(
+            (sum(col("n_in")) + sum(when(col("bgap").isNotNull, 1L)
+              .otherwise(0L))).as("n_gaps"),
+            (sum(col("sg")) + sum(coalesce(col("bgap"), lit(0L)))).as("sgt"),
+            (sum(col("sg2")) + sum(coalesce(col("bgap") * col("bgap"),
+              lit(0L)))).as("sg2t"))
+          .select(col("event_type"), col("n_gaps"),
+            expr("sgt div n_gaps").as("mean_gap_s"),
+            (col("n_gaps") * col("sg2t") - col("sgt") * col("sgt"))
+              .as("dispersion_fp"))
           .orderBy(col("event_type"))
       },
       Some(s"""WITH g AS (
@@ -769,15 +821,24 @@ object TemporalOps {
         val cohort = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id"))
           .agg(expr("min(ts_ms) div 604800000").as("cohort_wk"))
+        // Two-level pre-agg (the q197 shape) instead of countDistinct
+        // beside plain aggs, which Catalyst plans as a 2-way Expand —
+        // doubling the shuffled row count. Level 1 collapses to
+        // (cell, user) with partial counts/sums riding along; level 2
+        // is then an ordinary hash-agg where count(*) IS the distinct
+        // user count. DECIMAL sums re-sum exactly, so revenue is
+        // bit-identical to the single-level form.
         ev.filter(col("event_type") === "purchase")
           .join(cohort, "user_id")
           .withColumn("offset_wk",
             expr("ts_ms div 604800000") - col("cohort_wk"))
           .filter(col("offset_wk") >= 0)
+          .groupBy(col("cohort_wk"), col("offset_wk"), col("user_id"))
+          .agg(count(lit(1)).as("np"), sum(dec(col("value"))).as("rev"))
           .groupBy(col("cohort_wk"), col("offset_wk"))
-          .agg(countDistinct(col("user_id")).as("n_active"),
-            count(lit(1)).as("n_purchases"),
-            d(sum(dec(col("value")))).as("revenue"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(col("np")).as("n_purchases"),
+            d(sum(col("rev"))).as("revenue"))
           .orderBy(col("cohort_wk"), col("offset_wk"))
       },
       Some(s"""WITH c AS (

@@ -174,4 +174,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q201.contains("SortMergeJoin"),
       s"q201 label-attach joins degraded to sort-merge:\n$q201")
   }
+
+  /** The round-9 scale fixes, pinned: q165/q166 were correct but
+    * parallelism-capped — their sweeps ran in windows partitioned by
+    * `day` (~30 values) / `event_type` (~4 values) ALONE, serializing
+    * the whole event table through a constant number of tasks
+    * (sf1/sf0.1 was 15-18× for 10× data). The two-phase rewrite makes
+    * every window either sub-bucketed or a ≤257-row-per-key summary
+    * cumsum whose spec carries the bucket column; so every Window
+    * node in both plans must mention `bucket`. q167's countDistinct
+    * Expand was replaced by the q197 two-level pre-agg — pin no
+    * Expand, same style. */
+  test("q165/q166 windows are bucketed; q167 plans no Expand") {
+    Seq("q165_peak_concurrency", "q166_interarrival").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      val winLines = plan.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(winLines.nonEmpty, s"$name: no Window node found\n$plan")
+      winLines.foreach { l =>
+        assert(l.contains("bucket"),
+          s"$name: a window lost its bucket key (low-cardinality " +
+            s"partition — serializes at scale):\n$l")
+      }
+    }
+    val q167 = SparkEntry.queries("q167_cohort_ltv")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!q167.contains("Expand"),
+      s"q167 re-grew a count_distinct Expand:\n$q167")
+  }
 }
