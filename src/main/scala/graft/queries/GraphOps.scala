@@ -694,6 +694,69 @@ object GraphOps {
         |  CAST(CASE WHEN r3.node IN (SELECT node FROM seeds)
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_seed
         |FROM r3
-        |ORDER BY r3.r DESC, r3.node LIMIT 50""".stripMargin))
+        |ORDER BY r3.r DESC, r3.node LIMIT 50""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Degree assortativity — does the co-purchase graph wire hubs to
+    // hubs (r > 0) or hubs to leaves (r < 0)? Newman's r is the
+    // Pearson correlation of endpoint degrees over the SYMMETRIC edge
+    // list; symmetrization makes both endpoint marginals identical,
+    // so r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no sqrt, and every
+    // sum/product is computed in DECIMAL(38,0) (Spark) / HUGEINT
+    // (DuckDB) per the q137 overflow contract (Σxy sums deg² terms
+    // over edges: past 2^63 at ~10⁹ edges of degree 10³). r is
+    // emitted as ×10⁶ FIXED-POINT via integer DIV (both engines
+    // truncate toward zero), the q157/q201 convention — a
+    // decimal→double cast of the >2^53 numerator could differ by an
+    // ulp between engines. Scale shape: the |V|-row degree table
+    // joins the edge list twice on its shuffle key (AQE broadcasts
+    // it at small SF), then a 1-row total agg — the edge list itself
+    // is the session-memoized checkpoint every graph query shares;
+    // no per-node window, no driver loop.
+    QueryDef("q223_assortativity",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+        val deg = coPurchaseDegrees(s, dir)
+        val joined = sym
+          .join(deg.select(col("node").as("src"),
+            col("deg").as("x")), "src")
+          .join(deg.select(col("node").as("dst"),
+            col("deg").as("y")), "dst")
+        joined.agg(
+            count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .as("m"),
+            sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+          .filter(col("m") * col("sxx") - col("sx") * col("sx") =!= 0)
+          .select(col("m").cast("long").as("m_edges"),
+            expr("""CAST((m * sxy - sx * sx) * 1000000
+              DIV (m * sxx - sx * sx) AS BIGINT)""").as("assortativity_fp"))
+      },
+      Some(s"""WITH $edgeSql,
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |j AS (
+        |  SELECT dx.deg AS x, dy.deg AS y
+        |  FROM sym JOIN deg dx ON sym.src = dx.node
+        |  JOIN deg dy ON sym.dst = dy.node),
+        |sums AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM j)
+        |SELECT CAST(m AS BIGINT) AS m_edges,
+        |  CAST((m * sxy - sx * sx) * 1000000
+        |    // (m * sxx - sx * sx) AS BIGINT) AS assortativity_fp
+        |FROM sums
+        |WHERE m * sxx - sx * sx <> 0""".stripMargin))
   )
 }

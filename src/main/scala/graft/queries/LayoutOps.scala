@@ -851,6 +851,111 @@ object LayoutOps {
         |SELECT CAST(a9 AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(*) FILTER (WHERE a8 <> a9) AS BIGINT) AS n_moved_in
-        |FROM asg GROUP BY 1 ORDER BY shard""".stripMargin))
+        |FROM asg GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Priority sampling (Duffield-Lund-Thorup, JACM 2007) — the
+    // weighted analog of q79's deterministic hash sample: each doc
+    // gets priority w/u for a hash-uniform u, and the global top-k by
+    // priority is a weighted-without-replacement sample whose
+    // subset-sum estimates are provably near-optimal. The float
+    // w/u ordering is replaced by the EXACT integer surrogate
+    // (w << 40) DIV (h40 + 1) with h40 the top 40 bits of the 60-bit
+    // md5 integer — same ordering (integer DIV is monotone in the
+    // real ratio at fixed denominator-set), but pure int64 ops that
+    // hash-match the oracle where ln()/pow() floats would not (the
+    // catalog rule q122/q128 follow). Weights are capped at 10^6 so
+    // w·2^40 stays under 2^63 at any corpus size. Scale shape:
+    // TakeOrderedAndProject — per-partition top-k heaps, one k-row
+    // collect, NO shuffle of the corpus; re-running on re-partitioned
+    // data returns the identical sample.
+    QueryDef("q219_priority_sample",
+      (s, dir) => {
+        // integer DIV, not `/`: the 60-bit hash exceeds double's 2^53
+        // exact range, so a float division would misassign h40
+        val h60 = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            h60.as("h60"),
+            expr("greatest(least(n_chars, 1000000), 1)").as("w"))
+          .withColumn("h40", expr("h60 DIV 1048576"))
+          .withColumn("priority",
+            expr("(w * 1099511627776) DIV (h40 + 1)"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) // 1048576 AS h40,
+        |    greatest(least(n_chars, 1000000), 1) AS w
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(w * 1099511627776 // (h40 + 1) AS BIGINT) AS priority
+        |FROM h
+        |ORDER BY priority DESC, doc_id
+        |LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Column shape profile for encoding decisions — the layout pass a
+    // 100 TB writer runs before choosing parquet encodings: per
+    // candidate column, cardinality, the heaviest value's share, and
+    // Gini impurity 1 − Σp² (the log-free concentration measure — a
+    // float-entropy Σp·log p would hash-diverge across engines, and
+    // impurity induces the same dictionary-vs-plain decision). Σc² is
+    // computed in DECIMAL(38,0) per the q137 overflow contract (c can
+    // reach corpus size, so c² passes 2^63 at ~3×10⁹ rows); the final
+    // share/impurity doubles are each ONE division of exact values.
+    // Scale shape: one hash-agg per column (map-side partials), a
+    // 1-row reduce each — the corpus is scanned once per column and
+    // only the profiled column is read (column pruning reaches the
+    // parquet scan).
+    QueryDef("q221_column_impurity",
+      (s, dir) => {
+        def prof(df: DataFrame, cname: String): DataFrame =
+          df.groupBy(col(cname).as("v"))
+            .agg(count(lit(1)).as("c"))
+            .agg(sum(col("c")).as("n"),
+              count(lit(1)).as("n_distinct"),
+              max(col("c")).as("top_c"),
+              sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"))
+            .select(lit(cname).as("column_name"),
+              col("n"), col("n_distinct"),
+              (col("top_c").cast("double") / col("n").cast("double"))
+                .as("top_share"),
+              (lit(1.0) - col("sumsq").cast("double") /
+                (col("n").cast("double") * col("n").cast("double")))
+                .as("impurity"),
+              when(col("n_distinct") * 20 <= col("n"), "dict")
+                .otherwise("plain").as("encoding"))
+        val docs = t(s, dir, "documents")
+        prof(docs, "lang")
+          .unionAll(prof(docs, "source"))
+          .unionAll(prof(events(s, dir), "event_type"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH
+        |p1 AS (SELECT 'lang' AS column_name, count(*) AS c
+        |  FROM documents GROUP BY lang),
+        |p2 AS (SELECT 'source' AS column_name, count(*) AS c
+        |  FROM documents GROUP BY source),
+        |p3 AS (SELECT 'event_type' AS column_name, count(*) AS c
+        |  FROM events GROUP BY event_type),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3)
+        |SELECT column_name,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+        |  1.0 - CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0))
+        |      AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS impurity,
+        |  CASE WHEN count(*) * 20 <= sum(c) THEN 'dict' ELSE 'plain' END
+        |    AS encoding
+        |FROM u GROUP BY column_name
+        |ORDER BY column_name""".stripMargin))
   )
 }

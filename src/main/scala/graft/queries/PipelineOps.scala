@@ -1146,6 +1146,53 @@ object PipelineOps {
         |  CAST(sum_fp AS BIGINT) AS sum_fp, touched,
         |  CAST(n = n2 AND sum_fp = s2 AS BIGINT) AS matches_scratch
         |FROM merged JOIN scratch USING (event_type, day)
-        |ORDER BY event_type, day""".stripMargin))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // k-anonymity audit — the privacy gate a corpus passes before
+    // release: group documents by their quasi-identifier tuple
+    // (lang, source, length bucket) and measure how many sit in
+    // equivalence classes smaller than k=5, i.e. are re-identifiable
+    // by the QI alone. Per lang: class count, smallest class, classes
+    // below k, documents at risk, and the risk fraction (ONE division
+    // of exact counts). Complements q103's PII scrub: scrubbing
+    // removes direct identifiers, this measures the indirect ones.
+    // Scale shape: two chained hash-aggs (QI classes, then per-lang
+    // rollup) — both map-side-combinable, only 3 narrow columns read.
+    QueryDef("q220_kanon_risk",
+      (s, dir) => {
+        val classes = t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars DIV 100").as("len_bucket"))
+          .groupBy(col("lang"), col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("sz"))
+        classes.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_classes"),
+            min(col("sz")).as("min_class"),
+            count(when(col("sz") < 5, 1)).as("n_small_classes"),
+            coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L))
+              .as("n_docs_at_risk"),
+            sum(col("sz")).as("n_docs"))
+          .withColumn("risk_frac",
+            col("n_docs_at_risk").cast("double") /
+              col("n_docs").cast("double"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH cls AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    count(*) AS sz
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(sz) AS BIGINT) AS min_class,
+        |  CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+        |    AS n_docs_at_risk,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS DOUBLE) /
+        |    CAST(sum(sz) AS DOUBLE) AS risk_frac
+        |FROM cls GROUP BY lang
+        |ORDER BY lang""".stripMargin))
   )
 }

@@ -651,7 +651,62 @@ object TextOps {
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
     dupQualityQueryDef, listaggQueryDef, dedupSavingsQueryDef,
-    langConfusionQueryDef)
+    langConfusionQueryDef, containmentQueryDef)
+
+  /** Shingle CONTAINMENT near-dup mining — the asymmetric measure
+    * |A∩B| / min(|A|,|B|) that catches subset-style duplication
+    * (a short doc embedded verbatim in a long one) which symmetric
+    * Jaccard structurally misses: for sa ≪ sb, jaccard ≤ sa/sb stays
+    * under any dedup threshold no matter how completely A is
+    * contained. Same inverted-index shape as [[jaccardPairs]] (df-cap
+    * → posting-list self-join → per-pair co-count), but thresholded
+    * on containment, so the mined set is NOT a subset of
+    * [[minedPairs]] and the index is re-mined rather than reused.
+    * `subset_only` flags the pairs the Jaccard pass (q35/q63) does
+    * not see — the marginal value of running both. Both ratios are
+    * ONE division of exact integers. Scale shape: identical to q35 —
+    * the self-join shuffles on the shingle (the df cap bounds each
+    * posting list's pair fan-out), the per-pair agg is
+    * map-side-combinable, no all-pairs step. */
+  private lazy val containmentQueryDef = QueryDef("q224_containment",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val kept = shingleTable(s, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= JaccardMaxDf).drop("df")
+      kept.as("a").join(kept.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sz").as("sa"), col("b.sz").as("sb"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("containment",
+          col("c").cast("double") / least(col("sa"), col("sb")).cast("double"))
+        .filter(col("containment") >= 0.8)
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+        .select(col("da"), col("db"), col("sa"), col("sb"),
+          col("containment"), col("jaccard"),
+          when(col("jaccard") < 0.8, 1L).otherwise(0L).as("subset_only"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |ex AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT da, db, sa, sb,
+      |  CAST(c AS DOUBLE) / least(sa, sb) AS containment,
+      |  CAST(c AS DOUBLE) / (sa + sb - c) AS jaccard,
+      |  CAST(CASE WHEN CAST(c AS DOUBLE) / (sa + sb - c) < 0.8
+      |    THEN 1 ELSE 0 END AS BIGINT) AS subset_only
+      |FROM cnt
+      |WHERE CAST(c AS DOUBLE) / least(sa, sb) >= 0.8
+      |ORDER BY da, db""".stripMargin))
 
   /** Incremental MinHash dedup — q106's shard-vs-corpus pattern on
     * the NEAR-dup (not exact-digest) axis: an arriving 20% shard
