@@ -1076,6 +1076,87 @@ object ExtendedOps {
         |  CAST(floor(mb * 1000000 + 0.5) AS BIGINT) AS mean_b_fp,
         |  CAST(floor((ma - mb) / sqrt(va / na + vb / nb) * 1000000 + 0.5)
         |    AS BIGINT) AS t_fp
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov-Smirnov screen — for each source, the KS
+    // distance between its length distribution and the REST of the
+    // corpus: D = max over thresholds |F_s(t) − F_rest(t)|, the
+    // standard drifted-source detector (q209's Welch t sees mean
+    // shifts; KS sees any shape change). EXACT integer form: with
+    // cum_s(t) of n_s and cum_r(t) of N−n_s, the score is
+    // max |cum_s·(N−n_s) − cum_r·n_s| ×10⁶ DIV (n_s·(N−n_s)) in
+    // DECIMAL(38,0)/HUGEINT (the products pass 2^63 at ~10⁹ docs) —
+    // no float CDFs. `at_value` is the smallest threshold attaining
+    // the max. Scale shape: one hash-agg to per-(source, value)
+    // counts, then every window/join runs on the VALUE-DOMAIN grid
+    // (distinct lengths × sources) — bounded by the length domain,
+    // not the corpus, so the only SF-scaling stage is the first
+    // map-side-combinable count.
+    QueryDef("q227_ks_source_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
+        val bigN = docs.count()
+        val perSV = docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val perV = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("ct"))
+          .withColumn("cum_t",
+            sum(col("ct")).over(Window.orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("v"), col("cum_t"))
+        val sources = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val grid = perV.crossJoin(broadcast(sources))
+          .join(perSV, Seq("source", "v"), "left")
+          .withColumn("cum_s",
+            coalesce(sum(col("c")).over(
+              Window.partitionBy(col("source")).orderBy(col("v"))
+                .rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+          .withColumn("dabs", expr(
+            s"abs(CAST(cum_s AS DECIMAL(38,0)) * (${bigN}L - n_s) " +
+              s"- CAST(cum_t - cum_s AS DECIMAL(38,0)) * n_s)"))
+        val maxd = grid.groupBy(col("source"), col("n_s"))
+          .agg(max(col("dabs")).as("md"))
+        grid.join(maxd, Seq("source", "n_s"))
+          .filter(col("dabs") === col("md"))
+          .groupBy(col("source"), col("n_s"), col("md"))
+          .agg(min(col("v")).as("at_value"))
+          .select(col("source"), col("n_s"),
+            expr(s"CAST(md * 1000000 DIV (CAST(n_s AS DECIMAL(38,0)) " +
+              s"* (${bigN}L - n_s)) AS BIGINT)").as("ks_fp"),
+            col("at_value"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS bign FROM documents),
+        |psv AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_t
+        |  FROM (SELECT n_chars AS v, count(*) AS cnt
+        |        FROM documents GROUP BY 1)),
+        |src AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |grid AS (
+        |  SELECT src.source, src.n_s, pv.v, pv.cum_t,
+        |    CAST(coalesce(sum(psv.c) OVER (
+        |      PARTITION BY src.source ORDER BY pv.v), 0) AS BIGINT) AS cum_s
+        |  FROM pv CROSS JOIN src
+        |  LEFT JOIN psv ON psv.source = src.source AND psv.v = pv.v),
+        |scored AS (
+        |  SELECT source, n_s, v,
+        |    abs(CAST(cum_s AS HUGEINT) * ((SELECT bign FROM n) - n_s)
+        |      - CAST(cum_t - cum_s AS HUGEINT) * n_s) AS dabs
+        |  FROM grid),
+        |md AS (SELECT source, n_s, max(dabs) AS md
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT scored.source, CAST(scored.n_s AS BIGINT) AS n_s,
+        |  CAST(md.md * 1000000 // (CAST(md.n_s AS HUGEINT)
+        |    * ((SELECT bign FROM n) - md.n_s)) AS BIGINT) AS ks_fp,
+        |  min(scored.v) AS at_value
+        |FROM scored JOIN md ON scored.source = md.source
+        |  AND scored.dabs = md.md
+        |GROUP BY scored.source, scored.n_s, md.md, md.n_s
+        |ORDER BY scored.source""".stripMargin))
   )
 }

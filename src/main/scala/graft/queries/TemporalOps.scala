@@ -1351,6 +1351,65 @@ object TemporalOps {
         |SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
         |  CAST(sum(pval * bp) * 10000 AS BIGINT) AS credited_fp
         |FROM credited GROUP BY 1
-        |ORDER BY campaign""".stripMargin))
+        |ORDER BY campaign""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Theil-Sen robust trend — q143's OLS slope is pulled arbitrarily
+    // far by one corrupted batch of events; the median of pairwise
+    // slopes (breakdown point 29%) is the estimator monitoring
+    // pipelines actually want. Computed over the HOURLY pre-aggregate,
+    // so the O(n²) pair step is bounded by the time range (~720 hours
+    // → ≤260k pairs per type), NOT by corpus size: at 100 TB the
+    // hourly rollup is the same ~720 rows per type and the pair/rank
+    // stages don't grow at all — the only SF-scaling stage is the
+    // map-side-combinable hourly hash-agg. Each pairwise slope is ONE
+    // division of exact fixed-point longs; the median is the k-th
+    // order statistic (ties in `slope` can permute row_numbers but
+    // never change the selected VALUE).
+    QueryDef("q226_theil_sen",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, dir)
+          .select(col("event_type"), expr("ts_ms DIV 3600000").as("x"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+          .groupBy(col("event_type"), col("x"))
+          .agg(sum(col("v")).as("y"))
+        val pairs = hourly.as("a").join(hourly.as("b"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.x") < col("b.x"))
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.y") - col("a.y")).cast("double") /
+              (col("b.x") - col("a.x")).cast("double")).as("slope"))
+        pairs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("slope")))
+            .cast("long"))
+          .withColumn("np", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(np + 1) DIV 2"))
+          .select(col("event_type"), col("np").as("n_pairs"),
+            col("slope").as("ts_slope"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, $tsMs // 3600000 AS x,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT event_type, x, CAST(sum(v) AS BIGINT) AS y
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM h a JOIN h b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope AS ts_slope
+        |FROM r WHERE rn = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin))
   )
 }
