@@ -953,7 +953,8 @@ object LayoutOps {
         |  1.0 - CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0))
         |      AS DOUBLE) /
         |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS impurity,
-        |  CASE WHEN count(*) * 20 <= sum(c) THEN 'dict' ELSE 'plain' END
+        |  CASE WHEN count(*) * 20 <= CAST(sum(c) AS BIGINT)
+        |    THEN 'dict' ELSE 'plain' END
         |    AS encoding
         |FROM u GROUP BY column_name
         |ORDER BY column_name""".stripMargin)),

@@ -1410,6 +1410,126 @@ object TemporalOps {
         |  FROM p)
         |SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope AS ts_slope
         |FROM r WHERE rn = (np + 1) // 2
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Batch shadow of the streaming conversion funnel
+    // (FunnelProcessor / transformWithState): the CONVERGED
+    // per-conversion rows the live state machine must end at when the
+    // stream drains in event-time order — one row per 'view' with a
+    // 'purchase' by the same user at or after it within 1 h, matched
+    // to the EARLIEST such purchase (the processor's sorted-buffer
+    // `find`; purchases are never consumed, so one purchase may
+    // attribute many views). q83 aggregates this relation to cohort
+    // conversion rates; THIS query pins the row-level contract the
+    // processor emits (key, view_ms, purchase_ms, latency_ms), and
+    // StreamsSpec replays the same rows through funnelStream and
+    // asserts set equality. Tie contract: a purchase in the same
+    // millisecond as the view converts it (b >= v), which the window
+    // encodes by sorting purchases BEFORE views at equal ts in the
+    // descending cumulative min.
+    //
+    // Scale shape: q83's no-self-join form — one shuffle on user_id,
+    // a running min over the time-reversed per-user sequence, no
+    // view x purchase range join (which shuffles the event table
+    // twice and explodes on active users).
+    QueryDef("q228_funnel_shadow",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms").desc, col("is_view"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("ts_ms"),
+            (col("event_type") === "view").cast("int").as("is_view"))
+          .withColumn("purchase_ms",
+            min(when(col("is_view") === 0, col("ts_ms"))).over(w))
+          .filter(col("is_view") === 1 && col("purchase_ms").isNotNull &&
+            col("purchase_ms") - col("ts_ms") <= 3600000L)
+          .select(col("user_id").as("key"), col("ts_ms").as("view_ms"),
+            col("purchase_ms"),
+            (col("purchase_ms") - col("ts_ms")).as("latency_ms"))
+          .orderBy(col("key"), col("view_ms"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, $tsMs AS ts_ms,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT user_id, ts_ms, is_view,
+        |    min(CASE WHEN is_view = 0 THEN ts_ms END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms DESC, is_view
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS purchase_ms
+        |  FROM ev)
+        |SELECT user_id AS key, ts_ms AS view_ms, purchase_ms,
+        |  purchase_ms - ts_ms AS latency_ms
+        |FROM m
+        |WHERE is_view = 1 AND purchase_ms IS NOT NULL
+        |  AND purchase_ms - ts_ms <= 3600000
+        |ORDER BY key, view_ms""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Batch shadow of the custom-state streaming sessionizer
+    // (Streams.sessionizeStream / flatMapGroupsWithState): the
+    // converged ClosedSession rows — per-user gap sessions under the
+    // processor's EXACT merge contract, gap strictly < 15 min merges
+    // (q54 uses the complementary <= boundary and carries no value
+    // payload; this row pins the processor's strict boundary AND its
+    // foldable payload: count + value sum + first/last bounds).
+    // StreamsSpec replays the same rows through sessionizeStream —
+    // including the event-time-timeout flush of the final open
+    // sessions — and asserts row equality, which makes the streaming
+    // timeout path oracle-checked, not just spec-asserted.
+    //
+    // Scale shape: q54's islands form — two stacked windows on the
+    // SAME user_id partitioning (one Exchange, one sort) + one
+    // hash-agg; nothing quadratic, no join.
+    QueryDef("q229_session_shadow",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        events(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("value"))
+          .withColumn("new_session",
+            when(lag(col("ts_ms"), 1).over(wOrd).isNull, 1L)
+              .when(col("ts_ms") - lag(col("ts_ms"), 1).over(wOrd)
+                >= 900000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts_ms")).as("start_ms"),
+            max(col("ts_ms")).as("end_ms"),
+            count(lit(1)).as("n_events"),
+            d(sum(dec(col("value")))).as("sum_value"))
+          .select(col("user_id").as("key"), col("start_ms"),
+            col("end_ms"), col("n_events"), col("sum_value"))
+          .orderBy(col("key"), col("start_ms"))
+      },
+      Some(s"""WITH base AS (
+        |  SELECT user_id, $tsMs AS ts_ms, event_id, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_ms, event_id, value,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+        |         WHEN ts_ms - lag(ts_ms) OVER w >= 900000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts_ms, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id AS key, min(ts_ms) AS start_ms,
+        |  max(ts_ms) AS end_ms, count(*) AS n_events,
+        |  ${sumDec("value")} AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, session_id
+        |ORDER BY key, start_ms""".stripMargin))
   )
 }

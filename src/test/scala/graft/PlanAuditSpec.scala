@@ -22,7 +22,11 @@ class PlanAuditSpec extends SparkSpec {
       // same shape, portable-HLL twin: the rolling merge range-joins
       // the tiny days list against per-day registers (days × ≤16
       // rows) and distinct (day, user) pairs — never the event scan
-      "q178_rolling_hll_portable")
+      "q178_rolling_hll_portable",
+      // KS evaluation grid: distinct length values × the ~5-row
+      // per-source count table (broadcast) — the corpus scan itself
+      // never crosses, only its value-domain summary
+      "q227_ks_source_drift")
 
   test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>

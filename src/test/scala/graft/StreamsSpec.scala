@@ -455,4 +455,87 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
+
+  test("sessionizeStream converges to the q229 batch shadow on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    // the full sf0.001 events table, replayed in event-time order in
+    // three micro-batches; watermark 0s (in-order feed ⇒ no drops)
+    val rows = graft.queries.Q.events(spark, sf())
+      .select(col("user_id"), col("ts_ms"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0).toString,
+        new java.sql.Timestamp(r.getLong(1)), r.getDouble(2)))
+      .sortBy(r => (r._2.getTime, r._1))
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val ds = in.toDF().toDF("key", "ts", "value")
+      .as[graft.streaming.SessionEvent]
+    val q = Streams.sessionizeStream(ds, gapMs = 900000L,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessionparity")
+      .outputMode("append").start()
+    rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // two sentinel batches on a throwaway key: the first advances the
+    // watermark past every open session's end + gap, the second runs
+    // with that watermark so the event-time timers fire and the final
+    // per-key sessions flush through the TIMEOUT path
+    val maxMs = rows.map(_._2.getTime).max
+    in.addData(("zz", new java.sql.Timestamp(maxMs + 3600000L), 0.0))
+    q.processAllAvailable()
+    in.addData(("zz", new java.sql.Timestamp(maxMs + 7200000L), 0.0))
+    drain(q)
+    val streamed = spark.table("sessionparity")
+      .as[graft.streaming.ClosedSession].collect()
+      .filter(_.key != "zz")
+      .map(s => (s.key.toLong, s.start_ms, s.end_ms, s.n_events,
+        math.rint(s.sum_value * 10000).toLong)).toSet
+    val batch = SparkEntry.queries("q229_session_shadow")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 10000).toLong)).toSet
+    assert(streamed == batch,
+      s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
+  test("funnelStream converges to the q228 batch shadow on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // view/purchase events in event-time order: a view converts the
+      // moment its earliest qualifying purchase arrives, which is
+      // exactly q228's earliest-at-or-after attribution
+      val rows = graft.queries.Q.events(spark, sf())
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts_ms"), col("event_type"))
+        .collect()
+        .map(r => (r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
+          r.getString(2)))
+        .sortBy(r => (r._2.getTime, r._1))
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val ds = in.toDF().toDF("key", "ts", "kind")
+        .as[graft.streaming.FunnelEvent]
+      val q = Streams.funnelStream(ds, withinMs = 3600000L,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("funnelparity")
+        .outputMode("append").start()
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      drain(q)
+      val streamed = spark.table("funnelparity")
+        .as[graft.streaming.Conversion].collect()
+        .map(c => (c.key, c.view_ms, c.purchase_ms, c.latency_ms)).toSet
+      val batch = SparkEntry.queries("q228_funnel_shadow")(spark, sf())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
 }
