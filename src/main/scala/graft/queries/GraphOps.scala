@@ -170,44 +170,97 @@ object GraphOps {
       .orderBy(col("triangles").desc, col("node")).limit(100)
   }
 
-  /** 3 unrolled k-core peel rounds at threshold `k`: recompute
-    * degrees on the surviving subgraph, drop nodes below k, repeat.
-    * Output = surviving nodes with their residual degree. Unrolled
-    * (not while-converged) so the oracle SQL is plain CTEs — the
-    * fixpoint variant is [[PipelineOps.connectedComponents]]'s loop
-    * shape with the same checkpoint discipline. */
-  def kcore(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val canon = coPurchaseEdges(s, dir)
-    var sym = canon.select(col("u"), col("v"))
-      .unionAll(canon.select(col("v").as("u"), col("u").as("v")))
-      // hash-partition by u ONCE: every peel round's degree
-      // groupBy(u) — and the final residual-degree agg — then reuses
-      // the checkpointed partitioning (Dataset.checkpoint records
-      // outputPartitioning in its LogicalRDD, so the Exchange is
-      // eliminated) instead of re-shuffling the whole surviving edge
-      // list each round. The semi joins below are ordered v-then-u
-      // so the round's OUTPUT is u-partitioned under either physical
-      // choice: broadcast joins pass the partitioning through, and
-      // if the alive set ever outgrows broadcast, the last (u-keyed)
-      // shuffle semi join re-establishes it.
-      .repartition(col("u"))
-      .localCheckpoint(false)
-    for (_ <- 1 to 3) {
-      val alive = sym.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("node"))
-      sym = sym
-        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
-        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-        .select(col("u"), col("v"))
-        // each round's survivor subgraph feeds the next round twice
-        // (degree agg + both semi joins): cut per round, like q80
-        .localCheckpoint(false)
+  /** one k-core peel round: recompute degrees on the surviving
+    * subgraph, drop nodes below k, keep edges with both endpoints
+    * alive. The semi joins are ordered v-then-u so the round's OUTPUT
+    * is u-partitioned under either physical choice: broadcast joins
+    * pass the partitioning through, and if the alive set ever
+    * outgrows broadcast, the last (u-keyed) shuffle semi join
+    * re-establishes it. */
+  private def kcorePeelRound(sym: DataFrame, k: Int): DataFrame = {
+    val alive = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("node"))
+    sym
+      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+      .select(col("u"), col("v"))
+  }
+
+  /** hash-partition the symmetric edge list by u ONCE: every peel
+    * round's degree groupBy(u) — and the final residual-degree agg —
+    * then reuses the checkpointed partitioning (Dataset.checkpoint
+    * records outputPartitioning in its LogicalRDD, so the Exchange is
+    * eliminated) instead of re-shuffling the whole surviving edge
+    * list each round. */
+  private def symByU(sym0: DataFrame): DataFrame =
+    sym0.repartition(col("u")).localCheckpoint(false)
+
+  /** `rounds` unrolled k-core peel passes over a symmetric edge
+    * list — the shared core of q124's 3-round oracle shadow and the
+    * fixpoint specs. Each round's survivor subgraph feeds the next
+    * round twice (degree agg + both semi joins): cut per round,
+    * like q80. */
+  private[graft] def kcorePeelEdges(sym0: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var sym = symByU(sym0)
+    for (_ <- 1 to rounds)
+      sym = kcorePeelRound(sym, k).localCheckpoint(false)
+    sym
+  }
+
+  /** Run-to-FIXPOINT k-core over a symmetric edge list: peel until a
+    * whole round drops no node (the true k-core, which the 3-round
+    * q124 shadow only approximates on deep peel sequences), with
+    * [[PipelineOps.connectedComponents]]'s loop discipline — eager
+    * localCheckpoint per round so plans stay constant-size, and the
+    * convergence test (surviving-edge count unchanged) rides the same
+    * materialization the next round needs anyway. Returns (surviving
+    * symmetric edges, rounds run). Fails LOUDLY on non-convergence:
+    * each non-final round strictly shrinks the node set, so maxIters
+    * bounds the peel DEPTH, not wall-clock guesswork. */
+  private[graft] def kcoreFixpointEdges(sym0: DataFrame, k: Int,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    var sym = sym0.repartition(col("u")).localCheckpoint(true)
+    var nEdges = sym.count()
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged && rounds < maxIters) {
+      val next = kcorePeelRound(sym, k).localCheckpoint(true)
+      val m = next.count()
+      converged = m == nEdges || m == 0L
+      sym = next; nEdges = m; rounds += 1
     }
+    require(converged,
+      s"k-core did not converge in $maxIters peel rounds")
+    (sym, rounds)
+  }
+
+  /** 3 unrolled k-core peel rounds at threshold `k`: output =
+    * surviving nodes with their residual degree. Unrolled (not
+    * while-converged) so the oracle SQL is plain CTEs; the TRUE
+    * fixpoint form behind the same signature is [[kcoreConverged]]. */
+  def kcore(s: SparkSession, dir: String, k: Int): DataFrame =
+    residualDegrees(kcorePeelEdges(symCoPurchase(s, dir), k, 3))
+
+  /** [[kcore]]'s production form: identical signature and output
+    * schema, but peeled to the true fixpoint — the operator a real
+    * 100 TB graph job needs, where a fixed unroll under-peels deep
+    * degeneracy sequences. Spec'd against the unrolled shadow on
+    * graphs where 3 rounds already converge (ConvergenceSpec). */
+  def kcoreConverged(s: SparkSession, dir: String, k: Int): DataFrame =
+    residualDegrees(kcoreFixpointEdges(symCoPurchase(s, dir), k)._1)
+
+  private def symCoPurchase(s: SparkSession, dir: String): DataFrame = {
+    val canon = coPurchaseEdges(s, dir)
+    canon.select(col("u"), col("v"))
+      .unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  private def residualDegrees(sym: DataFrame): DataFrame =
     sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("residual_deg"))
       .orderBy(col("node"))
-  }
 
   /** brand → dense integer code dict (~25 rows, broadcast): codes are
     * the lexicographic rank of the distinct brands, so min-code ≡
@@ -250,19 +303,75 @@ object GraphOps {
             "node")
           .join(broadcast(brandDict(s, dir)), "lbl")
           .select(col("node"), col("code"))
-        def round(labels: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("src"))
-            .orderBy(col("cnt").desc, col("code"))
-          sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src"), col("code"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("src").as("node"), col("code"))
-        }
-        round(round(seeds)).localCheckpoint(false)
+        lpaRound(sym, lpaRound(sym, seeds)).localCheckpoint(false)
       })
     }
+
+  /** one synchronous LPA round: every node adopts the most frequent
+    * label among its neighbors' PREVIOUS labels, ties → smallest
+    * code. Shared by the 2-round unrolled [[lpaLabels]] (oracle
+    * shadow) and the fixpoint [[lpaFixpointEdges]]. */
+  private[graft] def lpaRound(sym: DataFrame,
+      labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cnt").desc, col("code"))
+    sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src"), col("code"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src").as("node"), col("code"))
+  }
+
+  /** Run-to-FIXPOINT synchronous label propagation: rounds of
+    * [[lpaRound]] until no node changes label, with the
+    * connectedComponents loop discipline (eager checkpoint per round;
+    * the changed-label count rides the materialization the next round
+    * needs). Returns (labels, rounds run). Synchronous LPA can
+    * 2-CYCLE on bipartite-ish structure (a star flips center↔leaves
+    * forever), so non-convergence inside maxIters raises — silently
+    * returning mid-oscillation labels would be a wrong answer, and
+    * the caller's recourse (asynchronous/stabilized update order) is
+    * a semantic choice they must make explicitly. The unrolled
+    * 2-round [[lpaLabels]] stays the oracle shadow; this is the
+    * production operator behind the same (sym, seeds) inputs. */
+  private[graft] def lpaFixpointEdges(sym0: DataFrame, seeds: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
+    val sym = sym0.localCheckpoint(true)
+    var labels = seeds.localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIters) {
+      val next = lpaRound(sym, labels).localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("code", "old"), "node")
+        .filter(col("code") =!= col("old")).count()
+      labels = next; rounds += 1
+    }
+    require(changed == 0,
+      s"LPA did not converge in $maxIters rounds ($changed labels " +
+        "still changing — synchronous LPA oscillates on bipartite " +
+        "structure; raise maxIters only if the trajectory is shrinking)")
+    (labels, rounds)
+  }
+
+  /** [[lpaLabels]]'s production form: the same co-purchase graph and
+    * brand seeds, propagated to the true fixpoint instead of the
+    * 2-round oracle unroll. Same output schema (node, code). */
+  def lpaConverged(s: SparkSession, dir: String,
+      maxIters: Int = 20): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .join(t(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("lbl")),
+        "node")
+      .join(broadcast(brandDict(s, dir)), "lbl")
+      .select(col("node"), col("code"))
+    lpaFixpointEdges(sym, seeds, maxIters)._1
+  }
 
   /** the q192 LPA pipeline as DuckDB CTEs (needs $edgeSql in scope
     * upstream): yields `dict(lbl, code)` and final labels

@@ -24,7 +24,7 @@ object PipelineOps {
     * never the |E|-row edge list. */
   private val txGraphCache = collection.mutable.Map
     .empty[(SparkSession, String), (DataFrame, Long)]
-  private[queries] def transactionGraph(s: SparkSession, dir: String)
+  private[graft] def transactionGraph(s: SparkSession, dir: String)
       : (DataFrame, Long) =
     txGraphCache.synchronized {
       txGraphCache.getOrElseUpdate((s, dir), {
@@ -44,6 +44,62 @@ object PipelineOps {
         (ej, ej.select(col("src")).distinct().count())
       })
     }
+
+  /** one damped-PageRank round in ×10⁻¹² fixed point: spread each
+    * node's rank over its out-edges (truncating DIV), damp by 85/100,
+    * add the teleport base. Shared by q120's 3-round oracle shadow
+    * and [[pagerankFixpoint]]. */
+  private[graft] def prRound(ej: DataFrame, ranks: DataFrame,
+      base: Long): DataFrame =
+    ej.join(ranks, col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("r div outdeg")).as("m"))
+      .select(col("dst").as("node"),
+        (lit(base) + expr("(85 * m) div 100")).as("r"))
+
+  /** Run-to-CONVERGENCE damped PageRank over a prepared (edges ⋈
+    * out-degrees) list: iterate [[prRound]] until the max per-node
+    * fixed-point delta ≤ epsFp (default 10⁶ fp units = 10⁻⁶ rank
+    * mass). The damping factor contracts deltas by ~0.85/round, so
+    * the integer trajectory reaches any fixed eps in O(log 1/eps)
+    * rounds regardless of graph size — maxIters is a loud-failure
+    * backstop, not a tuning knob. Loop discipline =
+    * [[connectedComponents]]: eager localCheckpoint per round (plans
+    * stay constant-size), and the delta aggregation rides the
+    * materialized round. The 3-round q120 stays the oracle shadow;
+    * this is the production operator behind the same (ej, n) inputs,
+    * and ConvergenceSpec checks it bit-for-bit against an in-driver
+    * integer reference on the same graph. */
+  private[graft] def pagerankFixpoint(ej: DataFrame, n: Long,
+      epsFp: Long = 1000000L, maxIters: Int = 100): (DataFrame, Int) = {
+    val unit = 1000000000000L
+    val base = 15L * unit / 100L / n
+    var ranks = ej.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(unit / n))
+      .localCheckpoint(true)
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta > epsFp && rounds < maxIters) {
+      val next = prRound(ej, ranks, base).localCheckpoint(true)
+      delta = next.join(ranks.withColumnRenamed("r", "old"), "node")
+        .agg(max(abs(col("r") - col("old")))).head().getLong(0)
+      ranks = next; rounds += 1
+    }
+    require(delta <= epsFp,
+      s"PageRank did not converge in $maxIters rounds (max delta " +
+        s"$delta fp > $epsFp)")
+    (ranks, rounds)
+  }
+
+  /** q120's production form: same transaction graph, same output
+    * schema (node, rank_fp), but iterated to convergence instead of
+    * the 3-round oracle unroll. */
+  def pagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val (ej, n) = transactionGraph(s, dir)
+    pagerankFixpoint(ej, n)._1
+      .orderBy(col("r").desc, col("node")).limit(100)
+      .select(col("node"), col("r").as("rank_fp"))
+  }
 
   /** HashMin connected components over an undirected edge list:
     * every node's label converges to the smallest doc_id reachable
@@ -1029,14 +1085,7 @@ object PipelineOps {
         val base = 15L * unit / 100L / n
         var ranks = ej.select(col("src").as("node")).distinct()
           .withColumn("r", lit(unit / n))
-        for (_ <- 1 to 3) {
-          ranks = ej
-            .join(ranks, col("src") === col("node"))
-            .groupBy(col("dst"))
-            .agg(sum(expr("r div outdeg")).as("m"))
-            .select(col("dst").as("node"),
-              (lit(base) + expr(s"(85 * m) div 100")).as("r"))
-        }
+        for (_ <- 1 to 3) ranks = prRound(ej, ranks, base)
         ranks.orderBy(col("r").desc, col("node")).limit(100)
           .select(col("node"), col("r").as("rank_fp"))
       },

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{GraphOps, PipelineOps}
+
+/** Run-to-fixpoint graph operators (VERDICT r8 item 4): the unrolled
+  * 3/2-round catalog queries (q124/q192/q120) stay as oracle shadows;
+  * these specs pin the convergence-mode variants behind the same
+  * signatures — loop depth beyond the unroll, parity with the unroll
+  * where the unroll already converges, loud failure on oscillation,
+  * and (for PageRank) bit-exact agreement with an independent
+  * in-driver integer reference.
+  */
+class ConvergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** symmetric (both-direction) edge list from undirected pairs. */
+  private def symOf(pairs: Seq[(Long, Long)]): DataFrame = {
+    val e = pairs.toDF("u", "v")
+    e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  test("k-core fixpoint peels past the 3-round unroll on a path") {
+    // a 10-node path at k = 2 dissolves endpoint-pair by
+    // endpoint-pair: 5 peel rounds, strictly more than the unroll
+    val chain = symOf((0L until 9L).map(i => (i, i + 1)))
+    val (surv, rounds) = GraphOps.kcoreFixpointEdges(chain, 2)
+    assert(surv.count() == 0, "a path has no 2-core")
+    assert(rounds > 3, s"expected > 3 peel rounds, got $rounds")
+    // the fixed 3-round shadow UNDER-peels the same graph — the gap
+    // the convergence mode exists to close
+    assert(GraphOps.kcorePeelEdges(chain, 2, 3).count() > 0)
+  }
+
+  test("k-core fixpoint equals the unrolled shadow when 3 rounds suffice") {
+    // K5 plus one pendant: the pendant drops in round 1, round 2
+    // confirms the fixpoint — well inside the 3-round unroll
+    val k5 = for {
+      i <- 0L until 5L; j <- (i + 1) until 5L
+    } yield (i, j)
+    val g = symOf(k5 :+ (0L -> 99L))
+    val (fix, rounds) = GraphOps.kcoreFixpointEdges(g, 3)
+    assert(rounds <= 3, s"got $rounds")
+    val toSet = (df: DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(toSet(fix) == toSet(GraphOps.kcorePeelEdges(g, 3, 3)))
+  }
+
+  test("kcoreConverged output is a true k-core on the co-purchase graph") {
+    val res = GraphOps.kcoreConverged(spark, sf(), 5)
+    // the defining fixpoint property: every survivor keeps >= k
+    // neighbors INSIDE the surviving subgraph
+    assert(res.filter(col("residual_deg") < 5).count() == 0)
+    assert(res.count() > 0, "sf0.001 co-purchase graph has a 5-core")
+  }
+
+  test("LPA fixpoint equals the 2-round unroll where 2 rounds converge") {
+    // two label-homogeneous triangles joined by one bridge edge:
+    // every node keeps its majority label, fixpoint after one
+    // confirming round
+    val sym = symOf(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 9L), (5L, 9L), (6L, 9L)).toDF("node", "code")
+    val (labels, rounds) = GraphOps.lpaFixpointEdges(sym, seeds)
+    val toSet = (df: DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rounds == 1, s"got $rounds") // round 1 changes nothing
+    assert(toSet(labels) == toSet(seeds.toDF("node", "code")))
+    assert(toSet(labels) ==
+      toSet(GraphOps.lpaRound(sym, GraphOps.lpaRound(sym, seeds))))
+  }
+
+  test("LPA fixpoint fails loudly on a 2-cycling star") {
+    // synchronous LPA on a star flips center<->leaves forever; the
+    // convergence mode must raise, not return mid-oscillation labels
+    val sym = symOf((1L to 4L).map(i => (0L, i)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = (0L to 4L).map(i => (i, i)).toDF("node", "code")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.lpaFixpointEdges(sym, seeds, maxIters = 6)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("PageRank fixpoint matches an in-driver integer reference bit-for-bit") {
+    val (ej, n) = PipelineOps.transactionGraph(spark, sf())
+    val (ranks, rounds) = PipelineOps.pagerankFixpoint(ej, n)
+    // independent reference: the same x1e-12 fixed-point recurrence
+    // on collected edges, in plain Scala maps
+    val edges = ej.select(col("src"), col("dst"), col("outdeg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val unit = 1000000000000L
+    val base = 15L * unit / 100L / n
+    var ref = edges.map(_._1).distinct.map(_ -> unit / n).toMap
+    var delta = Long.MaxValue
+    var iters = 0
+    while (delta > 1000000L && iters < 100) {
+      val contrib = collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s0, d0, od) => contrib(d0) += ref(s0) / od }
+      val next = contrib.iterator
+        .map { case (node, m) => node -> (base + 85L * m / 100L) }.toMap
+      delta = next.iterator.map { case (k, v) => math.abs(v - ref(k)) }.max
+      ref = next; iters += 1
+    }
+    assert(delta <= 1000000L, "reference itself failed to converge")
+    assert(rounds == iters, s"distributed $rounds vs reference $iters")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+}
