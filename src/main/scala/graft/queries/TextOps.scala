@@ -1133,6 +1133,17 @@ object TextOps {
     * N ≈ 5·10¹⁵ tokens, enforced below). Shape: one token pass, two
     * hash-aggs, one equi-join of (source, word) counts against the
     * vocab-sized word table. */
+
+  /** q137's 128-bit overflow guard, exposed for the contract spec:
+    * the TV numerator is bounded by ~3·10⁶·N², so N must stay below
+    * 5·10¹⁵ tokens for the DECIMAL(38,0)/HUGEINT products to be
+    * exact. Failing LOUDLY here is the contract — past the bound
+    * Spark's decimal would null/overflow while DuckDB raises, a
+    * silent cross-engine divergence. */
+  private[graft] def requireDivergenceBound(n: Long): Unit =
+    require(n < 5000000000000000L,
+      s"q137: corpus token count $n would overflow the 10^38 bound")
+
   private lazy val sourceDivergenceQueryDef = QueryDef(
     "q137_source_divergence",
     (s, dir) => {
@@ -1145,9 +1156,7 @@ object TextOps {
       val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
       val sTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
       val n = wTot.agg(sum(col("c_w"))).head().getLong(0)
-      // numerator bound ≈ 3·10⁶·N² must stay inside DECIMAL(38,0)
-      require(n < 5000000000000000L,
-        s"q137: corpus token count $n would overflow the 10^38 bound")
+      requireDivergenceBound(n)
       val dec = (c: Column) => c.cast("decimal(38,0)")
       sw.join(wTot, "w").join(sTot, "source")
         .groupBy(col("source"))

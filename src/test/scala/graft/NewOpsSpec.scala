@@ -96,4 +96,46 @@ class NewOpsSpec extends SparkSpec {
         s"pair ($va, $vb) ranks ($rab, $rba) outside top-3")
     }
   }
+
+  test("q137: the 128-bit overflow guard fails loudly past the bound") {
+    // past ~5·10¹⁵ tokens the TV numerator (~3·10⁶·N²) exceeds
+    // DECIMAL(38,0): Spark would null out while DuckDB raises — the
+    // guard turning that silent divergence into a loud failure IS
+    // the contract (VERDICT r5/r8)
+    queries.TextOps.requireDivergenceBound(4999999999999999L)
+    intercept[IllegalArgumentException] {
+      queries.TextOps.requireDivergenceBound(5000000000000000L)
+    }
+  }
+
+  test("q141: same-millisecond signups resolve to the ms-group max") {
+    // the ms tie contract (VERDICT r7): the oracle only sees ms
+    // timestamps, so two signups inside one millisecond MUST collapse
+    // to one (user, ms) row carrying max(value) BEFORE the as-of
+    // pass — grouping by raw ns would let the backward pass pick the
+    // latest-ns value instead of the group max, a data-dependent
+    // cross-engine mismatch invisible on driver data without ns ties.
+    val dir = java.nio.file.Files.createTempDirectory("q141pin").toString
+    val us = org.apache.spark.sql.functions.timestamp_micros _
+    val c = org.apache.spark.sql.functions.col _
+    Seq(
+      // user 1: two signups in ms 5000 — the LATER-ns one carries the
+      // SMALLER value, so group-max (30) and latest-ns (10) disagree
+      (1L, 5000100L, 1L, "signup", 30.0, "{}"),
+      (2L, 5000900L, 1L, "signup", 10.0, "{}"),
+      (3L, 6000000L, 1L, "click", 0.0, "{}"),
+      // user 2: click exactly between two signups — tie → backward
+      (4L, 1000000L, 2L, "signup", 1.0, "{}"),
+      (5L, 3000000L, 2L, "signup", 2.0, "{}"),
+      (6L, 2000000L, 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", us(c("ts_us"))).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q141_asof_nearest")(spark, dir)
+      .select($"event_id", $"nearest_ms", $"nearest_value", $"delta_ms")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (3L, 5000L, 30.0, -1000L), // ms-group max, NOT the latest-ns 10.0…
+      (6L, 1000L, 1.0, -1000L))) // …and equidistant resolves backward
+  }
 }

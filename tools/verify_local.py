@@ -31,6 +31,86 @@ def norm(v):
     return v
 
 
+def split_ctes(sql):
+    """Split a single-statement 'WITH a AS (...), b AS (...) SELECT …'
+    into ([(name, body), …], final_select). Top-level split only; the
+    scanner is quote-aware so parens inside string literals don't
+    break the depth count. Returns None for WITH RECURSIVE (a
+    recursive CTE can't be materialized as a plain temp table)."""
+    s = sql.strip()
+    if not s.upper().startswith("WITH"):
+        return None
+    i = 4
+    if s.upper()[:14] == "WITH RECURSIVE":
+        return None
+    ctes = []
+    while True:
+        while s[i].isspace():
+            i += 1
+        j = i
+        while s[j].isalnum() or s[j] == "_":
+            j += 1
+        name = s[i:j]
+        i = j
+        while s[i].isspace():
+            i += 1
+        assert s[i:i + 2].upper() == "AS", f"expected AS at {i}: {s[i:i+20]}"
+        i += 2
+        while s[i].isspace():
+            i += 1
+        assert s[i] == "(", f"expected ( at {i}"
+        depth, j, quoted = 0, i, False
+        while True:
+            c = s[j]
+            if quoted:
+                if c == "'":
+                    quoted = False
+            elif c == "'":
+                quoted = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        ctes.append((name, s[i + 1:j]))
+        i = j + 1
+        while s[i].isspace():
+            i += 1
+        if s[i] == ",":
+            i += 1
+            continue
+        return ctes, s[i:]
+
+
+def run_flat(con, sql, timeout):
+    """Re-run one oracle with every top-level CTE materialized as a
+    TEMP TABLE in order (earlier tables dropped only at the end —
+    later CTEs and the final SELECT may reference any of them). This
+    bounds peak memory to one CTE's working set instead of the whole
+    pipelined tree, which is what lets the deep unrolled-fixpoint
+    graph oracles (q124/q201/q212) complete at sf1 where the
+    single-statement form exhausts RAM/spill. Semantics are identical
+    by construction: same SQL text per CTE, same final SELECT."""
+    parts = split_ctes(sql)
+    if parts is None:
+        return None, "unflattenable"
+    ctes, final = parts
+    made = []
+    try:
+        for name, body in ctes:
+            df, to = run_with_timeout(
+                con, f"CREATE TEMP TABLE {name} AS {body}", timeout)
+            if to == "timeout":
+                return None, "timeout"
+            made.append(name)
+        return run_with_timeout(con, final, timeout)
+    finally:
+        for name in reversed(made):
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+
+
 def run_with_timeout(con, sql, timeout):
     """Run one oracle query, interrupting it after `timeout` seconds
     (None = no limit). Lets the sweep cover larger SFs where a heavy
@@ -74,21 +154,30 @@ def main(sf_dir, out_dir, timeout=None):
         oracle = json.load(f)
     failures = 0
     for name, sql in sorted(oracle.items()):
+        flat = ""
         try:
             exp, to = run_with_timeout(con, sql, timeout)
-            if to == "timeout":
-                print(f"SKIP {name}: oracle exceeded {timeout}s in DuckDB")
-                continue
+            if to == "timeout" or exp is None:
+                raise MemoryError("oracle timeout")
         except Exception as e:
-            if "Out of Memory" in str(e):
-                # same class as a timeout: the ORACLE engine can't
-                # complete at this SF on this host — no ground truth,
-                # not a wrong answer
-                print(f"SKIP {name}: oracle out of memory in DuckDB")
+            oom = isinstance(e, MemoryError) or "Out of Memory" in str(e)
+            if not oom:
+                print(f"FAIL {name}: oracle SQL error: {e}")
+                failures += 1
                 continue
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            failures += 1
-            continue
+            # resource exhaustion in the pipelined form: retry with
+            # every top-level CTE materialized as a temp table, which
+            # bounds peak memory per step (the deep unrolled graph
+            # CTEs at sf1). Identical SQL per step ⇒ same semantics.
+            try:
+                exp, to = run_flat(con, sql, timeout)
+            except Exception as e2:
+                exp, to = None, str(e2)
+            if exp is None:
+                print(f"SKIP {name}: oracle exhausted DuckDB resources "
+                      f"(flat retry: {to})")
+                continue
+            flat = " [flat]"
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -135,7 +224,8 @@ def main(sf_dir, out_dir, timeout=None):
                   f"row={i} exp={a!r} got={b!r}")
             failures += 1
         else:
-            print(f"PASS {name}: {len(exp)} rows, {len(exp.columns)} cols")
+            print(f"PASS {name}: {len(exp)} rows, {len(exp.columns)} cols"
+                  f"{flat}")
     # queries without oracle: rows-only
     import os
     declared = set(oracle)
