@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** Round-3 widening of the relational surface: the join/agg/reshape
@@ -1157,6 +1158,140 @@ object ExtendedOps {
         |FROM scored JOIN md ON scored.source = md.source
         |  AND scored.dabs = md.md
         |GROUP BY scored.source, scored.n_s, md.md, md.n_s
-        |ORDER BY scored.source""".stripMargin))
+        |ORDER BY scored.source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // CUPED variance reduction + sample-ratio-mismatch screen — the
+    // two pre-reads every experiment pipeline runs before trusting
+    // q209's t-stat. The timeline splits at its midpoint: each user's
+    // PRE-period purchase revenue is the covariate X, the POST-period
+    // revenue the metric Y; theta = cov(X,Y)/var(X) pooled over both
+    // arms (assignment is independent of X, so pooling is unbiased
+    // and halves the variance of theta itself), adjusted arm means
+    // are mean(Y) − theta·(mean(X) − mean(X overall)), and rho² =
+    // cov²/(var_x·var_y) is the fraction of metric variance the
+    // covariate removes. SRM: exact integer chi² of the 50/50 split,
+    // (na−nb)²·10⁶ DIV (na+nb) — the assignment-bug tripwire.
+    // Determinism: per-user sums in DECIMAL(18,4) (exact), cross
+    // moments in DECIMAL(38,8) (exact), every double derived via
+    // dSplit on identical operands in an identical expression tree on
+    // both engines. Scale shape: one events scan → one per-user
+    // hash-agg (map-side combinable conditional sums) → one 2-row
+    // arm agg + one 1-row moment agg; nothing downstream of the
+    // per-user agg scales with SF.
+    QueryDef("q230_cuped",
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("event_type") === "purchase")
+        val Array(lo, hi) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val mid = (lo + hi) / 2
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts_ms") < mid, dec(col("value")))
+              .otherwise(dec(lit(0)))).cast(DecimalType(18, 4)).as("x"),
+            sum(when(col("ts_ms") >= mid, dec(col("value")))
+              .otherwise(dec(lit(0)))).cast(DecimalType(18, 4)).as("y"))
+          .withColumn("grp",
+            conv(substring(md5(col("user_id").cast("string")), 1, 15),
+              16, 10).cast("long") % 2)
+        val mom = perUser.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 8))).as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 8))).as("sxy"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 8))).as("syy"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("grp") === 0, col("x"))
+            .otherwise(dec(lit(0)))).as("sxa"),
+          sum(when(col("grp") === 0, col("y"))
+            .otherwise(dec(lit(0)))).as("sya"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("grp") === 1, col("x"))
+            .otherwise(dec(lit(0)))).as("sxb"),
+          sum(when(col("grp") === 1, col("y"))
+            .otherwise(dec(lit(0)))).as("syb"))
+        val covXY = dSplit(col("sxy")) -
+          dSplit(col("sx")) * dSplit(col("sy")) / col("n")
+        val varX = dSplit(col("sxx")) -
+          dSplit(col("sx")) * dSplit(col("sx")) / col("n")
+        val varY = dSplit(col("syy")) -
+          dSplit(col("sy")) * dSplit(col("sy")) / col("n")
+        val theta = covXY / varX
+        val mxAll = dSplit(col("sx")) / col("n")
+        val adjA = dSplit(col("sya")) / col("na") -
+          theta * (dSplit(col("sxa")) / col("na") - mxAll)
+        val adjB = dSplit(col("syb")) / col("nb") -
+          theta * (dSplit(col("sxb")) / col("nb") - mxAll)
+        val rho2 = covXY * covXY / (varX * varY)
+        mom.select(
+          col("na"), col("nb"),
+          expr("CAST(((na - nb) * (na - nb) * 1000000)" +
+            " DIV (na + nb) AS BIGINT)").as("srm_chi2_fp"),
+          floor(theta * 1000000 + 0.5).cast("long").as("theta_fp"),
+          floor((dSplit(col("sya")) / col("na")) * 1000000 + 0.5)
+            .cast("long").as("mean_a_fp"),
+          floor((dSplit(col("syb")) / col("nb")) * 1000000 + 0.5)
+            .cast("long").as("mean_b_fp"),
+          floor(adjA * 1000000 + 0.5).cast("long").as("adj_a_fp"),
+          floor(adjB * 1000000 + 0.5).cast("long").as("adj_b_fp"),
+          floor(rho2 * 1000000 + 0.5).cast("long").as("var_removed_fp"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v, $tsMs AS tm
+        |  FROM events WHERE event_type = 'purchase'),
+        |mid AS (SELECT (min(tm) + max(tm)) // 2 AS m FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN tm < (SELECT m FROM mid) THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+        |    CAST(sum(CASE WHEN tm >= (SELECT m FROM mid) THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y,
+        |    CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+        |      AS BIGINT) % 2 AS grp
+        |  FROM ev GROUP BY user_id),
+        |mom AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,8))) AS sxy,
+        |    sum(CAST(y * y AS DECIMAL(38,8))) AS syy,
+        |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN grp = 0 THEN x
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sxa,
+        |    sum(CASE WHEN grp = 0 THEN y
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sya,
+        |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN grp = 1 THEN x
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS sxb,
+        |    sum(CASE WHEN grp = 1 THEN y
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS syb
+        |  FROM pu),
+        |f AS (
+        |  SELECT n, na, nb, sxa, sya, sxb, syb,
+        |    ${dSplitSql("sxy")} - ${dSplitSql("sx")} * ${dSplitSql("sy")}
+        |      / n AS cov_xy,
+        |    ${dSplitSql("sxx")} - ${dSplitSql("sx")} * ${dSplitSql("sx")}
+        |      / n AS var_x,
+        |    ${dSplitSql("syy")} - ${dSplitSql("sy")} * ${dSplitSql("sy")}
+        |      / n AS var_y,
+        |    ${dSplitSql("sx")} / n AS mx_all
+        |  FROM mom)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(((na - nb) * (na - nb) * 1000000) // (na + nb) AS BIGINT)
+        |    AS srm_chi2_fp,
+        |  CAST(floor(cov_xy / var_x * 1000000 + 0.5) AS BIGINT)
+        |    AS theta_fp,
+        |  CAST(floor(${dSplitSql("sya")} / na * 1000000 + 0.5) AS BIGINT)
+        |    AS mean_a_fp,
+        |  CAST(floor(${dSplitSql("syb")} / nb * 1000000 + 0.5) AS BIGINT)
+        |    AS mean_b_fp,
+        |  CAST(floor((${dSplitSql("sya")} / na - cov_xy / var_x *
+        |    (${dSplitSql("sxa")} / na - mx_all)) * 1000000 + 0.5)
+        |    AS BIGINT) AS adj_a_fp,
+        |  CAST(floor((${dSplitSql("syb")} / nb - cov_xy / var_x *
+        |    (${dSplitSql("sxb")} / nb - mx_all)) * 1000000 + 0.5)
+        |    AS BIGINT) AS adj_b_fp,
+        |  CAST(floor(cov_xy * cov_xy / (var_x * var_y) * 1000000 + 0.5)
+        |    AS BIGINT) AS var_removed_fp
+        |FROM f""".stripMargin))
   )
 }

@@ -651,7 +651,8 @@ object TextOps {
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
     dupQualityQueryDef, listaggQueryDef, dedupSavingsQueryDef,
-    langConfusionQueryDef, containmentQueryDef)
+    langConfusionQueryDef, containmentQueryDef, raterKappaQueryDef,
+    datasetCardQueryDef)
 
   /** Shingle CONTAINMENT near-dup mining — the asymmetric measure
     * |A∩B| / min(|A|,|B|) that catches subset-style duplication
@@ -3014,4 +3015,169 @@ object TextOps {
       |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
       |FROM scored GROUP BY 1, 2
       |ORDER BY lang, predicted""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Inter-rater agreement (Cohen's kappa) between two independent
+  // quality heuristics — the calibration readout a labeling pipeline
+  // needs before trusting EITHER gate: raw agreement po is inflated
+  // whenever both raters say "keep" to almost everything, and kappa
+  // = (po − pe)/(1 − pe) subtracts the chance-agreement floor pe
+  // from the marginals. Rater A is q214's token gate (length band +
+  // stopword ratio); rater B is a character-shape gate (char band +
+  // mean word length in [3,12) bytes — spelled as the integer
+  // cross-comparison 3·ntok ≤ n_chars < 12·ntok, no division).
+  // EXACT integer form: kappa_fp = (n·(n11+n00) − (a1·b1 + a0·b0))
+  // ·10⁶ DIV (n² − (a1·b1 + a0·b0)) in DECIMAL(38,0)/HUGEINT (the
+  // q137 overflow contract — n² passes 2^63 at ~3·10⁹ docs/source);
+  // both engines truncate DIV toward zero, so negative kappa (worse
+  // than chance) is engine-identical too. Scale shape: ONE documents
+  // scan → one map-side-combinable per-source hash-agg on the four
+  // cells; nothing downstream scales with SF.
+  private lazy val raterKappaQueryDef = QueryDef(
+    "q231_rater_kappa",
+    (s, dir) => {
+      val tk = toks(col("text"))
+      val stop = Seq("the", "a", "of", "and", "to")
+      val ntok = size(tk).cast("long")
+      val ra = (ntok.between(10L, 1000L) &&
+        size(filter(tk, x => x.isInCollection(stop))).cast("double")
+          / ntok < 0.5).cast("long")
+      val rb = (col("n_chars").between(50L, 6000L) &&
+        col("n_chars") >= ntok * 3L && col("n_chars") < ntok * 12L)
+        .cast("long")
+      t(s, dir, "documents")
+        .select(col("source"), ra.as("ra"), rb.as("rb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra") * col("rb")).as("n11"),
+          sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+          sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+          sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+        .withColumn("kappa_fp", expr(
+          "CASE WHEN CAST(n AS DECIMAL(38,0)) * n" +
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)" +
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)) = 0" +
+            " THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST((CAST(n AS DECIMAL(38,0)) * (n11 + n00)" +
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)" +
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)))" +
+            " * 1000000" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * n" +
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)" +
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)))" +
+            " AS BIGINT) END"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH rated AS (
+      |  SELECT source,
+      |    CASE WHEN len(tk) BETWEEN 10 AND 1000
+      |      AND CAST(len(list_filter(tk, x -> x IN
+      |        ('the','a','of','and','to'))) AS DOUBLE) / len(tk) < 0.5
+      |      THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN n_chars BETWEEN 50 AND 6000
+      |      AND n_chars >= len(tk) * 3 AND n_chars < len(tk) * 12
+      |      THEN 1 ELSE 0 END AS rb
+      |  FROM (SELECT source, n_chars, $tokSql AS tk FROM documents)),
+      |cells AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(ra * rb) AS n11, sum(ra * (1 - rb)) AS n10,
+      |    sum((1 - ra) * rb) AS n01,
+      |    sum((1 - ra) * (1 - rb)) AS n00
+      |  FROM rated GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+      |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+      |  CAST(n00 AS BIGINT) AS n00,
+      |  CASE WHEN CAST(n AS HUGEINT) * n
+      |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) = 0
+      |    THEN CAST(0 AS BIGINT)
+      |    ELSE CAST((CAST(n AS HUGEINT) * (n11 + n00)
+      |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))) * 1000000
+      |      // (CAST(n AS HUGEINT) * n
+      |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)))
+      |      AS BIGINT) END AS kappa_fp
+      |FROM cells ORDER BY source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Per-source dataset card — the one-table datasheet a corpus
+  // release ships: volume (docs/tokens/chars), language spread,
+  // quality-gate pass rate and near-dup membership rate, each as an
+  // exact per-mille. This is deliberately a JOIN of the catalog's
+  // memoized curation primitives (the q214 token gate, the shared
+  // [[minedPairs]] 0.8 dup set) rather than fresh logic: the card
+  // must describe the SAME gates the pipeline runs, or it documents
+  // nothing. Scale shape: one documents scan with per-doc derived
+  // columns → per-source hash-agg; the dup set arrives as a
+  // broadcast-sized left join (|dup docs| ≪ |docs| at the 0.8
+  // threshold, df-cap-bounded by construction).
+  private lazy val datasetCardQueryDef = QueryDef(
+    "q232_dataset_card",
+    (s, dir) => {
+      val dupDocs = minedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select(explode(array(col("da"), col("db"))).as("doc_id"))
+        .distinct()
+      val tk = toks(col("text"))
+      val stop = Seq("the", "a", "of", "and", "to")
+      val ntok = size(tk).cast("long")
+      val qok = (ntok.between(10L, 1000L) &&
+        size(filter(tk, x => x.isInCollection(stop))).cast("double")
+          / ntok < 0.5).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), ntok.as("ntok"), qok.as("qok"))
+        .join(dupDocs.withColumn("dup", lit(1L)), Seq("doc_id"),
+          "left_outer")
+        .withColumn("dup", coalesce(col("dup"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("qok")).as("n_quality"),
+          sum(col("dup")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_langs"), col("n_quality"), col("n_dup"),
+          expr("(n_quality * 1000) DIV n_docs").as("quality_pm"),
+          expr("(n_dup * 1000) DIV n_docs").as("dup_pm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $shingleSql,
+      |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+      |ex AS (SELECT doc_id, sz, s FROM (
+      |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+      |  WHERE df <= $JaccardMaxDf),
+      |cnt AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+      |    count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |dup AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT da AS doc_id FROM cnt
+      |    WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8
+      |    UNION ALL
+      |    SELECT db FROM cnt
+      |    WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8)),
+      |per_doc AS (
+      |  SELECT d.source, d.lang, d.n_chars,
+      |    CAST(len(tk) AS BIGINT) AS ntok,
+      |    CASE WHEN len(tk) BETWEEN 10 AND 1000
+      |      AND CAST(len(list_filter(tk, x -> x IN
+      |        ('the','a','of','and','to'))) AS DOUBLE) / len(tk) < 0.5
+      |      THEN 1 ELSE 0 END AS qok,
+      |    CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+      |  FROM (SELECT doc_id, source, lang, n_chars, $tokSql AS tk
+      |        FROM documents) d
+      |  LEFT JOIN dup ON dup.doc_id = d.doc_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(qok) AS BIGINT) AS n_quality,
+      |  CAST(sum(dup) AS BIGINT) AS n_dup,
+      |  CAST((sum(qok) * 1000) // count(*) AS BIGINT) AS quality_pm,
+      |  CAST((sum(dup) * 1000) // count(*) AS BIGINT) AS dup_pm
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
 }
