@@ -3124,19 +3124,29 @@ object TextOps {
       val qok = (ntok.between(10L, 1000L) &&
         size(filter(tk, x => x.isInCollection(stop))).cast("double")
           / ntok < 0.5).cast("long")
+      // n_langs is a count-distinct BESIDE plain sums — spelled as the
+      // q167/q197 two-level pre-agg (level 1 on (source, lang), level 2
+      // count(*) = distinct langs, sums re-summed exactly) so the plan
+      // carries NO Expand doubling the shuffled rows.
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
           col("n_chars"), ntok.as("ntok"), qok.as("qok"))
         .join(dupDocs.withColumn("dup", lit(1L)), Seq("doc_id"),
           "left_outer")
         .withColumn("dup", coalesce(col("dup"), lit(0L)))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs_l"),
+          sum(col("ntok")).as("n_tokens_l"),
+          sum(col("n_chars")).as("n_chars_l"),
+          sum(col("qok")).as("n_quality_l"),
+          sum(col("dup")).as("n_dup_l"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ntok")).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(col("qok")).as("n_quality"),
-          sum(col("dup")).as("n_dup"))
+        .agg(sum(col("n_docs_l")).as("n_docs"),
+          sum(col("n_tokens_l")).as("n_tokens"),
+          sum(col("n_chars_l")).as("n_chars"),
+          count(lit(1)).as("n_langs"),
+          sum(col("n_quality_l")).as("n_quality"),
+          sum(col("n_dup_l")).as("n_dup"))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_langs"), col("n_quality"), col("n_dup"),
           expr("(n_quality * 1000) DIV n_docs").as("quality_pm"),
