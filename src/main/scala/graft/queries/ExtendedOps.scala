@@ -1292,6 +1292,57 @@ object ExtendedOps {
         |    AS BIGINT) AS adj_b_fp,
         |  CAST(floor(cov_xy * cov_xy / (var_x * var_y) * 1000000 + 0.5)
         |    AS BIGINT) AS var_removed_fp
-        |FROM f""".stripMargin))
+        |FROM f""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Join-output skew screen — the readout you run BEFORE a self- or
+    // fact-fact join to decide between plain shuffle, salting (q138)
+    // and a bloom prune (q146): per join key the estimated output
+    // cardinality is c² (self-join on l_partkey — the "parts bought
+    // together" shape), and the top offenders tell you how many salt
+    // shards the hot keys need. q89 profiles ONE table's per-key
+    // rows; this screens the JOIN's multiplicative blow-up, which is
+    // what actually OOMs a task. Exact integers: per-key counts, c²
+    // and the corpus total in DECIMAL(38,0)/HUGEINT (c² sums pass
+    // 2^63 at ~10⁵ rows per hot key × 10⁹ keys), top-20 share as
+    // ×10⁶ fixed point. Scale shape: one map-side-combinable
+    // hash-agg → a 20-row TakeOrdered → one broadcast-sized join
+    // against the 1-row total; the fact table is scanned once.
+    QueryDef("q233_join_skew_screen",
+      (s, dir) => {
+        val perKey = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+          .withColumn("est_out",
+            expr("CAST(c AS DECIMAL(38,0)) * c"))
+        val tot = perKey.agg(
+          sum(col("est_out")).as("total_est"),
+          count(lit(1)).as("n_keys"))
+        val top = perKey
+          .orderBy(col("est_out").desc, col("l_partkey")).limit(20)
+        top.crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("c"),
+            col("est_out").cast("decimal(38,0)").as("est_out"),
+            col("n_keys"),
+            expr("CAST(est_out * 1000000 DIV total_est AS BIGINT)")
+              .as("share_ppm"))
+          .orderBy(col("est_out").desc, col("l_partkey"))
+      },
+      Some("""WITH perkey AS (
+        |  SELECT l_partkey, count(*) AS c,
+        |    CAST(count(*) AS HUGEINT) * count(*) AS est_out
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT sum(est_out) AS total_est, count(*) AS n_keys
+        |  FROM perkey),
+        |top AS (
+        |  SELECT l_partkey, c, est_out FROM perkey
+        |  ORDER BY est_out DESC, l_partkey LIMIT 20)
+        |SELECT top.l_partkey, CAST(top.c AS BIGINT) AS c,
+        |  CAST(top.est_out AS DECIMAL(38,0)) AS est_out,
+        |  CAST(tot.n_keys AS BIGINT) AS n_keys,
+        |  CAST(top.est_out * 1000000 // tot.total_est AS BIGINT)
+        |    AS share_ppm
+        |FROM top CROSS JOIN tot
+        |ORDER BY top.est_out DESC, top.l_partkey""".stripMargin))
   )
 }

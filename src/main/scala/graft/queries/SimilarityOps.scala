@@ -1093,7 +1093,103 @@ object SimilarityOps {
         |    AS BIGINT) AS first_outlier
         |FROM qv JOIN m USING (label)
         |GROUP BY qv.label, m.n, m.mean_n2
-        |ORDER BY qv.label""".stripMargin))
+        |ORDER BY qv.label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // ANN retrieval quality eval — MRR@5 and hits@5 of the LSH index
+    // (q41) against the brute-force ground truth (q40), per query
+    // vector. q144 audits the DEDUP LSH's pair recall; this scores
+    // the RETRIEVAL index the way a search/RAG pipeline is actually
+    // graded: rr = 1/rank of the true nearest neighbor inside the
+    // approximate top-5 (0 when missed), hits@5 = |approx top-5 ∩
+    // exact top-5|. Both are exact integer fractions (10⁶ DIV rank;
+    // a 0-5 count) — no float metric. The two rankings are the
+    // catalog queries THEMSELVES (looked up from SparkEntry at run
+    // time), so the eval can never drift from what q40/q41 compute.
+    // Scale shape: both inputs end as ≤(10×5)-row tables; the eval
+    // joins are driver-trivial and the cost is the two underlying
+    // plans, each already scale-shaped (broadcast queries, bucketed
+    // candidates).
+    QueryDef("q234_ann_eval",
+      (s, dir) => {
+        val bf = graft.SparkEntry.queries("q40_knn_bruteforce")(s, dir)
+          .select(col("qid"), col("rank"), col("vec_id"))
+        val ann = graft.SparkEntry.queries("q41_knn_lsh")(s, dir)
+          .select(col("qid"), col("rank").as("arank"), col("vec_id"))
+        val truth = bf.filter(col("rank") === 1)
+          .select(col("qid"), col("vec_id"))
+        val rr = truth.join(ann, Seq("qid", "vec_id"), "left_outer")
+          .select(col("qid"),
+            coalesce(expr("1000000 DIV arank"), lit(0L)).as("rr_fp"))
+        val hits = bf.join(ann, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits5"))
+        rr.join(hits, Seq("qid"), "left_outer")
+          .select(col("qid"), col("rr_fp"),
+            coalesce(col("hits5"), lit(0L)).as("hits5"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, $quantSql AS v FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM qv),
+        |bfscored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST($dotSql AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
+        |  FROM (SELECT vec_id, v AS qv, n2 FROM normed WHERE vec_id < 10) q
+        |  CROSS JOIN (SELECT vec_id, v AS ev, n2 FROM normed) e
+        |  WHERE e.vec_id <> q.vec_id),
+        |bf AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM bfscored QUALIFY rank <= 5),
+        |signs AS (
+        |  SELECT tbl, p, i,
+        |    CASE WHEN (CAST(('0x' || substring(md5(tbl::VARCHAR || '_' || p::VARCHAR || '_' || i::VARCHAR), 1, 2)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(range(8)) AS tbl),
+        |       (SELECT unnest(range(4)) AS p),
+        |       (SELECT unnest(range(64)) AS i)),
+        |proj AS (
+        |  SELECT n.vec_id, s.tbl, s.p, sum(s.sg * n.v[s.i + 1]) AS pr
+        |  FROM normed n CROSS JOIN signs s
+        |  GROUP BY n.vec_id, s.tbl, s.p),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS b
+        |  FROM proj GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, e.vec_id
+        |  FROM (SELECT * FROM buckets WHERE vec_id < 10) q
+        |  JOIN buckets e ON q.tbl = e.tbl AND q.b = e.b
+        |    AND e.vec_id <> q.vec_id),
+        |annscored AS (
+        |  SELECT c.qid, c.vec_id,
+        |    CAST($dotSql AS DOUBLE)
+        |      / sqrt(CAST(q.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
+        |  FROM cand c
+        |  JOIN (SELECT vec_id, v AS qv, n2 FROM normed) q ON q.vec_id = c.qid
+        |  JOIN (SELECT vec_id, v AS ev, n2 FROM normed) e ON e.vec_id = c.vec_id),
+        |ann AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS arank
+        |  FROM annscored QUALIFY arank <= 5),
+        |truth AS (SELECT qid, vec_id FROM bf WHERE rank = 1),
+        |rr AS (
+        |  SELECT t.qid,
+        |    CAST(coalesce(1000000 // a.arank, 0) AS BIGINT) AS rr_fp
+        |  FROM truth t LEFT JOIN ann a
+        |    ON a.qid = t.qid AND a.vec_id = t.vec_id),
+        |hits AS (
+        |  SELECT bf.qid, count(*) AS hits5
+        |  FROM bf JOIN ann ON ann.qid = bf.qid AND ann.vec_id = bf.vec_id
+        |  GROUP BY bf.qid)
+        |SELECT rr.qid, rr.rr_fp,
+        |  CAST(coalesce(hits.hits5, 0) AS BIGINT) AS hits5
+        |FROM rr LEFT JOIN hits ON hits.qid = rr.qid
+        |ORDER BY rr.qid""".stripMargin))
   )
 
   /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into
