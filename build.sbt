@@ -34,4 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] is one JVM: driver heap is the only memory knob, and 8g
   // GC-thrashes a 40-query bench run on 32 threads
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

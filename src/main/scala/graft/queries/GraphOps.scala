@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -92,17 +92,35 @@ object GraphOps {
     adjCache.synchronized {
       adjCache.getOrElseUpdate((s, dir), {
         val deg = coPurchaseDegrees(s, dir)
+        // Compact-id regime: once the adjacency outgrows AQE's
+        // broadcast threshold, the triangle join's cost IS the bytes
+        // of neighbor arrays it shuffles (measured at sf1: the
+        // broadcast→shuffle-hash regime switch, ~6 GB of array rows,
+        // dominates the query). When every node id fits in 32 bits —
+        // decided HERE, from a 1-row max over the |V|-sized memoized
+        // degree table, so the choice is per-dataset and loud, not a
+        // silent truncation — src/dst/neighbor ids are stored as int,
+        // halving both the shuffled bytes and the merge-scan traffic
+        // (sorted_common has a matching int fast path). Beyond 2^31
+        // ids the long layout is kept unchanged.
+        val fitsInt = deg.agg(max(col("node"))).head().getLong(0) <
+          Int.MaxValue.toLong
+        val narrow = (c: Column) => if (fitsInt) c.cast("int") else c
         val withDeg = coPurchaseEdges(s, dir)
           .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        // NOT checkpointed: the oriented edge list's only consumer is
+        // the adjacency groupBy one line down (every catalog query
+        // reads the ADJACENCY), so materializing it would be a dead
+        // |E|-sized write on the cold path.
         val oriented = withDeg.select(
           when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("src"), col("v").as("dst")))
-            .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+            struct(narrow(col("u")).as("src"), narrow(col("v")).as("dst")))
+            .otherwise(
+              struct(narrow(col("v")).as("src"), narrow(col("u")).as("dst")))
             .as("e"))
           .select(col("e.src"), col("e.dst"))
-          .localCheckpoint(false)
         val adj = oriented.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nb"))
           .localCheckpoint(false)
@@ -163,6 +181,9 @@ object GraphOps {
       .select(col("a"), col("b"), explode(col("common")).as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      // widen back out of the compact-int regime BEFORE the degree
+      // join — the agg output is |V|-bounded, so the cast is free
+      .withColumn("node", col("node").cast("long"))
       .join(deg, "node")
       .select(col("node"), col("deg").as("degree"), col("triangles"),
         ((col("triangles") * 2).cast("double") /

@@ -15,6 +15,12 @@ class PlanAuditSpec extends SparkSpec {
       "q67_knn_ivf_probe", "q55_theta_join", "q126_hard_negatives",
       // 1-row × 1-row cross of two aggregate summaries (rule counts)
       "q135_constraint_check",
+      // 20-row TakeOrdered × broadcast 1-row corpus total — the skew
+      // screen's share-of-total readout; the fact scan never crosses
+      "q233_join_skew_screen",
+      // composes q40/q41 verbatim, so it inherits q40's intended
+      // broadcast of the 10-vector query set
+      "q234_ann_eval",
       // range self-join over the per-DAY sketch table: ~1 row per day
       // ever (the fact table is never in the join), so a broadcast
       // nested loop over the range condition is the intended plan
