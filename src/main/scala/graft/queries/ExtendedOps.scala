@@ -1343,6 +1343,68 @@ object ExtendedOps {
         |  CAST(top.est_out * 1000000 // tot.total_est AS BIGINT)
         |    AS share_ppm
         |FROM top CROSS JOIN tot
-        |ORDER BY top.est_out DESC, top.l_partkey""".stripMargin))
+        |ORDER BY top.est_out DESC, top.l_partkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Materialized-rollup rewrite (graft.plans.RollupRewrite): the
+    // aggregate is WRITTEN against the raw documents table and
+    // ANSWERED from the registered (lang, source) rollup — the
+    // optimizer rule swaps the fact scan for the |cells| rollup scan
+    // and merges the pre-aggregates (count → sum cnt, sum → sum of
+    // sums, min/max → min/max of bounds). The oracle computes from
+    // the raw table, so the hash-match IS the proof the rewrite is
+    // lossless. RollupRewriteSpec pins the plan (rollup path scanned,
+    // documents.parquet absent) and the transparent extraOptimizations
+    // path on an isolated session; here the rule is applied
+    // explicitly per-plan so suite plans never depend on run order.
+    // Scale shape: registration is a one-off hash-agg (any
+    // materialized view's cost); every covered query after it is
+    // O(grain cells), not O(corpus).
+    QueryDef("q235_rollup_rewrite",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        graft.plans.Rollup.register(s, base, Seq("lang", "source"),
+          Seq("n_chars"), ExtendedOps.rollupDir(dir))
+        graft.plans.Rollup.rewrite(
+          base.groupBy(col("lang")).agg(
+            count(lit(1)).as("docs"),
+            sum(col("n_chars")).as("chars_sum"),
+            min(col("n_chars")).as("chars_min"),
+            max(col("n_chars")).as("chars_max")))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(min(n_chars) AS BIGINT) AS chars_min,
+        |  CAST(max(n_chars) AS BIGINT) AS chars_max
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // the filter path of the same rule: a grain-column predicate is
+    // remapped onto the rollup scan (where the physical planner
+    // pushes it into the parquet reader), proving covered filters
+    // don't force a fall-back to the fact table
+    QueryDef("q236_rollup_filter",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+        graft.plans.Rollup.register(s, base, Seq("lang", "source"),
+          Seq("n_chars"), ExtendedOps.rollupDir(dir))
+        graft.plans.Rollup.rewrite(
+          base.filter(col("lang") =!= "en")
+            .groupBy(col("source")).agg(
+              count(lit(1)).as("docs"),
+              sum(col("n_chars")).as("chars_sum")))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE lang <> 'en'
+        |GROUP BY source ORDER BY source""".stripMargin))
   )
+
+  /** one rollup parquet per sfDir, under the JVM tmpdir (testdata is
+    * read-only); deterministic so a bench re-run in the same JVM hits
+    * the in-memory registry, a fresh JVM rebuilds with overwrite. */
+  private[queries] def rollupDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_rollup_docs_" +
+      java.lang.Integer.toHexString(dir.hashCode)
 }

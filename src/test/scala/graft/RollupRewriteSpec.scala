@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.plans.{Rollup, RollupRewrite}
+import graft.queries.Q
+
+/** The materialized-rollup rewrite, pinned from both ends: the plan
+  * MUST scan the rollup (a hash-matching result alone can't prove
+  * the rule fired — the un-rewritten query is equally correct), and
+  * the guards MUST leave uncovered queries on the fact scan (a
+  * rewrite there would be silently wrong, e.g. count(col) with
+  * nulls, avg, distinct). */
+class RollupRewriteSpec extends SparkSpec {
+
+  private val dir = sf()
+  private def base = Q.t(spark, dir, "documents")
+  private val rollupDir =
+    java.nio.file.Files.createTempDirectory("graft-rollup-spec").toString
+
+  private def ensure(): Unit =
+    Rollup.register(spark, base, Seq("lang", "source"), Seq("n_chars"),
+      rollupDir)
+
+  private def physPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain(true) }
+    out.toString
+  }
+
+  test("covered aggregate is answered from the rollup scan, exactly") {
+    ensure()
+    val q = base.groupBy(col("lang")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_chars")).as("chars_sum"),
+      min(col("n_chars")).as("chars_min"),
+      max(col("n_chars")).as("chars_max"))
+    val rewritten = Rollup.rewrite(q).orderBy("lang")
+    val plan = physPlan(rewritten)
+    assert(plan.contains("graft-rollup-spec") ||
+      plan.contains("graft_rollup"),
+      s"rewritten plan does not scan the rollup:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"rewritten plan still scans the fact table:\n$plan")
+    val expect = q.orderBy("lang").collect().toSeq
+    assert(rewritten.collect().toSeq === expect)
+  }
+
+  test("grain filter is remapped and pushed into the rollup scan") {
+    ensure()
+    val q = base.filter(col("lang") =!= "en").groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("s"))
+    val rewritten = Rollup.rewrite(q).orderBy("source")
+    val plan = physPlan(rewritten)
+    assert(!plan.contains("documents.parquet"), s"not rewritten:\n$plan")
+    // the remapped predicate reaches the rollup scan's pushed filters
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), Not(EqualTo(lang,en))]")
+      || plan.contains("Not(EqualTo(lang,en))"),
+      s"grain filter not pushed into the rollup scan:\n$plan")
+    assert(rewritten.collect().toSeq === q.orderBy("source").collect().toSeq)
+  }
+
+  test("uncovered shapes stay on the fact scan (guards)") {
+    ensure()
+    val uncovered = Seq(
+      // count(col) skips nulls; the rollup has no per-column null cnt
+      base.groupBy(col("lang")).agg(count(col("text")).as("c")),
+      // avg is not in the lossless merge algebra registered here
+      base.groupBy(col("lang")).agg(avg(col("n_chars")).as("a")),
+      // distinct aggregate
+      base.groupBy(col("lang")).agg(countDistinct(col("source")).as("d")),
+      // filter on a NON-grain column
+      base.filter(col("n_chars") > 100).groupBy(col("lang"))
+        .agg(count(lit(1)).as("c")),
+      // uncovered measure
+      base.groupBy(col("lang")).agg(sum(col("doc_id")).as("s")),
+      // expression-valued grouping key
+      base.groupBy(upper(col("lang")).as("l")).agg(count(lit(1)).as("c")))
+    uncovered.foreach { q =>
+      val plan = physPlan(Rollup.rewrite(q))
+      assert(plan.contains("documents.parquet"),
+        s"guard failed — uncovered query was rewritten:\n$plan")
+    }
+  }
+
+  test("transparent path: extraOptimizations rewrites with no query change") {
+    ensure()
+    // isolated session: same SparkContext, fresh SessionState —
+    // registering the rule here can't leak into other suites' plans
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.session.timeZone", "UTC")
+    Shim.addOptimizerRule(iso, RollupRewrite)
+    val q = Q.t(iso, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("s"))
+      .orderBy("lang")
+    val plan = physPlan(q)
+    assert(!plan.contains("documents.parquet"),
+      s"optimizer-injected rule did not rewrite:\n$plan")
+    val direct = Q.t(spark, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("s"))
+      .orderBy("lang")
+    assert(q.collect().toSeq === direct.collect().toSeq)
+  }
+}
