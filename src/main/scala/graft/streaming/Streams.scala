@@ -676,4 +676,25 @@ object Streams {
           (key, n)
         })
   }
+
+  /** Incremental maintenance of a [[graft.plans.Rollup]] rollup: the
+    * SAME grain × (cnt, sum/min/max) cells `Rollup.register` builds
+    * in batch, kept fresh by Spark's built-in streaming aggregation —
+    * deliberately NO custom state here, because count/sum/min/max
+    * over an append-only stream is exactly the mergeable-partial
+    * algebra the engine already maintains incrementally (min/max are
+    * safe only because nothing retracts; a delete stream would need
+    * the CDC path, `latestStateStream`). Complete-mode output equals
+    * the batch rollup on ANY micro-batch chopping
+    * (`RollupRewriteSpec`), so the aggregate-navigation rewrite can
+    * serve dashboards from a rollup that is seconds stale instead of
+    * rebuild-cycle stale. State is |grain-cells| rows — the same
+    * reason the rewrite works is the reason the state stays small. */
+  def rollupMaintenanceStream(
+      rows: DataFrame, grain: Seq[String], measure: String): DataFrame =
+    rows.groupBy(grain.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(measure)).as(s"sum_$measure"),
+      min(col(measure)).as(s"min_$measure"),
+      max(col(measure)).as(s"max_$measure"))
 }

@@ -84,6 +84,37 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("streaming maintenance converges to the batch rollup cells") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = base.select("lang", "source", "n_chars")
+      .as[(String, String, Long)].collect().toSeq
+    val want = base.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col("n_chars")).as("sum_n_chars"),
+      min(col("n_chars")).as("min_n_chars"),
+      max(col("n_chars")).as("max_n_chars"))
+      .orderBy("lang", "source").collect().toSeq
+    // chopping invariance: one batch vs five — the merge algebra
+    // can't depend on how the stream was chopped
+    Seq(1, 5).foreach { chops =>
+      val in = MemoryStream[(String, String, Long)]
+      val q = graft.streaming.Streams.rollupMaintenanceStream(
+          in.toDF().toDF("lang", "source", "n_chars"),
+          Seq("lang", "source"), "n_chars")
+        .writeStream.format("memory").queryName(s"roll_mem_$chops")
+        .outputMode("complete").start()
+      rows.grouped(math.max(1, rows.size / chops)).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"roll_mem_$chops")
+        .orderBy("lang", "source").collect().toSeq
+      assert(got === want, s"streaming rollup != batch at chops=$chops")
+    }
+  }
+
   test("transparent path: extraOptimizations rewrites with no query change") {
     ensure()
     // isolated session: same SparkContext, fresh SessionState —
