@@ -4,9 +4,11 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, AttributeReference, Expression, NamedExpression}
+  Alias, And, AttributeReference, Cast, Divide, Expression,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -21,10 +23,11 @@ import org.apache.spark.sql.graftshim.Shim
   * each measure), any aggregate the rollup COVERS is answered from
   * the rollup scan instead of the fact scan. Covered means: grouping
   * keys ⊆ grain columns, filters reference grain columns only, and
-  * every aggregate is `count(literal)` / `sum` / `min` / `max` of a
-  * registered measure — exactly the algebra that re-aggregates
-  * losslessly (count → sum of cnt; sum → sum of sums; min/max →
-  * min/max of per-cell bounds). The rewrite is EXACT by
+  * every aggregate is `count(literal)` / `sum` / `min` / `max` /
+  * `avg` of a registered measure — exactly the algebra that
+  * re-aggregates losslessly (count → sum of cnt; sum → sum of sums;
+  * min/max → min/max of per-cell bounds; avg → exact sum-of-sums ÷
+  * sum-of-cnt). The rewrite is EXACT by
   * construction, not approximate: the rollup is derived from the
   * base table by the same engine, so a hash-compare against the
   * fact-table form is the correctness gate (q235/q236).
@@ -144,6 +147,25 @@ object RollupRewrite extends Rule[LogicalPlan] {
               if rd.measures.contains(a.name) =>
             ae.copy(aggregateFunction =
               Max(rollupAttr(s"max_${a.name}").getOrElse(return None)))
+          // avg over facts = exact long sum-of-sums ÷ exact count.
+          // Covered only for integral measures with a LONG rollup
+          // sum: there the merged form is bit-identical below 2^53
+          // total (integer partials are exact doubles) and MORE
+          // exact above it (built-in Average accumulates the fact
+          // rows in a double, the rewrite divides two exact longs
+          // once). Decimal averages bail — re-summing widens the
+          // intermediate precision.
+          case Average(a: AttributeReference, _)
+              if rd.measures.contains(a.name) &&
+                fn.dataType == DoubleType =>
+            val sumSrc = rollupAttr(s"sum_${a.name}").getOrElse(return None)
+            if (sumSrc.dataType != LongType) return None
+            val sumAgg = ae.copy(aggregateFunction = Sum(sumSrc))
+            val cntAgg = ae.copy(
+              aggregateFunction =
+                Sum(rollupAttr(rd.cnt).getOrElse(return None)),
+              resultId = NamedExpression.newExprId)
+            Divide(Cast(sumAgg, DoubleType), Cast(cntAgg, DoubleType))
           case _ => return None
         }
         Alias(merged, name)(exprId = al.exprId)

@@ -66,8 +66,8 @@ class RollupRewriteSpec extends SparkSpec {
     val uncovered = Seq(
       // count(col) skips nulls; the rollup has no per-column null cnt
       base.groupBy(col("lang")).agg(count(col("text")).as("c")),
-      // avg is not in the lossless merge algebra registered here
-      base.groupBy(col("lang")).agg(avg(col("n_chars")).as("a")),
+      // avg of an UNCOVERED measure (covered-measure avg rewrites)
+      base.groupBy(col("lang")).agg(avg(col("doc_id")).as("a")),
       // distinct aggregate
       base.groupBy(col("lang")).agg(countDistinct(col("source")).as("d")),
       // filter on a NON-grain column
@@ -82,6 +82,20 @@ class RollupRewriteSpec extends SparkSpec {
       assert(plan.contains("documents.parquet"),
         s"guard failed — uncovered query was rewritten:\n$plan")
     }
+  }
+
+  test("avg of a covered measure merges as exact sums and matches") {
+    ensure()
+    val q = base.groupBy(col("lang")).agg(
+      avg(col("n_chars")).as("mean_chars"),
+      count(lit(1)).as("docs"))
+    val rewritten = Rollup.rewrite(q).orderBy("lang")
+    val plan = physPlan(rewritten)
+    assert(!plan.contains("documents.parquet"),
+      s"covered avg was not rewritten:\n$plan")
+    // bit-identical here: total chars < 2^53, so Average's double
+    // accumulation over facts is exact and equals sum-of-sums ÷ cnt
+    assert(rewritten.collect().toSeq === q.orderBy("lang").collect().toSeq)
   }
 
   test("streaming maintenance converges to the batch rollup cells") {
