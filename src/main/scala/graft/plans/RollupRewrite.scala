@@ -81,11 +81,19 @@ object RollupRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Navigator selection: candidates arrive coarsest-first (fewest
+    * grain columns ⇒ fewest cells when rollups form a hierarchy, the
+    * registered shape); the first candidate that COVERS the query
+    * wins, so a lang-grain query reads the |langs|-row rollup even
+    * when a (lang, source) one also exists, and a query needing a
+    * dropped column simply falls through to the finer rollup (or to
+    * the fact scan). */
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (baseRel, filters) <- stripToScan(agg.child)
-      rd <- Rollup.lookup(baseRel)
-      rewritten <- rewriteWith(agg, rd, filters)
+      rewritten <- Rollup.lookup(baseRel).iterator
+        .flatMap(rd => rewriteWith(agg, rd, filters))
+        .nextOption()
     } yield rewritten
   }
 
@@ -197,7 +205,9 @@ object Rollup {
       cnt: String,
       measures: Set[String])
 
-  private val registry = mutable.Map[String, RollupDef]()
+  /** per base table, the registered rollups sorted coarsest-first
+    * (fewest grain columns) — the navigator's preference order. */
+  private val registry = mutable.Map[String, List[RollupDef]]()
 
   private def pathKey(lr: LogicalRelation): Option[String] =
     lr.relation match {
@@ -206,8 +216,10 @@ object Rollup {
       case _ => None
     }
 
-  def lookup(lr: LogicalRelation): Option[RollupDef] =
-    registry.synchronized { pathKey(lr).flatMap(registry.get) }
+  def lookup(lr: LogicalRelation): List[RollupDef] =
+    registry.synchronized {
+      pathKey(lr).flatMap(registry.get).getOrElse(Nil)
+    }
 
   private def scanOf(df: DataFrame): LogicalRelation =
     Shim.analyzed(df).collectFirst { case lr: LogicalRelation => lr }
@@ -230,16 +242,18 @@ object Rollup {
       rollupDir: String): Unit = registry.synchronized {
     val key = pathKey(scanOf(base)).getOrElse(
       throw new IllegalArgumentException("base has no file location"))
-    if (registry.contains(key)) return
+    val existing = registry.getOrElse(key, Nil)
+    if (existing.exists(_.grain == grain.toSet)) return
     val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m => Seq(
       sum(col(m)).as(s"sum_$m"),
       min(col(m)).as(s"min_$m"),
       max(col(m)).as(s"max_$m")))
     base.groupBy(grain.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(rollupDir)
-    registry(key) = RollupDef(
+    val rd = RollupDef(
       scanOf(spark.read.parquet(rollupDir)),
       grain.toSet, "cnt", measures.toSet)
+    registry(key) = (rd :: existing).sortBy(_.grain.size)
   }
 
   /** Explicit, scoped application: rewrite this one DataFrame's plan

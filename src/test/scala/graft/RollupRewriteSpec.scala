@@ -129,6 +129,37 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  // declared AFTER every test that pins which rollup a lang-grain
+  // plan scans: registering the coarse rollup changes that choice
+  test("navigator prefers the coarsest covering rollup") {
+    ensure()
+    val coarseDir = java.nio.file.Files
+      .createTempDirectory("graftcoarse").toString
+    Rollup.register(spark, base, Seq("lang"), Seq("n_chars"), coarseDir)
+    // lang grain: covered by BOTH rollups → must pick the |langs|-row
+    // coarse one
+    val langQ = Rollup.rewrite(base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("s")))
+    val langPlan = physPlan(langQ)
+    assert(langPlan.contains("graftcoarse"),
+      s"lang grain did not pick the coarse rollup:\n$langPlan")
+    // source grain: the coarse rollup dropped `source` → must fall
+    // through to the (lang, source) rollup, never the fact scan
+    val srcQ = Rollup.rewrite(base.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs")))
+    val srcPlan = physPlan(srcQ)
+    assert(!srcPlan.contains("graftcoarse") &&
+      !srcPlan.contains("documents.parquet"),
+      s"source grain did not fall through to the fine rollup:\n$srcPlan")
+    // both remain exact
+    assert(langQ.orderBy("lang").collect().toSeq ===
+      base.groupBy(col("lang")).agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("s")).orderBy("lang").collect().toSeq)
+    assert(srcQ.orderBy("source").collect().toSeq ===
+      base.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+        .orderBy("source").collect().toSeq)
+  }
+
   test("transparent path: extraOptimizations rewrites with no query change") {
     ensure()
     // isolated session: same SparkContext, fresh SessionState —
