@@ -138,11 +138,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
             ae.copy(aggregateFunction =
               Sum(rollupAttr(rd.cnt).getOrElse(return None)))
           case Sum(a: AttributeReference, _)
-              if rd.measures.contains(a.name) =>
+              if rd.measures.contains(a.name) &&
+                fn.dataType == LongType =>
+            // integral sums only: long re-sum is exact and keeps its
+            // type. A DOUBLE re-sum would regroup the additions
+            // (float addition isn't associative) and a DECIMAL
+            // re-sum widens precision — both bail to the fact scan.
+            // min/max below stay open to any orderable type; exact
+            // selection doesn't care how cells were grouped.
             val src = rollupAttr(s"sum_${a.name}").getOrElse(return None)
-            // only lossless when re-summing doesn't change the type
-            // (long→long); a DECIMAL re-sum would widen precision
-            if (src.dataType != fn.dataType) return None
+            if (src.dataType != LongType) return None
             ae.copy(aggregateFunction =
               fn.withNewChildren(Seq(src))
                 .asInstanceOf[org.apache.spark.sql.catalyst

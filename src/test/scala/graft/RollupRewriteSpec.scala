@@ -160,6 +160,31 @@ class RollupRewriteSpec extends SparkSpec {
         .orderBy("source").collect().toSeq)
   }
 
+  test("double measures: min/max rewrite (exact selection), sum bails") {
+    val li = Q.t(spark, dir, "lineitem")
+    Rollup.register(spark, li, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity"),
+      java.nio.file.Files.createTempDirectory("graftliroll").toString)
+    // exact selection over double cells: safe to navigate
+    val mm = li.groupBy(col("l_returnflag")).agg(
+      min(col("l_quantity")).as("qmin"),
+      max(col("l_quantity")).as("qmax"),
+      count(lit(1)).as("n"))
+    val mmPlan = physPlan(Rollup.rewrite(mm))
+    assert(mmPlan.contains("graftliroll") &&
+      !mmPlan.contains("lineitem.parquet"),
+      s"double min/max did not navigate:\n$mmPlan")
+    assert(Rollup.rewrite(mm).orderBy("l_returnflag").collect().toSeq ===
+      mm.orderBy("l_returnflag").collect().toSeq)
+    // double re-sum would regroup non-associative float additions:
+    // must stay on the fact scan
+    val s = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val sPlan = physPlan(Rollup.rewrite(s))
+    assert(sPlan.contains("lineitem.parquet"),
+      s"double sum was navigated — unsound:\n$sPlan")
+  }
+
   test("transparent path: extraOptimizations rewrites with no query change") {
     ensure()
     // isolated session: same SparkContext, fresh SessionState —
