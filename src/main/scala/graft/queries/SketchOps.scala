@@ -387,5 +387,94 @@ object SketchOps {
       |FROM sq JOIN tt ON sq.event_type = tt.event_type
       |ORDER BY sq.event_type""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef)
+  // ------------------------------------------------------------------
+  // q237 — KMV cross-TABLE overlap estimation: the "estimate before
+  // you shuffle" join-planning readout that complements q233's exact
+  // skew screen. For three join-key pairs, each side's distinct keys
+  // are sketched with the q177 bottom-k contract (13 hex digits of
+  // md5, k=32); the UNION sketch is the bottom-k of the merged hash
+  // sets (KMV sketches merge by concatenate-and-rebottom — the
+  // mergeability that lets every table keep a 32-value sketch in its
+  // catalog stats), the kth value estimates |A ∪ B|, and the fraction
+  // of union-sketch members present in BOTH sides estimates Jaccard,
+  // giving |A ∩ B| ≈ J · |A ∪ B| without ever joining the tables.
+  // Exact audit columns (true intersection + error ppm) ride along,
+  // q174/q144-style. All fixed-point integers except the one
+  // IEEE-deterministic division q177 already pins cross-engine.
+  // Scale shape: per side one distinct-shuffle builds the hash set
+  // (in production the per-table sketch is maintained, not rebuilt);
+  // the sketch agg partial-combines with k-bounded state; membership
+  // joins broadcast the 32-row sketch; the only 1×1 crossJoin glues
+  // two scalar summaries (the q135 shape).
+  private val kmvJoinDef = QueryDef("q237_kmv_join_overlap",
+    (s, dir) => {
+      def hashes(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.select(hexVal(md5(col(key).cast("string")), 1, 13).as("h"))
+          .distinct()
+      def pair(name: String, a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) = {
+        val bottomK =
+          udaf(new graft.functions.TopKMin(KMV_K), Encoders.scalaDouble)
+        val sk = a.unionAll(b).distinct()
+          .agg(bottomK(col("h").cast("double")).as("bk"))
+          .select(explode(col("bk")).as("hd"))
+          .select(col("hd").cast("long").as("h"))
+        val flags = sk
+          .join(a.withColumn("ia", lit(1L)), Seq("h"), "left_outer")
+          .join(b.withColumn("ib", lit(1L)), Seq("h"), "left_outer")
+          .agg(max(col("h")).as("h_k"),
+            sum(when(col("ia").isNotNull && col("ib").isNotNull, 1L)
+              .otherwise(0L)).as("k_int"))
+        val exact = a.join(b, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("inter_exact"))
+        flags.crossJoin(exact).select(
+          lit(name).as("pair"), col("h_k"), col("k_int"),
+          floor(lit(KMV_NUM) / col("h_k") * lit(1000.0)).cast("long")
+            .as("union_est_fp"),
+          expr(s"k_int * 1000000 DIV $KMV_K").as("jaccard_ppm"),
+          col("inter_exact"))
+          .withColumn("inter_est",
+            expr(s"(k_int * union_est_fp) DIV ${KMV_K * 1000}"))
+          .withColumn("err_ppm",
+            expr("abs(inter_est - inter_exact) * 1000000 DIV inter_exact"))
+      }
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      pair("custkey", hashes(o, "o_custkey"), hashes(c, "c_custkey"))
+        .unionAll(
+          pair("orderkey", hashes(l, "l_orderkey"), hashes(o, "o_orderkey")))
+        .unionAll(
+          pair("partkey", hashes(l, "l_partkey"), hashes(p, "p_partkey")))
+        .orderBy(col("pair"))
+    },
+    Some {
+      val est = s"CAST(floor($KMV_NUM / h_k * 1000.0) AS BIGINT)"
+      def block(i: Int, name: String, ta: String, ka: String, tb: String,
+          kb: String) =
+        s"""ha$i AS (SELECT DISTINCT ${hexValSql(s"md5(CAST($ka AS VARCHAR))", 1, 13)} AS h FROM $ta),
+           |hb$i AS (SELECT DISTINCT ${hexValSql(s"md5(CAST($kb AS VARCHAR))", 1, 13)} AS h FROM $tb),
+           |u$i AS (SELECT h FROM ha$i UNION SELECT h FROM hb$i),
+           |s$i AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r FROM u$i) WHERE r <= $KMV_K),
+           |f$i AS (SELECT max(h) AS h_k,
+           |  CAST(count(*) FILTER (WHERE h IN (SELECT h FROM ha$i)
+           |    AND h IN (SELECT h FROM hb$i)) AS BIGINT) AS k_int FROM s$i),
+           |x$i AS (SELECT CAST(count(*) AS BIGINT) AS inter_exact
+           |  FROM ha$i WHERE h IN (SELECT h FROM hb$i)),
+           |r$i AS (SELECT '$name' AS pair, CAST(f$i.h_k AS BIGINT) AS h_k,
+           |  f$i.k_int, x$i.inter_exact FROM f$i, x$i)""".stripMargin
+      s"""WITH ${block(1, "custkey", "orders", "o_custkey", "customer", "c_custkey")},
+         |${block(2, "orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")},
+         |${block(3, "partkey", "lineitem", "l_partkey", "part", "p_partkey")},
+         |allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |         UNION ALL SELECT * FROM r3)
+         |SELECT pair, h_k, k_int, $est AS union_est_fp,
+         |  k_int * 1000000 // $KMV_K AS jaccard_ppm, inter_exact,
+         |  (k_int * $est) // ${KMV_K * 1000} AS inter_est,
+         |  abs((k_int * $est) // ${KMV_K * 1000} - inter_exact)
+         |    * 1000000 // inter_exact AS err_ppm
+         |FROM allr ORDER BY pair""".stripMargin
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef, kmvJoinDef)
 }

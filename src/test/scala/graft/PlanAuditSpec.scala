@@ -21,6 +21,9 @@ class PlanAuditSpec extends SparkSpec {
       // composes q40/q41 verbatim, so it inherits q40's intended
       // broadcast of the 10-vector query set
       "q234_ann_eval",
+      // per key pair, a 1-row sketch summary × 1-row exact audit —
+      // the q135 two-scalar-summaries shape
+      "q237_kmv_join_overlap",
       // range self-join over the per-DAY sketch table: ~1 row per day
       // ever (the fact table is never in the join), so a broadcast
       // nested loop over the range condition is the intended plan
