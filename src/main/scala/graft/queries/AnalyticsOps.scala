@@ -697,7 +697,67 @@ object AnalyticsOps {
         |    AS twap_fp
         |FROM h GROUP BY event_type, day
         |HAVING CAST(sum(hold_ms) AS BIGINT) > 0
-        |ORDER BY event_type, day""".stripMargin))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Order-book imbalance + microprice — the two microstructure
+    // readouts traders derive from the reference's depth stream
+    // beyond q23's mid/spread: imbalance = bidVolume/(bid+ask)
+    // (direction pressure) and microprice = size-WEIGHTED mid
+    // (ask·bidSz + bid·askSz)/(bidSz+askSz), the fair-value estimate
+    // that tilts toward the thin side. Same view=bid/click=ask proxy
+    // and hourly-bucket keying as q23; sizes are event counts. All
+    // integer: prices quantized to ×10⁴ units via exact DECIMAL(18,4)
+    // (the q65 quantization contract), imbalance in ppm, both DIVs on
+    // longs. One map-side-combinable hash-agg over the event scan —
+    // the same shape as q23, nothing new to shuffle at 100 TB.
+    QueryDef("q238_microprice",
+      (s, dir) => {
+        val priceU = expr(
+          "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        events(s, dir)
+          .withColumn("bucket_ms", expr("ts DIV 3600000000000 * 3600000"))
+          .withColumn("p_u", priceU)
+          .groupBy(col("bucket_ms"), col("user_id"))
+          .agg(
+            max(when(col("event_type") === "view", col("p_u")))
+              .as("bid_u"),
+            min(when(col("event_type") === "click", col("p_u")))
+              .as("ask_u"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("n_bid"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("n_ask"))
+          .filter(col("bid_u").isNotNull && col("ask_u").isNotNull)
+          .select(col("bucket_ms"), col("user_id"), col("n_bid"),
+            col("n_ask"),
+            expr("n_bid * 1000000 DIV (n_bid + n_ask)")
+              .as("imbalance_ppm"),
+            expr("(ask_u * n_bid + bid_u * n_ask) DIV (n_bid + n_ask)")
+              .as("microprice_fp"))
+          .orderBy(col("bucket_ms"), col("user_id"))
+      },
+      Some("""WITH b AS (
+        |  SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      AS bucket_ms,
+        |    user_id,
+        |    max(CASE WHEN event_type = 'view' THEN
+        |      CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) END)
+        |      AS bid_u,
+        |    min(CASE WHEN event_type = 'click' THEN
+        |      CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) END)
+        |      AS ask_u,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |      AS n_bid,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS n_ask
+        |  FROM events GROUP BY 1, 2
+        |  HAVING bid_u IS NOT NULL AND ask_u IS NOT NULL)
+        |SELECT bucket_ms, user_id, n_bid, n_ask,
+        |  n_bid * 1000000 // (n_bid + n_ask) AS imbalance_ppm,
+        |  (ask_u * n_bid + bid_u * n_ask) // (n_bid + n_ask)
+        |    AS microprice_fp
+        |FROM b ORDER BY bucket_ms, user_id""".stripMargin))
   )
 
   /** q154's oracle — 16 explicit lag terms, built programmatically. */
