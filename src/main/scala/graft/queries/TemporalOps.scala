@@ -1530,6 +1530,128 @@ object TemporalOps {
         |  ${sumDec("value")} AS sum_value
         |FROM numbered
         |GROUP BY user_id, session_id
-        |ORDER BY key, start_ms""".stripMargin))
+        |ORDER BY key, start_ms""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Roll (1984) autocovariance — the effective-spread estimator's
+    // core: cov(Δp_t, Δp_{t−1}) over the per-type price series (a
+    // negative value ⇒ bid/ask bounce; spread ≈ 2·√−cov). Exact
+    // integer numerator form: prices quantized ×10⁴ (q65/q238
+    // contract), cov_num = n·Σ(d_t·d_{t−1}) − Σd_t·Σd_{t−1} in
+    // DECIMAL(38,0) (per-term products fit long; the sums don't at
+    // scale — bounds hold to ~10¹² rows/type, the q155 overflow-
+    // contract class).
+    //
+    // Scale shape: q166's two-phase bucketed pattern GENERALIZED to a
+    // lag-2 statistic — a per-type window would funnel |events|/4
+    // rows through one task, so instead: 256 timeline range-buckets,
+    // windows within (type, bucket), and a TWO-row boundary handoff
+    // on the ≤256-row summary. The delta sequence per type is
+    // [in-bucket deltas of b₁] ++ [boundary Δ, in-bucket deltas]
+    // per following bucket; in-bucket partials cover products where
+    // BOTH deltas are interior (lag-2 ⇒ rn ≥ 3), and each boundary
+    // delta bd(b) = p_first(b) − p_last(b−1) contributes exactly two
+    // products, stitched at summary level: bd(b)·effLast(b−1) (the
+    // delta ENDING in the previous bucket — its last interior delta,
+    // or its own boundary delta when the bucket is a singleton, so
+    // chains of singleton buckets hand the delta through) and
+    // firstInteriorDelta(b)·bd(b). Σd telescopes: the sum of ALL
+    // deltas is p_last − p_first globally, so the end-exclusive sums
+    // B = Σ_{t≥2}d_t and C = Σ_{t≥2}d_{t−1} need only the global
+    // first/last TWO prices — read off the summary's first/last
+    // buckets (falling back to the neighbor bucket's edge price when
+    // the edge bucket is a singleton).
+    QueryDef("q239_roll_autocov",
+      (s, dir) => {
+        val nBuckets = 256L
+        val ev = events(s, dir).select(
+          col("event_type"), col("event_id"), col("ts_ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("p_u"))
+        val Array(minT, maxT) = ev
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val win = "PARTITION BY event_type, bucket ORDER BY ts_ms, event_id"
+        val winD =
+          "PARTITION BY event_type, bucket ORDER BY ts_ms DESC, event_id DESC"
+        val rows = ev
+          .withColumn("bucket", expr(s"(ts_ms - ${minT}L) DIV ${width}L"))
+          .withColumn("rn", expr(s"row_number() OVER ($win)"))
+          .withColumn("rnd", expr(s"row_number() OVER ($winD)"))
+          .withColumn("d", expr(s"p_u - lag(p_u, 1) OVER ($win)"))
+          .withColumn("e", expr(s"lag(d, 1) OVER ($win)"))
+        val parts = rows.groupBy(col("event_type"), col("bucket")).agg(
+          max(when(col("rn") === 1, col("p_u"))).as("p_first"),
+          max(when(col("rn") === 2, col("p_u"))).as("p_second"),
+          max(when(col("rnd") === 1, col("p_u"))).as("p_last"),
+          max(when(col("rnd") === 2, col("p_u"))).as("p_secondlast"),
+          max(when(col("rn") === 2, col("d"))).as("first_in_d"),
+          max(when(col("rnd") === 1, col("d"))).as("last_in_d"),
+          sum(when(col("e").isNotNull,
+            expr("CAST(d * e AS DECIMAL(38,0))"))).as("a_in"),
+          sum(when(col("e").isNotNull, 1L).otherwise(0L)).as("n_in"))
+        val wsum = "PARTITION BY event_type ORDER BY bucket"
+        val st = parts
+          .withColumn("bd", expr(s"p_first - lag(p_last, 1) OVER ($wsum)"))
+          .withColumn("eff_last", expr("coalesce(last_in_d, bd)"))
+          .withColumn("prev_eff_last",
+            expr(s"lag(eff_last, 1) OVER ($wsum)"))
+          .withColumn("rb", expr(s"row_number() OVER ($wsum)"))
+          .withColumn("rbd", expr("row_number() OVER (PARTITION BY " +
+            "event_type ORDER BY bucket DESC)"))
+          .withColumn("t1", expr("CASE WHEN bd IS NOT NULL AND " +
+            "prev_eff_last IS NOT NULL THEN " +
+            "CAST(bd * prev_eff_last AS DECIMAL(38,0)) END"))
+          .withColumn("t2", expr("CASE WHEN bd IS NOT NULL AND " +
+            "first_in_d IS NOT NULL THEN " +
+            "CAST(first_in_d * bd AS DECIMAL(38,0)) END"))
+        st.groupBy(col("event_type")).agg(
+            expr("sum(n_in) + sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 " +
+              "END) + sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)")
+              .as("n_pairs"),
+            expr("coalesce(sum(a_in), CAST(0 AS DECIMAL(38,0))) + " +
+              "coalesce(sum(t1), CAST(0 AS DECIMAL(38,0))) + " +
+              "coalesce(sum(t2), CAST(0 AS DECIMAL(38,0)))").as("a_tot"),
+            max(when(col("rb") === 1, col("p_first"))).as("pf_g"),
+            max(when(col("rb") === 1, col("p_second"))).as("ps_g"),
+            max(when(col("rb") === 2, col("p_first"))).as("pf2_g"),
+            max(when(col("rbd") === 1, col("p_last"))).as("pl_g"),
+            max(when(col("rbd") === 1, col("p_secondlast"))).as("psl_g"),
+            max(when(col("rbd") === 2, col("p_last"))).as("pl2_g"))
+          .withColumn("b_sum",
+            expr("(pl_g - pf_g) - (coalesce(ps_g, pf2_g) - pf_g)"))
+          .withColumn("c_sum",
+            expr("(pl_g - pf_g) - (pl_g - coalesce(psl_g, pl2_g))"))
+          .filter(col("n_pairs") >= 1)
+          .select(col("event_type"), col("n_pairs"),
+            col("a_tot").cast("decimal(38,0)").as("sum_prod"),
+            expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * a_tot - " +
+              "CAST(b_sum AS DECIMAL(38,0)) * c_sum AS DECIMAL(38,0))")
+              .as("cov_num"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH pu AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p_u
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, ts_ms, event_id,
+        |    p_u - lag(p_u) OVER (PARTITION BY event_type
+        |      ORDER BY ts_ms, event_id) AS d
+        |  FROM pu),
+        |dd AS (
+        |  SELECT event_type, d,
+        |    lag(d) OVER (PARTITION BY event_type
+        |      ORDER BY ts_ms, event_id) AS e
+        |  FROM d WHERE d IS NOT NULL),
+        |f AS (SELECT * FROM dd WHERE e IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(d AS HUGEINT) * e) AS DECIMAL(38,0)) AS sum_prod,
+        |  CAST(count(*) * sum(CAST(d AS HUGEINT) * e)
+        |    - sum(CAST(d AS HUGEINT)) * sum(CAST(e AS HUGEINT))
+        |    AS DECIMAL(38,0)) AS cov_num
+        |FROM f GROUP BY event_type
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -199,7 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     * Expand was replaced by the q197 two-level pre-agg — pin no
     * Expand, same style. */
   test("q165/q166 windows are bucketed; q167 plans no Expand") {
-    Seq("q165_peak_concurrency", "q166_interarrival").foreach { name =>
+    // q239 joined the family in round 9: its fact-scan windows must
+    // carry (event_type, bucket); its summary windows run over the
+    // ≤256-row per-bucket table and name `bucket` as their sort key
+    Seq("q165_peak_concurrency", "q166_interarrival",
+        "q239_roll_autocov").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       val winLines = plan.linesIterator
