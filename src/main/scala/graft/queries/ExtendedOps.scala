@@ -1398,7 +1398,33 @@ object ExtendedOps {
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE lang <> 'en'
-        |GROUP BY source ORDER BY source""".stripMargin))
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // the rollup on the table that actually GROWS: events at
+    // event_type grain (~4 cells). count + min/max of the double
+    // measure navigate (exact selection); a sum(value) would refuse
+    // (float re-sum regroups non-associative additions) — the guard
+    // the RollupRewriteSpec lineitem case pins. At 100 TB this cell
+    // count is what turns the dashboard's fact scan into a 4-row read.
+    QueryDef("q240_rollup_events",
+      (s, dir) => {
+        // raw scan (no ts projection): the rollup registry keys on
+        // the file relation, and Q.events' ts-normalizing Project
+        // would sit between the aggregate and the scan
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val base = t(s, dir, "events")
+        graft.plans.Rollup.register(s, base, Seq("event_type"),
+          Seq("value"), ExtendedOps.rollupDir(dir) + "_events")
+        graft.plans.Rollup.rewrite(
+          base.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n_events"),
+            min(col("value")).as("v_min"),
+            max(col("value")).as("v_max")))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(value) AS v_min, max(value) AS v_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** one rollup parquet per sfDir, under the JVM tmpdir (testdata is

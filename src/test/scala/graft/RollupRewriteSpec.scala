@@ -185,6 +185,14 @@ class RollupRewriteSpec extends SparkSpec {
       s"double sum was navigated — unsound:\n$sPlan")
   }
 
+  test("catalog q240 really navigates the events rollup") {
+    val plan = physPlan(
+      SparkEntry.queries("q240_rollup_events")(spark, dir))
+    assert(!plan.contains("events.parquet") &&
+      plan.contains("graft_rollup"),
+      s"q240 did not navigate to the events rollup:\n$plan")
+  }
+
   test("transparent path: extraOptimizations rewrites with no query change") {
     ensure()
     // isolated session: same SparkContext, fresh SessionState —
