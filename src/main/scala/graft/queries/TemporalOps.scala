@@ -1652,6 +1652,77 @@ object TemporalOps {
         |    - sum(CAST(d AS HUGEINT)) * sum(CAST(e AS HUGEINT))
         |    AS DECIMAL(38,0)) AS cov_num
         |FROM f GROUP BY event_type
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Amihud illiquidity — mean per-tick |Δp|/p_prev by (type, day),
+    // the standard price-impact-per-activity readout, in exact
+    // integers: per-tick ratio = |Δp|·10⁶ DIV p_prev (both engines
+    // compute the identical integer per tick — no float averaging),
+    // day mean = Σratio DIV n in DECIMAL(38,0) (tiny p_prev makes a
+    // single ratio up to ~10¹³, so day sums pass long at ~10⁶
+    // ticks/cell).
+    //
+    // Third variant of the bucketed low-cardinality-window family:
+    // q166 aggregates per-bucket summaries, q239 stitches boundary
+    // PRODUCTS at summary level — here every ROW needs its lag value
+    // (the ratio is per-tick, then grouped by day), so the boundary
+    // is backfilled the other way: the ≤256-row-per-type summary of
+    // per-bucket last prices is BROADCAST-joined back onto the fact
+    // rows, and only each bucket's FIRST row reads its p_prev from
+    // it (everyone else lags within the bucket). The fact table is
+    // scanned once and never re-shuffled for the join.
+    QueryDef("q241_amihud",
+      (s, dir) => {
+        val nBuckets = 256L
+        val ev = events(s, dir).select(
+          col("event_type"), col("event_id"), col("ts_ms"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("p_u"))
+        val Array(minT, maxT) = ev
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val win = "PARTITION BY event_type, bucket ORDER BY ts_ms, event_id"
+        val rows = ev
+          .withColumn("bucket", expr(s"(ts_ms - ${minT}L) DIV ${width}L"))
+          .withColumn("p_prev_in", expr(s"lag(p_u, 1) OVER ($win)"))
+        val bounds = rows.groupBy(col("event_type"), col("bucket"))
+          .agg(expr("max_by(p_u, struct(ts_ms, event_id))").as("p_last"))
+          .withColumn("prev_last", expr("lag(p_last, 1) OVER " +
+            "(PARTITION BY event_type ORDER BY bucket)"))
+          .select(col("event_type"), col("bucket"), col("prev_last"))
+        rows
+          .join(broadcast(bounds), Seq("event_type", "bucket"))
+          .withColumn("p_prev", expr("coalesce(p_prev_in, prev_last)"))
+          .withColumn("ratio", expr(
+            "abs(p_u - p_prev) * 1000000 DIV nullif(p_prev, 0)"))
+          .filter(col("ratio").isNotNull)
+          .withColumn("day", expr("ts_ms DIV 86400000"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_ticks"),
+            expr("CAST(sum(CAST(ratio AS DECIMAL(38,0))) DIV count(*) " +
+              "AS BIGINT)").as("amihud_fp"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(s"""WITH pu AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p_u
+        |  FROM events),
+        |lagd AS (
+        |  SELECT event_type, ts_ms, p_u,
+        |    lag(p_u) OVER (PARTITION BY event_type
+        |      ORDER BY ts_ms, event_id) AS p_prev
+        |  FROM pu),
+        |r AS (
+        |  SELECT event_type, ts_ms // 86400000 AS day,
+        |    abs(p_u - p_prev) * 1000000 // nullif(p_prev, 0) AS ratio
+        |  FROM lagd)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(sum(CAST(ratio AS HUGEINT)) // count(*) AS BIGINT)
+        |    AS amihud_fp
+        |FROM r WHERE ratio IS NOT NULL
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin))
   )
 }

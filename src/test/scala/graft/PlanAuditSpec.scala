@@ -203,7 +203,7 @@ class PlanAuditSpec extends SparkSpec {
     // carry (event_type, bucket); its summary windows run over the
     // ≤256-row per-bucket table and name `bucket` as their sort key
     Seq("q165_peak_concurrency", "q166_interarrival",
-        "q239_roll_autocov").foreach { name =>
+        "q239_roll_autocov", "q241_amihud").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       val winLines = plan.linesIterator
