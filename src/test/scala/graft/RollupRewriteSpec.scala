@@ -84,6 +84,17 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("global (ungrouped) aggregate navigates too") {
+    ensure()
+    val q = base.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+      min(col("n_chars")).as("lo"))
+    val rewritten = Rollup.rewrite(q)
+    val plan = physPlan(rewritten)
+    assert(!plan.contains("documents.parquet"),
+      s"global aggregate did not navigate:\n$plan")
+    assert(rewritten.collect().toSeq === q.collect().toSeq)
+  }
+
   test("avg of a covered measure merges as exact sums and matches") {
     ensure()
     val q = base.groupBy(col("lang")).agg(
