@@ -1242,6 +1242,61 @@ object PipelineOps {
         |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS DOUBLE) /
         |    CAST(sum(sz) AS DOUBLE) AS risk_frac
         |FROM cls GROUP BY lang
-        |ORDER BY lang""".stripMargin))
+        |ORDER BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // l-diversity audit — q220's k-anonymity catches classes that are
+    // SMALL; this catches classes that are UNIFORM: an equivalence
+    // class of the quasi-identifier (source, length bucket) whose
+    // members all share one sensitive-attribute value (here `lang`
+    // stands in for the sensitive column) discloses that attribute
+    // for every member even when the class is large (Machanavajjhala
+    // et al.'s homogeneity attack). Per source: class count, the
+    // minimum distinct-sensitive-values l across classes, classes at
+    // l = 1, documents inside them, and the per-mille at risk.
+    //
+    // Scale shape: distinct-per-class is spelled as the two-level
+    // pre-agg (group by (QI, lang) first, then count rows per QI —
+    // the q232 no-Expand pattern), so the plan is two chained
+    // map-side-combinable hash-aggs plus a per-source rollup; only
+    // 3 narrow columns are read.
+    QueryDef("q245_l_diversity",
+      (s, dir) => {
+        val cells = t(s, dir, "documents")
+          .select(col("source"), expr("n_chars DIV 100").as("len_bucket"),
+            col("lang"))
+          .groupBy(col("source"), col("len_bucket"), col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val byClass = cells.groupBy(col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("l"), sum(col("cnt")).as("sz"))
+        byClass.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_classes"),
+            min(col("l")).as("min_l"),
+            sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_l1_classes"),
+            coalesce(sum(when(col("l") === 1, col("sz"))), lit(0L))
+              .as("docs_at_risk"),
+            sum(col("sz")).as("n_docs"))
+          .withColumn("risk_pm", expr("docs_at_risk * 1000 DIV n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH cells AS (
+        |  SELECT source, n_chars // 100 AS len_bucket, lang,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT source, len_bucket, count(*) AS l,
+        |    CAST(sum(cnt) AS BIGINT) AS sz
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(coalesce(sum(CASE WHEN l = 1 THEN 1 END), 0) AS BIGINT)
+        |    AS n_l1_classes,
+        |  CAST(coalesce(sum(CASE WHEN l = 1 THEN sz END), 0) AS BIGINT)
+        |    AS docs_at_risk,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN l = 1 THEN sz END), 0) * 1000
+        |    // sum(sz) AS BIGINT) AS risk_pm
+        |FROM cls GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

@@ -1723,6 +1723,100 @@ object TemporalOps {
         |    AS amihud_fp
         |FROM r WHERE ratio IS NOT NULL
         |GROUP BY event_type, day
-        |ORDER BY event_type, day""".stripMargin))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Median/MAD robust outlier screen — the heavy-tail-immune
+    // complement of q114's mean/σ z-score and q132's rank trims:
+    // median and median-absolute-deviation are breakdown-50% robust,
+    // so a contaminated feed can't drag its own outlier threshold.
+    // Exact integer form: values quantized ×10⁴ (q238/q239
+    // contract), median = LOWER median (the ⌈n/2⌉-th smallest — a
+    // value from the data, no interpolated float to diverge between
+    // engines), MAD = lower median of |v − med|, outlier ⇔
+    // |v − med| > 5·MAD (robust z ≈ 3.4 under normality).
+    //
+    // Scale shape: q227's VALUE-DOMAIN-grid pattern — one map-side-
+    // combinable count to (type, value) cells, then every window,
+    // join and re-aggregation runs on the grid (distinct quantized
+    // values × types, bounded by the value domain, NOT the corpus).
+    // Selecting a median by cumulative-count rank on the grid is
+    // O(domain) per type; no per-type sort of raw rows anywhere, so
+    // the low-cardinality-window trap (q166's old shape) never
+    // appears. MAD = 0 (majority-identical values) degrades to
+    // flagging every deviation > 0 — documented, not special-cased.
+    QueryDef("q242_mad_outliers",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("v"))
+        val grid = ev.groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val n = grid.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        val wv = Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val med = grid.join(broadcast(n), "event_type")
+          .withColumn("cum", sum(col("c")).over(wv))
+          .filter(expr("cum >= (n + 1) DIV 2"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(col("v")).as("med"))
+        val devGrid = grid.join(broadcast(med), "event_type")
+          .withColumn("dev", expr("abs(v - med)"))
+          .groupBy(col("event_type"), col("n"), col("med"), col("dev"))
+          .agg(sum(col("c")).as("c"))
+        val wd = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val mad = devGrid
+          .withColumn("cumd", sum(col("c")).over(wd))
+          .filter(expr("cumd >= (n + 1) DIV 2"))
+          .groupBy(col("event_type"))
+          .agg(min(col("dev")).as("mad"))
+        devGrid.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+          .agg(
+            coalesce(sum(when(col("dev") > col("mad") * 5, col("c"))),
+              lit(0L)).as("n_outliers"),
+            max(col("dev")).as("max_dev"))
+          .select(col("event_type"), col("n"),
+            col("med").as("med_fp"), col("mad").as("mad_fp"),
+            col("n_outliers"), col("max_dev"),
+            expr("n_outliers * 1000000 DIV n").as("outlier_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |grid AS (SELECT event_type, v, count(*) AS c FROM v GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM grid GROUP BY 1),
+        |cum AS (
+        |  SELECT g.event_type, g.v, n.n,
+        |    CAST(sum(g.c) OVER (PARTITION BY g.event_type ORDER BY g.v)
+        |      AS BIGINT) AS cum
+        |  FROM grid g JOIN n USING (event_type)),
+        |med AS (SELECT event_type, n, min(v) AS med
+        |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1, 2),
+        |dg AS (
+        |  SELECT g.event_type, m.n, m.med, abs(g.v - m.med) AS dev,
+        |    CAST(sum(g.c) AS BIGINT) AS c
+        |  FROM grid g JOIN med m USING (event_type) GROUP BY 1, 2, 3, 4),
+        |cumd AS (
+        |  SELECT event_type, n, med, dev, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dev)
+        |      AS BIGINT) AS cumd
+        |  FROM dg),
+        |mad AS (SELECT event_type, min(dev) AS mad
+        |  FROM cumd WHERE cumd >= (n + 1) // 2 GROUP BY 1)
+        |SELECT dg.event_type, dg.n,
+        |  dg.med AS med_fp, mad.mad AS mad_fp,
+        |  CAST(coalesce(sum(CASE WHEN dg.dev > 5 * mad.mad THEN dg.c END),
+        |    0) AS BIGINT) AS n_outliers,
+        |  max(dg.dev) AS max_dev,
+        |  CAST(coalesce(sum(CASE WHEN dg.dev > 5 * mad.mad THEN dg.c END),
+        |    0) * 1000000 // dg.n AS BIGINT) AS outlier_ppm
+        |FROM dg JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY dg.event_type""".stripMargin))
   )
 }

@@ -652,7 +652,7 @@ object TextOps {
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
     dupQualityQueryDef, listaggQueryDef, dedupSavingsQueryDef,
     langConfusionQueryDef, containmentQueryDef, raterKappaQueryDef,
-    datasetCardQueryDef)
+    datasetCardQueryDef, dsirQueryDef, zipfQueryDef)
 
   /** Shingle CONTAINMENT near-dup mining — the asymmetric measure
     * |A∩B| / min(|A|,|B|) that catches subset-style duplication
@@ -3190,4 +3190,167 @@ object TextOps {
       |  CAST((sum(qok) * 1000) // count(*) AS BIGINT) AS quality_pm,
       |  CAST((sum(dup) * 1000) // count(*) AS BIGINT) AS dup_pm
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling") — score every
+  // document by how much its HASHED-token distribution looks like a
+  // TARGET domain (here the corpus's `lang = 'en'` slice standing in
+  // for a curated target like Wikipedia) relative to the raw corpus.
+  // Features are tokens hashed into 256 buckets (the paper's hashed
+  // n-gram trick: the feature table is a CONSTANT 256 rows no matter
+  // the vocabulary); each bucket's importance ratio is the exact
+  // integer fixed point (tgt_c·T_all·10⁶) DIV (all_c·T_tgt) in
+  // DECIMAL(38,0)/HUGEINT (products pass 2^63 at ~10⁹-token
+  // corpora — the q137 overflow contract), and a document's score is
+  // its tf-weighted mean ratio — ≥10⁶ means "more target-like than
+  // the corpus average", the resampling keep-set. DSIR proper
+  // multiplies per-feature probabilities in log space; the
+  // tf-weighted arithmetic mean is the standard float-free surrogate
+  // with the same ordering signal, and keeps both engines bit-exact.
+  //
+  // Scale shape: bucketing collapses the postings table to ≤256
+  // features per doc BEFORE any join; the ratio table is 256 rows
+  // (broadcast); per-doc and per-source rollups are ordinary
+  // hash-aggs. The only corpus-sized shuffles are the two postings
+  // hash-aggs every retrieval query here already pays.
+  private lazy val dsirQueryDef = QueryDef(
+    "q243_dsir_weights",
+    (s, dir) => {
+      val tf = termFreq(s, dir)
+      val bucketTf = tf
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+            % 256).as("b"),
+          col("tf"))
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("tf"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val withLang = bucketTf.join(docs, "doc_id")
+      val agg = withLang.groupBy(col("b"))
+        .agg(sum(col("tf")).as("all_c"),
+          sum(when(col("lang") === "en", col("tf")).otherwise(0L))
+            .as("tgt_c"))
+      val Seq(tAll, tTgt) = agg
+        .agg(sum(col("all_c")), sum(col("tgt_c")))
+        .head().toSeq.map(_.asInstanceOf[Long])
+      val ratio = agg.select(col("b"),
+        expr(s"CAST(tgt_c AS DECIMAL(38,0)) * ${tAll}L * 1000000 DIV " +
+          s"(CAST(all_c AS DECIMAL(38,0)) * ${tTgt}L)").as("ratio_fp"))
+      val perDoc = withLang.join(broadcast(ratio), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * ratio_fp) " +
+          "DIV sum(tf) AS BIGINT)").as("score_fp"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(CAST(score_fp AS DECIMAL(38,0))) DIV count(1) " +
+            "AS BIGINT)").as("mean_score_fp"),
+          sum(when(col("score_fp") >= 1000000L, 1L).otherwise(0L))
+            .as("n_selected"))
+        .withColumn("selected_pm", expr("n_selected * 1000 DIV n_docs"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tf AS (
+      |  SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |bt AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 256 AS b,
+      |    CAST(sum(tf) AS BIGINT) AS tf
+      |  FROM tf GROUP BY 1, 2),
+      |wl AS (
+      |  SELECT bt.doc_id, bt.b, bt.tf, d.lang, d.source
+      |  FROM bt JOIN documents d USING (doc_id)),
+      |agg AS (
+      |  SELECT b, CAST(sum(tf) AS BIGINT) AS all_c,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT)
+      |      AS tgt_c
+      |  FROM wl GROUP BY 1),
+      |tot AS (SELECT CAST(sum(all_c) AS BIGINT) AS t_all,
+      |    CAST(sum(tgt_c) AS BIGINT) AS t_tgt FROM agg),
+      |ratio AS (
+      |  SELECT b,
+      |    CAST(tgt_c AS HUGEINT) * (SELECT t_all FROM tot) * 1000000
+      |      // (CAST(all_c AS HUGEINT) * (SELECT t_tgt FROM tot))
+      |      AS ratio_fp
+      |  FROM agg),
+      |perdoc AS (
+      |  SELECT wl.doc_id, wl.source,
+      |    CAST(sum(CAST(wl.tf AS HUGEINT) * ratio.ratio_fp)
+      |      // sum(wl.tf) AS BIGINT) AS score_fp
+      |  FROM wl JOIN ratio USING (b) GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CAST(score_fp AS HUGEINT)) // count(*) AS BIGINT)
+      |    AS mean_score_fp,
+      |  CAST(coalesce(sum(CASE WHEN score_fp >= 1000000 THEN 1 END), 0)
+      |    AS BIGINT) AS n_selected,
+      |  CAST(coalesce(sum(CASE WHEN score_fp >= 1000000 THEN 1 END), 0)
+      |    * 1000 // count(*) AS BIGINT) AS selected_pm
+      |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Zipf head-coverage curve — per-source vocabulary concentration:
+  // what per-mille of a source's token MASS its top-10 and top-100
+  // ranked terms carry, plus the rank-1/rank-10 frequency decay
+  // ratio (≈10×10³ under Zipf s=1; far higher ⇒ templated/boiler-
+  // plate content, far lower ⇒ shuffled/synthetic text). The
+  // log-free companion of q197's distinct-n diversity (which counts
+  // TYPES; this weighs MASS) and q221's Gini impurity (one number;
+  // this is the head of the curve). All exact integers; rank ties
+  // break on the term string.
+  //
+  // Scale shape: one postings hash-agg to (source, term) counts,
+  // then the rank window runs on the per-source VOCABULARY (Heaps'
+  // law: ≪ corpus tokens, and partitioned by source so no single
+  // task owns the corpus). Nothing corpus-sized passes a window.
+  private lazy val zipfQueryDef = QueryDef(
+    "q244_zipf_coverage",
+    (s, dir) => {
+      val tf = termFreq(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val st = tf.join(docs, "doc_id")
+        .groupBy(col("source"), col("w")).agg(sum(col("tf")).as("c"))
+        .withColumn("rnk", expr(
+          "row_number() OVER (PARTITION BY source ORDER BY c DESC, w)"))
+      st.groupBy(col("source"))
+        .agg(sum(col("c")).as("total_tokens"),
+          count(lit(1)).as("vocab"),
+          coalesce(sum(when(col("rnk") <= 10, col("c"))), lit(0L))
+            .as("top10"),
+          coalesce(sum(when(col("rnk") <= 100, col("c"))), lit(0L))
+            .as("top100"),
+          max(when(col("rnk") === 1, col("c"))).as("r1c"),
+          max(when(col("rnk") === 10, col("c"))).as("r10c"))
+        .select(col("source"), col("total_tokens"), col("vocab"),
+          expr("top10 * 1000 DIV total_tokens").as("top10_pm"),
+          expr("top100 * 1000 DIV total_tokens").as("top100_pm"),
+          expr("CASE WHEN r10c IS NOT NULL THEN r1c * 1000 DIV r10c END")
+            .as("decay_fp"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tf AS (
+      |  SELECT doc_id, w, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT d.source, tf.w, CAST(sum(tf.tf) AS BIGINT) AS c
+      |  FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, w, c,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w)
+      |      AS rnk
+      |  FROM st)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(coalesce(sum(CASE WHEN rnk <= 10 THEN c END), 0) * 1000
+      |    // sum(c) AS BIGINT) AS top10_pm,
+      |  CAST(coalesce(sum(CASE WHEN rnk <= 100 THEN c END), 0) * 1000
+      |    // sum(c) AS BIGINT) AS top100_pm,
+      |  CAST(CASE WHEN max(CASE WHEN rnk = 10 THEN c END) IS NOT NULL
+      |    THEN max(CASE WHEN rnk = 1 THEN c END) * 1000
+      |      // max(CASE WHEN rnk = 10 THEN c END) END AS BIGINT)
+      |    AS decay_fp
+      |FROM rk GROUP BY 1 ORDER BY source""".stripMargin))
 }
