@@ -138,4 +138,97 @@ class NewOpsSpec extends SparkSpec {
       (3L, 5000L, 30.0, -1000L), // ms-group max, NOT the latest-ns 10.0…
       (6L, 1000L, 1.0, -1000L))) // …and equidistant resolves backward
   }
+
+  test("q242: grid median/MAD equals the brute-force definition") {
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val expect = graft.queries.Q.events(spark, sf())
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .toSeq.groupBy(_._1).map { case (t, rows) =>
+        val vs = rows.map(r => (BigDecimal(r._2)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact)
+        val med = lowerMedian(vs)
+        val devs = vs.map(v => math.abs(v - med))
+        val mad = lowerMedian(devs)
+        t -> ((vs.length.toLong, med, mad,
+          devs.count(_ > 5 * mad).toLong, devs.max))
+      }
+    val got = SparkEntry.queries("q242_mad_outliers")(spark, sf())
+      .select($"event_type", $"n", $"med_fp", $"mad_fp", $"n_outliers",
+        $"max_dev")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1).sorted == expect.keys.toSeq.sorted)
+    got.foreach { case (t, n, med, mad, nout, maxdev) =>
+      assert((n, med, mad, nout, maxdev) == expect(t),
+        s"type $t: grid result disagrees with the brute-force definition")
+    }
+  }
+
+  test("q243: DSIR ranks a pure-target source above a disjoint-vocab one") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    val docs = Seq(
+      // target-like (lang=en): English function-word distribution
+      (1L, "the cat sat on the mat and the dog ran", "en", "srcA", 40L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "srcA", 44L),
+      (3L, "of the people by the people for the people", "en", "srcA", 43L),
+      // off-target: vocabulary disjoint from the target slice
+      (4L, "zzz yyy xxx www vvv uuu ttt sss", "zh", "srcB", 31L),
+      (5L, "qqq ppp ooo nnn mmm lll kkk jjj", "zh", "srcB", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q243_dsir_weights")(spark, tmp)
+      .select($"source", $"mean_score_fp", $"selected_pm")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // srcA is drawn from the target distribution: every doc must clear
+    // the ≥10⁶ resampling bar (its buckets are target-dominated, and
+    // T_all > T_tgt inflates pure-target ratios above 10⁶).
+    assert(out("srcA")._2 == 1000L,
+      s"target-distribution source not fully selected: ${out("srcA")}")
+    // srcB shares no vocabulary with the target; barring md5 bucket
+    // collisions its ratios are 0, and even with a collision the
+    // tf-weighted mean stays far below the target source's.
+    assert(out("srcB")._1 < out("srcA")._1,
+      s"off-target source outscored the target one: $out")
+    assert(out("srcB")._2 == 0L,
+      s"off-target docs crossed the resampling bar: ${out("srcB")}")
+  }
+
+  test("q244: head coverage is monotone and bounded") {
+    val rows = SparkEntry.queries("q244_zipf_coverage")(spark, sf())
+      .select($"source", $"total_tokens", $"vocab", $"top10_pm",
+        $"top100_pm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, vocab, t10, t100) =>
+      assert(vocab >= 1 && vocab <= total, s"$src: vocab outside [1, total]")
+      assert(t10 <= t100 && t100 <= 1000,
+        s"$src: coverage not monotone/bounded: top10=$t10 top100=$t100")
+      // top-10 of a vocab that small IS the whole mass
+      if (vocab <= 10) assert(t100 >= 999 || t10 == t100,
+        s"$src: tiny vocab must be fully covered")
+    }
+  }
+
+  test("q245: a homogeneous QI class is flagged at l = 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
+    val docs = Seq(
+      // srcH: one class (len_bucket 0), all the same lang → l = 1
+      (1L, "a", "en", "srcH", 10L), (2L, "b", "en", "srcH", 20L),
+      (3L, "c", "en", "srcH", 30L),
+      // srcD: one class, two langs → l = 2, nothing at risk
+      (4L, "d", "en", "srcD", 10L), (5L, "e", "fr", "srcD", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q245_l_diversity")(spark, tmp)
+      .select($"source", $"min_l", $"n_l1_classes", $"docs_at_risk",
+        $"risk_pm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("srcH") == ((1L, 1L, 3L, 1000L)),
+      s"homogeneous class not flagged: ${out("srcH")}")
+    assert(out("srcD") == ((2L, 0L, 0L, 0L)),
+      s"diverse class wrongly flagged: ${out("srcD")}")
+  }
 }
