@@ -1189,7 +1189,105 @@ object SimilarityOps {
         |SELECT rr.qid, rr.rr_fp,
         |  CAST(coalesce(hits.hits5, 0) AS BIGINT) AS hits5
         |FROM rr LEFT JOIN hits ON hits.qid = rr.qid
-        |ORDER BY rr.qid""".stripMargin))
+        |ORDER BY rr.qid""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Greedy MMR coreset — maximal-marginal-relevance selection
+    // (Carbonell & Goldstein), the diverse-exemplar primitive behind
+    // few-shot pools, eval-set dedup and k-center-style coreset
+    // seeding: pick k=5 vectors maximizing rel(c) − ½·max sim to the
+    // already-picked set, where rel is cosine to query vector 0.
+    // Pure relevance top-k (q40) returns 5 mutual near-clones; the
+    // diversity penalty is what forces spread.
+    //
+    // Determinism: rel and sim use the exact integer-quantized
+    // cosine every similarity query here shares (integer dot/norms,
+    // one double divide — bit-identical cross-engine, proven by
+    // q40's hash match); the greedy argmax orders by (score desc,
+    // vec_id), so ties are exact and the selection is unique.
+    //
+    // Scale shape: greedy selection is INHERENTLY sequential in k —
+    // the textbook trade is k full-corpus passes, each embarrassingly
+    // parallel: score-vs-≤k-broadcast-rows + a TakeOrdered(1). The
+    // relevance table is computed once (one broadcast pass over the
+    // corpus) and localCheckpoint-ed so the k argmax passes re-read
+    // the materialized 3-column table, not the quantize subtree. The
+    // k winners live on the driver (k-bounded, the q111 centroid
+    // class). The oracle unrolls the same 5 steps as chained CTEs.
+    QueryDef("q247_mmr_coreset",
+      (s, dir) => {
+        import s.implicits._
+        val k = 5
+        val all = vecs(s, dir)
+        val q0 = all.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))
+        val rel = all.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"), col("v"), qcos(s, "qv", "v").as("rel"))
+          .localCheckpoint(false)
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Double)] // (vec_id, rel, maxsim at pick)
+        for (_ <- 1 to k) {
+          val ids = picked.map(_._1).toSeq
+          val cand =
+            if (ids.isEmpty) rel.withColumn("maxsim", lit(0.0d))
+            else rel.filter(!col("vec_id").isin(ids: _*))
+              .crossJoin(broadcast(rel.filter(col("vec_id").isin(ids: _*))
+                .select(col("v").as("sv"))))
+              .groupBy(col("vec_id"), col("rel"))
+              .agg(max(qcos(s, "sv", "v")).as("maxsim"))
+          val w = cand
+            .orderBy((col("rel") - lit(0.5d) * col("maxsim")).desc,
+              col("vec_id"))
+            .select(col("vec_id"), col("rel"), col("maxsim"))
+            .head()
+          picked += ((w.getLong(0), w.getDouble(1), w.getDouble(2)))
+        }
+        picked.zipWithIndex
+          .map { case ((id, r, m), i) => (i + 1L, id, r, m) }.toSeq
+          .toDF("rank", "vec_id", "rel", "maxsim")
+          .orderBy(col("rank"))
+      },
+      Some {
+        val simRS = "CAST(list_sum(list_transform(range(len(r.v)), " +
+          "i -> r.v[i+1] * s.v[i+1])) AS DOUBLE) / " +
+          "sqrt(CAST(r.n2 AS DOUBLE) * CAST(s.n2 AS DOUBLE))"
+        val steps = (2 to 5).map { i =>
+          val prev = (1 until i).map(j => s"SELECT * FROM s$j")
+            .mkString(" UNION ALL ")
+          s"""c$i AS (
+             |  SELECT r.vec_id, r.v, r.n2, r.rel, max($simRS) AS maxsim
+             |  FROM rel r, ($prev) s
+             |  WHERE r.vec_id NOT IN (SELECT vec_id FROM ($prev))
+             |  GROUP BY r.vec_id, r.v, r.n2, r.rel),
+             |s$i AS (SELECT * FROM c$i
+             |  ORDER BY rel - 0.5 * maxsim DESC, vec_id LIMIT 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(i =>
+          s"SELECT $i AS rank, vec_id, rel, maxsim FROM s$i")
+          .mkString("\n UNION ALL ")
+        s"""WITH qv AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+           |normed AS (
+           |  SELECT vec_id, v,
+           |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+           |  FROM qv),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM normed WHERE vec_id = 0),
+           |rel AS (
+           |  SELECT e.vec_id, e.v, e.n2,
+           |    CAST(list_sum(list_transform(range(len(q.qv)),
+           |      i -> q.qv[i+1] * e.v[i+1])) AS DOUBLE)
+           |      / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(e.n2 AS DOUBLE))
+           |      AS rel
+           |  FROM normed e, q WHERE e.vec_id <> 0),
+           |s1 AS (
+           |  SELECT vec_id, v, n2, rel, CAST(0.0 AS DOUBLE) AS maxsim
+           |  FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, maxsim
+           |FROM ($out)
+           |ORDER BY rank""".stripMargin
+      })
   )
 
   /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into

@@ -1817,6 +1817,98 @@ object TemporalOps {
         |    0) * 1000000 // dg.n AS BIGINT) AS outlier_ppm
         |FROM dg JOIN mad USING (event_type)
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY dg.event_type""".stripMargin))
+        |ORDER BY dg.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit screen — the classic fabricated-/corrupted-
+    // feed detector: naturally-generated multiplicative magnitudes
+    // follow P(d) = log10(1 + 1/d); a per-type chi² against that law
+    // flags synthetic fills, unit mix-ups and truncation bugs (the
+    // testdata's uniform values rightly score huge — the screen's
+    // job is the NUMBER, not a verdict). Exact integer form: first
+    // significant digit read off the ×10⁴-quantized positive value's
+    // decimal string (identical on both engines — integers print
+    // without leading zeros); expected shares are the standard ×10⁶
+    // Benford constants as a 9-row literal table; chi²×10⁶ =
+    // Σ (obs·10⁶ − n·exp)² DIV (n·exp) with the square in
+    // DECIMAL(38,0)/HUGEINT (passes 2^63 at ~3·10³ rows/type — the
+    // q137 overflow-contract class). `worst_digit` is the largest
+    // absolute ppm deviation (smallest digit on ties).
+    //
+    // Scale shape: one map-side-combinable count to (type, digit)
+    // cells, then everything runs on the ≤ 9·|types| grid — the
+    // digit domain is constant, so the screen is one aggregation
+    // pass at any corpus size. Zero-count digits still contribute
+    // n·exp to chi² via the types × digits cross of two tiny tables.
+    QueryDef("q246_benford",
+      (s, dir) => {
+        import s.implicits._
+        val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+          4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+          8 -> 51153L, 9 -> 45757L).toDF("digit", "exp_ppm")
+        val ev = events(s, dir).select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("v"))
+          .filter(col("v") > 0)
+        val obs = ev
+          .withColumn("digit",
+            expr("CAST(substring(CAST(v AS STRING), 1, 1) AS INT)"))
+          .groupBy(col("event_type"), col("digit"))
+          .agg(count(lit(1)).as("c"))
+        val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val grid = n.crossJoin(broadcast(benford))
+          .join(obs, Seq("event_type", "digit"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("dev", expr("c * 1000000 - n * exp_ppm"))
+        grid.groupBy(col("event_type"), col("n"))
+          .agg(
+            expr("CAST(sum(CAST(dev AS DECIMAL(38,0)) * dev DIV " +
+              "(CAST(n AS DECIMAL(38,0)) * exp_ppm)) AS BIGINT)")
+              .as("chi2_fp"),
+            // scalar argmin key: larger |dev| dominates, digit breaks
+            // ties (digit ∈ 1..9 < 16) — DuckDB's min_by has no
+            // composite-key overload, so both engines use the same
+            // integer key
+            expr("min_by(digit, CAST(-abs(dev) AS DECIMAL(38,0)) * 16 " +
+              "+ digit)").as("worst_digit"),
+            max(when(col("digit") === 1,
+              expr("c * 1000000 DIV n"))).as("d1_obs_ppm"))
+          .select(col("event_type"), col("n"), col("chi2_fp"),
+            col("worst_digit"), col("d1_obs_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH benford(digit, exp_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) > 0),
+        |obs AS (
+        |  SELECT event_type,
+        |    CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS c
+        |  FROM v GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1),
+        |grid AS (
+        |  SELECT n.event_type, n.n, b.digit, b.exp_ppm,
+        |    CAST(coalesce(obs.c, 0) AS BIGINT) AS c,
+        |    CAST(coalesce(obs.c, 0) AS BIGINT) * 1000000
+        |      - n.n * b.exp_ppm AS dev
+        |  FROM n CROSS JOIN benford b
+        |  LEFT JOIN obs ON obs.event_type = n.event_type
+        |    AND obs.digit = b.digit)
+        |SELECT event_type, n,
+        |  CAST(sum(CAST(dev AS HUGEINT) * dev
+        |    // (CAST(n AS HUGEINT) * exp_ppm)) AS BIGINT) AS chi2_fp,
+        |  CAST(min_by(digit, CAST(-abs(dev) AS HUGEINT) * 16 + digit)
+        |    AS INT) AS worst_digit,
+        |  CAST(max(CASE WHEN digit = 1 THEN c * 1000000 // n END)
+        |    AS BIGINT) AS d1_obs_ppm
+        |FROM grid
+        |GROUP BY 1, 2
+        |ORDER BY event_type""".stripMargin))
   )
 }

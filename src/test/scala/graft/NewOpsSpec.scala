@@ -211,6 +211,64 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("q246: Benford-conforming digits score ~0, uniform digits score big") {
+    import org.apache.spark.sql.functions._
+    def fixture(counts: Seq[(Int, Int)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("benford").toString
+      val rows = counts.flatMap { case (digit, n) =>
+        (1 to n).map(i => (i.toLong * 10 + digit, i.toLong * 1000000L,
+          i.toLong, "t", digit.toDouble, "{}"))
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    def chi2(dir: String): Long =
+      SparkEntry.queries("q246_benford")(spark, dir)
+        .select($"chi2_fp").as[Long].head()
+    // 1000 draws at the rounded Benford proportions vs 999 uniform
+    val benford = chi2(fixture(Seq(1 -> 301, 2 -> 176, 3 -> 125, 4 -> 97,
+      5 -> 79, 6 -> 67, 7 -> 58, 8 -> 51, 9 -> 46)))
+    val uniform = chi2(fixture((1 to 9).map(_ -> 111)))
+    assert(benford < 100000L, // chi² < 0.1 — rounding residue only
+      s"Benford-distributed fixture scored chi2_fp=$benford")
+    assert(uniform > 100L * math.max(benford, 1L),
+      s"uniform fixture not flagged: $uniform vs $benford")
+  }
+
+  test("q247: MMR keeps the top-relevance seed but picks a more " +
+    "diverse set than pure top-5") {
+    import org.apache.spark.sql.functions._
+    val mmr = SparkEntry.queries("q247_mmr_coreset")(spark, sf())
+      .orderBy($"rank").select($"vec_id", $"maxsim")
+      .as[(Long, Double)].collect().toSeq
+    assert(mmr.map(_._1).distinct.length == 5 && !mmr.map(_._1).contains(0L))
+    val top5 = SparkEntry.queries("q40_knn_bruteforce")(spark, sf())
+      .filter($"qid" === 0).orderBy($"rank").select($"vec_id")
+      .as[Long].collect().toSeq
+    assert(mmr.head._1 == top5.head,
+      "rank 1 must be the pure-relevance argmax (empty penalty set)")
+    // diversity: mean pairwise cosine within the MMR set must not
+    // exceed the pure-relevance set's (the penalty's whole job)
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x =>
+        math.floor(x.toDouble * 10000 + 0.5).toLong).toArray }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble *
+        b.map(x => x * x).sum.toDouble)
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val (dMmr, dTop) = (meanPairSim(mmr.map(_._1)), meanPairSim(top5))
+    assert(dMmr <= dTop,
+      f"MMR set is LESS diverse than pure top-5: $dMmr%.4f > $dTop%.4f")
+  }
+
   test("q245: a homogeneous QI class is flagged at l = 1") {
     val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
     val docs = Seq(
