@@ -757,7 +757,105 @@ object AnalyticsOps {
         |  n_bid * 1000000 // (n_bid + n_ask) AS imbalance_ppm,
         |  (ask_u * n_bid + bid_u * n_ask) // (n_bid + n_ask)
         |    AS microprice_fp
-        |FROM b ORDER BY bucket_ms, user_id""".stripMargin))
+        |FROM b ORDER BY bucket_ms, user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Global interval-containment join — "how many error bursts were
+    // LIVE when each purchase happened?" — the point-in-interval join
+    // with NO shared key at all (q21 has an equi key beside its range;
+    // the as-of family matches one nearest row, not all containers).
+    // Intervals are per-user error bursts (10-minute-gap runs of
+    // error events, the sessionize contract); points are purchase
+    // events; a pair matches when burst_start ≤ ts ≤ burst_end.
+    //
+    // Scale shape — the MANUFACTURED-equi-key pattern Spark needs to
+    // avoid a cartesian range join: carve the time axis into 1-hour
+    // cells, explode each interval to the cells it touches (cells/
+    // interval = duration/1 h + 1 — bounded by the burst gap rule),
+    // key each point by its single containing cell, and equi-join on
+    // the cell before the exact containment filter. Every matched
+    // pair shares EXACTLY the point's cell, so no pair dedup is ever
+    // needed (the classic double-count trap of interval-interval
+    // cell joins doesn't arise for point-in-interval). At 100 TB the
+    // join is an ordinary shuffled equi join on a well-distributed
+    // key; the oracle runs the O(n·m) range-predicate join directly,
+    // so the hash match PROVES the cell decomposition lossless.
+    QueryDef("q250_interval_join",
+      (s, dir) => {
+        val cellMs = 3600000L
+        val ev = events(s, dir)
+        val gap = 600000L
+        val wU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val bursts = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_ms"), col("event_id"))
+          .withColumn("new_b", when(col("ts_ms") - lag(col("ts_ms"), 1)
+            .over(wU) >= gap || lag(col("ts_ms"), 1).over(wU).isNull, 1L)
+            .otherwise(0L))
+          .withColumn("bid", sum(col("new_b")).over(
+            wU.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("bid"))
+          .agg(min(col("ts_ms")).as("b_start"), max(col("ts_ms")).as("b_end"))
+        val burstCells = bursts
+          .withColumn("cell", explode(sequence(
+            expr(s"b_start DIV ${cellMs}L"), expr(s"b_end DIV ${cellMs}L"))))
+          .select(col("cell"), col("b_start"), col("b_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts_ms"),
+            expr(s"ts_ms DIV ${cellMs}L").as("cell"),
+            expr("ts_ms DIV 86400000").as("day"))
+        val live = purchases.join(burstCells, Seq("cell"))
+          .filter(col("b_start") <= col("ts_ms") &&
+            col("ts_ms") <= col("b_end"))
+          .groupBy(col("event_id"), col("day"))
+          .agg(count(lit(1)).as("n_live"))
+        purchases.join(live, Seq("event_id", "day"), "left")
+          .withColumn("n_live", coalesce(col("n_live"), lit(0L)))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("n_live") > 0, 1L).otherwise(0L)).as("n_exposed"),
+            sum(col("n_live")).as("sum_live"),
+            max(col("n_live")).as("max_live"))
+          .withColumn("mean_live_milli",
+            expr("sum_live * 1000 DIV n_purchases"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type, $tsMs AS ts_ms
+        |  FROM events),
+        |err AS (
+        |  SELECT user_id, ts_ms, event_id,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w >= 600000 THEN 1 ELSE 0 END
+        |      AS new_b
+        |  FROM ev WHERE event_type = 'error'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |bursts AS (
+        |  SELECT user_id, bid, min(ts_ms) AS b_start, max(ts_ms) AS b_end
+        |  FROM (SELECT user_id, ts_ms,
+        |          sum(new_b) OVER (PARTITION BY user_id
+        |            ORDER BY ts_ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS bid
+        |        FROM err)
+        |  GROUP BY 1, 2),
+        |pur AS (
+        |  SELECT event_id, ts_ms, ts_ms // 86400000 AS day
+        |  FROM ev WHERE event_type = 'purchase'),
+        |live AS (
+        |  SELECT p.event_id, p.day, count(*) AS n_live
+        |  FROM pur p JOIN bursts b
+        |    ON b.b_start <= p.ts_ms AND p.ts_ms <= b.b_end
+        |  GROUP BY 1, 2)
+        |SELECT p.day, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(coalesce(sum(CASE WHEN l.n_live > 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_exposed,
+        |  CAST(coalesce(sum(l.n_live), 0) AS BIGINT) AS sum_live,
+        |  CAST(coalesce(max(l.n_live), 0) AS BIGINT) AS max_live,
+        |  CAST(coalesce(sum(l.n_live), 0) * 1000 // count(*) AS BIGINT)
+        |    AS mean_live_milli
+        |FROM pur p LEFT JOIN live l
+        |  ON l.event_id = p.event_id AND l.day = p.day
+        |GROUP BY 1 ORDER BY p.day""".stripMargin))
   )
 
   /** q154's oracle — 16 explicit lag terms, built programmatically. */

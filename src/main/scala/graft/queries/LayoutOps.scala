@@ -1009,6 +1009,59 @@ object LayoutOps {
         |    FROM hil WHERE s > 0))
         |SELECT event_id, x0 AS x, y0 AS y, d AS hval
         |FROM hil WHERE s = 0
-        |ORDER BY hval, event_id""".stripMargin))
+        |ORDER BY hval, event_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // α-temperature mixing weights — the multinomial sampling-rate
+    // computation every multi-source pretraining run does (XLM-R /
+    // mT5 style): raw source shares p_s = tokens_s/Σtokens get
+    // smoothed to q_s ∝ p_s^α with α = ½, boosting the tail feeds a
+    // proportional draw would starve. EXACT integer form: p^½ order-
+    // statistics via isqrt — floor(sqrt(tokens)) is bit-identical
+    // cross-engine below 2⁵² (IEEE sqrt is correctly rounded, floor
+    // of it is exact for BIGINT magnitudes), weights normalized to
+    // ppm by integer DIV, raw ppm reported beside so the flattening
+    // is visible in the output itself. Grounds q185's quota split:
+    // this query produces the target shares q185 allocates against.
+    //
+    // Scale shape: one narrow scan → per-source hash-agg (map-side
+    // combinable) → arithmetic on the |sources| summary. The token
+    // count reuses the same whitespace tokenizer contract as the
+    // TextOps postings family.
+    QueryDef("q248_mix_weights",
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .select(col("source"),
+            size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+              .as("ntok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+          .withColumn("sq",
+            expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)"))
+        val Seq(totTok, totSq) = per
+          .agg(sum(col("tokens")), sum(col("sq")))
+          .head().toSeq.map(_.asInstanceOf[Long])
+        per.select(col("source"), col("n_docs"), col("tokens"),
+          expr(s"tokens * 1000000 DIV ${totTok}L").as("raw_ppm"),
+          expr(s"sq * 1000000 DIV ${totSq}L").as("weight_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |sq AS (
+        |  SELECT source, n_docs, tokens,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sq
+        |  FROM per),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+        |    CAST(sum(sq) AS BIGINT) AS ts FROM sq)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+        |  CAST(tokens * 1000000 // (SELECT tt FROM tot) AS BIGINT)
+        |    AS raw_ppm,
+        |  CAST(sq * 1000000 // (SELECT ts FROM tot) AS BIGINT)
+        |    AS weight_ppm
+        |FROM sq ORDER BY source""".stripMargin))
   )
 }

@@ -1909,6 +1909,88 @@ object TemporalOps {
         |    AS BIGINT) AS d1_obs_ppm
         |FROM grid
         |GROUP BY 1, 2
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // CUSUM change-point screen — where did this metric's level
+    // shift? Classic cumulative-sum statistic per event type over the
+    // daily grid, in a DIVISION-FREE exact integer form: with daily
+    // (n_d, s_d = Σv·10⁴) and per-type totals (N, V), the scaled
+    // deviation dev_d = s_d·N − V·n_d sums to EXACTLY ZERO over all
+    // days (it telescopes), so its running sum S_d is a bridge whose
+    // extreme |S_d| marks the most likely single change point — the
+    // same argmax CUSUM locates with float means, ×(N·V) to clear
+    // both denominators. Reported per type: the arg-max day, the
+    // signed excursion as ppm of V·N (level-shift size × duration,
+    // scale-free), and the day count. Products are DECIMAL(38,0)/
+    // HUGEINT per the q137 overflow contract (s_d·N passes 2⁶³ at
+    // ~10⁵ rows/day·type of 10⁴-quantized values).
+    //
+    // Scale shape: one map-side-combinable hash-agg to the (type,
+    // day) grid; every window/join after it runs on the ~30·|types|
+    // grid rows. The q227/q242 grid discipline, on the time axis.
+    QueryDef("q249_cusum",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type"),
+          expr("ts_ms DIV 86400000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("v"))
+        val daily = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_d"), sum(col("v")).as("s_d"))
+        val tot = daily.groupBy(col("event_type"))
+          .agg(sum(col("n_d")).as("n_tot"), sum(col("s_d")).as("v_tot"),
+            count(lit(1)).as("n_days"))
+        val wS = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val bridged = daily.join(broadcast(tot), "event_type")
+          .withColumn("dev", expr(
+            "CAST(s_d AS DECIMAL(38,0)) * n_tot - " +
+              "CAST(v_tot AS DECIMAL(38,0)) * n_d"))
+          .withColumn("s_cum", sum(col("dev")).over(wS))
+          .withColumn("a_cum", abs(col("s_cum")))
+        val peak = bridged.groupBy(col("event_type"))
+          .agg(max(col("a_cum")).as("peak"))
+        bridged.join(broadcast(peak), "event_type")
+          .filter(col("a_cum") === col("peak"))
+          .groupBy(col("event_type"), col("n_days"), col("n_tot"),
+            col("v_tot"), col("peak"))
+          .agg(min(col("day")).as("change_day"),
+            min_by(col("s_cum"), col("day")).as("s_at"))
+          .select(col("event_type"), col("n_days"), col("change_day"),
+            expr("CAST(s_at * 1000000 DIV (CAST(v_tot AS DECIMAL(38,0)) " +
+              "* n_tot) AS BIGINT)").as("cusum_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_d,
+        |    CAST(sum(v) AS BIGINT) AS s_d
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n_tot,
+        |    CAST(sum(s_d) AS BIGINT) AS v_tot,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |bridged AS (
+        |  SELECT d.event_type, d.day, t.n_days, t.n_tot, t.v_tot,
+        |    sum(CAST(d.s_d AS HUGEINT) * t.n_tot
+        |      - CAST(t.v_tot AS HUGEINT) * d.n_d)
+        |      OVER (PARTITION BY d.event_type ORDER BY d.day) AS s_cum
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |peak AS (
+        |  SELECT event_type, max(abs(s_cum)) AS peak
+        |  FROM bridged GROUP BY 1)
+        |SELECT b.event_type, b.n_days, min(b.day) AS change_day,
+        |  CAST(min_by(b.s_cum, b.day) * 1000000
+        |    // (CAST(max(b.v_tot) AS HUGEINT) * max(b.n_tot)) AS BIGINT)
+        |    AS cusum_ppm
+        |FROM bridged b JOIN peak p ON p.event_type = b.event_type
+        |  AND abs(b.s_cum) = p.peak
+        |GROUP BY 1, 2
+        |ORDER BY b.event_type""".stripMargin))
   )
 }

@@ -269,6 +269,62 @@ class NewOpsSpec extends SparkSpec {
       f"MMR set is LESS diverse than pure top-5: $dMmr%.4f > $dTop%.4f")
   }
 
+  test("q248: α=½ smoothing compresses source shares toward uniform") {
+    val rows = SparkEntry.queries("q248_mix_weights")(spark, sf())
+      .select($"raw_ppm", $"weight_ppm").as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val (raws, wts) = (rows.map(_._1), rows.map(_._2))
+    // concave smoothing: the head loses share, the tail gains (±2 ppm
+    // integer-floor slack), and the weights still form a distribution
+    assert(wts.max <= raws.max + 2,
+      s"smoothed head ${wts.max} above raw head ${raws.max}")
+    assert(wts.min >= raws.min - 2,
+      s"smoothed tail ${wts.min} below raw tail ${raws.min}")
+    assert(math.abs(wts.sum - 1000000L) <= rows.size,
+      s"weights don't sum to ~10⁶: ${wts.sum}")
+  }
+
+  test("q249: CUSUM locates a planted level shift at its boundary") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("cusum").toString
+    // 20 days × 10 events/day, value 10.0 for days 0-9 then 20.0
+    val rows = for (d <- 0 until 20; i <- 0 until 10) yield (
+      d.toLong * 100 + i,                                // event_id
+      (d.toLong * 86400000L + i * 1000L) * 1000000L,     // ts (nanos)
+      i.toLong, "t", if (d < 10) 10.0 else 20.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q249_cusum")(spark, tmp)
+      .select($"change_day", $"cusum_ppm").as[(Long, Long)].head()
+    assert(out._1 == 9L, s"change point not at the shift boundary: $out")
+    assert(out._2 < 0L, // low segment accumulates negative deviation
+      s"excursion sign wrong for a low-then-high shift: $out")
+  }
+
+  test("q250: a burst spanning an hour-cell boundary still matches") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ivj").toString
+    val H = 3600000L
+    // errors every 5 min from 0:50 to 1:10 → ONE burst (gaps < 10 min)
+    // crossing the hour boundary; purchases at 1:05 (inside, but in a
+    // different cell than the burst's start) and at 3:00 (no burst)
+    val evs = Seq(
+      (1L, (50 * 60000L) * 1000000L, 1L, "error", 1.0, "{}"),
+      (2L, (55 * 60000L) * 1000000L, 1L, "error", 1.0, "{}"),
+      (3L, (60 * 60000L) * 1000000L, 1L, "error", 1.0, "{}"),
+      (4L, (65 * 60000L) * 1000000L, 1L, "error", 1.0, "{}"),
+      (5L, (70 * 60000L) * 1000000L, 1L, "error", 1.0, "{}"),
+      (6L, (65 * 60000L) * 1000000L, 2L, "purchase", 5.0, "{}"),
+      (7L, (3 * H) * 1000000L, 3L, "purchase", 5.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q250_interval_join")(spark, tmp)
+      .select($"day", $"n_purchases", $"n_exposed", $"sum_live")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 1L, 1L)),
+      s"cross-cell containment broken: $out")
+  }
+
   test("q245: a homogeneous QI class is flagged at l = 1") {
     val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
     val docs = Seq(
