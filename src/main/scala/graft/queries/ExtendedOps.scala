@@ -1424,7 +1424,68 @@ object ExtendedOps {
       },
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  min(value) AS v_min, max(value) AS v_max
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cascade-purge audit — the referential blast-radius readout a
+    // deletion/right-to-erasure job runs BEFORE touching data: delete
+    // one part brand, and report per order-priority how many orders
+    // are touched (≥1 lineitem references a purged part), how many
+    // are FULLY emptied (every lineitem purged — these orders become
+    // orphans the cascade must also delete), and the lineitem counts,
+    // so the job can be sized and the orphan pass planned.
+    //
+    // Scale shape: the purge set is |brand parts| (broadcast); the
+    // hit flag is one broadcast left-semi-shaped join annotated as a
+    // left join + flag (the fact table is scanned once); per-order
+    // totals are one hash-agg on l_orderkey; the priority rollup
+    // joins orders broadcast-side after the aggregation collapsed
+    // lineitems to |orders| rows.
+    QueryDef("q252_cascade_purge",
+      (s, dir) => {
+        val brand = "Brand#13"
+        val delParts = t(s, dir, "part")
+          .filter(col("p_brand") === brand).select(col("p_partkey"))
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"))
+        val perOrder = li
+          .join(broadcast(delParts), col("l_partkey") === col("p_partkey"),
+            "left")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_li"),
+            sum(when(col("p_partkey").isNotNull, 1L).otherwise(0L))
+              .as("n_hit"))
+        perOrder
+          .join(t(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_touched"),
+            sum(when(col("n_hit") === col("n_li"), 1L).otherwise(0L))
+              .as("n_fully_purged"),
+            sum(col("n_li")).as("n_lineitems"),
+            sum(col("n_hit")).as("n_li_purged"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH del AS (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_li,
+        |    CAST(coalesce(sum(CASE WHEN del.p_partkey IS NOT NULL
+        |      THEN 1 END), 0) AS BIGINT) AS n_hit
+        |  FROM lineitem LEFT JOIN del ON lineitem.l_partkey = del.p_partkey
+        |  GROUP BY 1)
+        |SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(sum(CASE WHEN p.n_hit > 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_touched,
+        |  CAST(coalesce(sum(CASE WHEN p.n_hit = p.n_li THEN 1 END), 0)
+        |    AS BIGINT) AS n_fully_purged,
+        |  CAST(sum(p.n_li) AS BIGINT) AS n_lineitems,
+        |  CAST(sum(p.n_hit) AS BIGINT) AS n_li_purged
+        |FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+        |GROUP BY 1 ORDER BY o.o_orderpriority""".stripMargin))
   )
 
   /** one rollup parquet per sfDir, under the JVM tmpdir (testdata is

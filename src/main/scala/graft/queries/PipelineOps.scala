@@ -1297,6 +1297,63 @@ object PipelineOps {
         |  CAST(sum(sz) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(CASE WHEN l = 1 THEN sz END), 0) * 1000
         |    // sum(sz) AS BIGINT) AS risk_pm
-        |FROM cls GROUP BY 1 ORDER BY source""".stripMargin))
+        |FROM cls GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Bitmap-chunk exact distinct — the roaring-bitmap-index pattern
+    // spelled in pure relational algebra: user ids map to (chunk =
+    // id DIV 63, bit = 1 << id%63 — 63-bit chunks because a signed
+    // BIGINT 1<<63 overflows on the oracle side) and per-(key, chunk)
+    // masks merge
+    // with the ASSOCIATIVE bit_or — mergeable partial state exactly
+    // like a sketch (HLL q176, KMV q177) but EXACT: the distinct
+    // count is Σ popcount(mask). Why it matters at 100 TB: a shuffle
+    // carries one 8-byte mask per (key, chunk) instead of every id,
+    // masks union across days/partitions/engines without re-reading
+    // raw data (the materialized-bitmap form of q178's register
+    // maxes), and unlike count(DISTINCT) the partial state is
+    // re-aggregable after any regrouping. The query emits BOTH the
+    // bitmap count and the built-in exact count — the cross-engine
+    // hash match pins bitmap == exact on every row on both engines.
+    QueryDef("q251_bitmap_distinct",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type"), col("user_id"))
+        val masks = ev
+          .select(col("event_type"), expr("user_id DIV 63").as("chunk"),
+            expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(user_id % 63 AS INT))").as("bit"))
+          .groupBy(col("event_type"), col("chunk"))
+          .agg(expr("bit_or(bit)").as("mask"))
+        val viaBitmap = masks.groupBy(col("event_type"))
+          .agg(sum(expr("bit_count(mask)")).as("distinct_bitmap"),
+            count(lit(1)).as("n_chunks"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("distinct_exact"))
+        viaBitmap.join(exact, "event_type")
+          .select(col("event_type"), col("distinct_bitmap"),
+            col("distinct_exact"), col("n_chunks"),
+            (col("distinct_bitmap") === col("distinct_exact"))
+              .cast("long").as("agree"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id FROM events),
+        |masks AS (
+        |  SELECT event_type, user_id // 63 AS chunk,
+        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS mask
+        |  FROM ev GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT event_type,
+        |    CAST(sum(bit_count(mask)) AS BIGINT) AS distinct_bitmap,
+        |    CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM masks GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_exact
+        |  FROM ev GROUP BY 1)
+        |SELECT bm.event_type, bm.distinct_bitmap, ex.distinct_exact,
+        |  bm.n_chunks,
+        |  CAST(bm.distinct_bitmap = ex.distinct_exact AS BIGINT) AS agree
+        |FROM bm JOIN ex ON ex.event_type = bm.event_type
+        |ORDER BY bm.event_type""".stripMargin))
   )
 }

@@ -325,6 +325,42 @@ class NewOpsSpec extends SparkSpec {
       s"cross-cell containment broken: $out")
   }
 
+  test("q251: bitmap distinct equals exact across chunk boundaries") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("bitmap").toString
+    // ids straddling 63-bit chunk edges (62|63, 125|126) + duplicates
+    val ids = Seq(0L, 62L, 63L, 64L, 125L, 126L, 126L, 189L, 0L)
+    ids.zipWithIndex.map { case (uid, i) =>
+      (i.toLong, i.toLong * 1000000000L, uid, "t", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q251_bitmap_distinct")(spark, tmp)
+      .select($"distinct_bitmap", $"distinct_exact", $"n_chunks", $"agree")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((7L, 7L, 4L, 1L)), s"bitmap distinct broken: $out")
+  }
+
+  test("q252: fully-purged orders are exactly those with no surviving " +
+    "lineitem") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("purge").toString
+    Seq((1L, "Brand#13"), (2L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    Seq((10L, 1L), (10L, 1L), (11L, 1L), (11L, 2L), (12L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, "1-URGENT"), (11L, "1-URGENT"), (12L, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = SparkEntry.queries("q252_cascade_purge")(spark, tmp)
+      .select($"n_orders", $"n_touched", $"n_fully_purged",
+        $"n_lineitems", $"n_li_purged")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // o10 fully purged (2 hit li), o11 touched (1 of 2), o12 untouched
+    assert(out == ((3L, 2L, 1L, 5L, 3L)), s"cascade audit wrong: $out")
+  }
+
   test("q245: a homogeneous QI class is flagged at l = 1") {
     val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
     val docs = Seq(
