@@ -138,6 +138,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         SortedIntersect(children(0), children(1))))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash16"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSigs].getName, "minhash16"),
+      (children: Seq[Expression]) => MinHashSigs(children(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingles3"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Shingles3].getName, "shingles3"),
+      (children: Seq[Expression]) => Shingles3(children(0))))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NGramsGenerator].getName, "ngrams"),

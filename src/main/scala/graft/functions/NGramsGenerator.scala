@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Generators evaluate row-at-a-time (CodegenFallback is the norm —
   * Spark's own `Stack`/`JsonTuple` do the same), which is fine for
   * a generator whose output dominates its own evaluation cost; the
-  * HOT shingle pipeline (TextOps.shingleRows) keeps its
-  * posexplode + window `lead` form, which stays inside whole-stage
-  * codegen — this operator exists for the API surface and for ad-hoc
-  * n-gram expansion where plan shape matters less.
+  * HOT shingle pipeline (TextOps.shingleRows) instead uses the
+  * scalar `shingles3` Expression + built-in explode — fully inside
+  * whole-stage codegen AND shuffle-free — so this operator exists
+  * for the API surface and for ad-hoc n-gram expansion at other
+  * window sizes where plan shape matters less.
   *
   * `n` must be a foldable positive integer (checked at plan time via
   * the first eval; a data-dependent n would make the output schema

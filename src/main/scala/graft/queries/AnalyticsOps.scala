@@ -763,7 +763,10 @@ object AnalyticsOps {
     // Global interval-containment join — "how many error bursts were
     // LIVE when each purchase happened?" — the point-in-interval join
     // with NO shared key at all (q21 has an equi key beside its range;
-    // the as-of family matches one nearest row, not all containers).
+    // the as-of family matches one nearest row, not all containers;
+    // q102 is this family's interval×interval sibling and needs the
+    // first-overlap-bin single-emission trick — a POINT sits in
+    // exactly one cell, so this variant needs no dedup at all).
     // Intervals are per-user error bursts (10-minute-gap runs of
     // error events, the sessionize contract); points are purchase
     // events; a pair matches when burst_start ≤ ts ≤ burst_end.

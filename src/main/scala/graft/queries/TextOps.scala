@@ -26,13 +26,32 @@ object TextOps {
   /** distinct word 3-gram shingles, one row per (doc_id, shingle),
     * plus the doc's distinct-shingle count `sz`.
     *
-    * Built as posexplode + windowed `lead`, NOT as
-    * `transform(sequence, i => element_at(tokens, ...))`: Catalyst
-    * inlines the tokenizing `split` into such a lambda, re-splitting
-    * the document for every element access — O(tokens²) regex work
-    * per doc (measured 30s for 5k docs; this form does it in <2s and
-    * scales linearly). */
-  private[queries] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    * Built with the fused native `shingles3` Expression
+    * (graft.functions.Shingles3): per-row tokenize → slide → dedupe
+    * in one codegen'd pass, so the table is a MAP-ONLY scan + explode
+    * — zero exchanges. The history of this function is the repo's
+    * perf story in miniature: the HOF form
+    * (`transform(sequence, i => element_at(tokens, ...))`) was
+    * O(tokens²) because Catalyst re-inlines the tokenizing `split`
+    * into the lambda (measured 30 s for 5k docs); the posexplode +
+    * window `lead` rewrite made it linear but paid three exchanges
+    * (the lead sort, the distinct, the per-doc count window) — kept
+    * verbatim in [[shingleRowsWindowed]] as the parity reference;
+    * the native Expression removes the exchanges too. FunctionsSpec
+    * pins row-set equality of the two forms on real corpora. */
+  def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("shingles3(text)").as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("s"),
+        size(col("arr")).cast("long").as("sz"))
+      .select(col("doc_id"), col("s"), col("sz"))
+  }
+
+  /** the pre-expression relational shingle build — the reference
+    * implementation [[shingleRows]]'s fused path must match
+    * row-for-row (pinned by FunctionsSpec at two SFs). */
+  def shingleRowsWindowed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     t(s, dir, "documents")
@@ -128,19 +147,36 @@ object TextOps {
     * the dedup path reads the band digests built from them. */
   private val slotCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private[queries] def minhashSlots(s: SparkSession, dir: String): DataFrame =
+  def minhashSlots(s: SparkSession, dir: String): DataFrame =
     slotCache.synchronized {
-      slotCache.getOrElseUpdate((s, dir),
-        shingleTable(s, dir)
+      slotCache.getOrElseUpdate((s, dir), {
+        // fused native build (graft.functions.MinHashSigs): the whole
+        // tokenize → shingle → md5 → 16-way-min pipeline in one
+        // map-only codegen'd pass — ZERO shuffles, vs the relational
+        // form's 16·|shingle rows| explode + groupBy (kept verbatim in
+        // [[minhashSlotsAgg]]; FunctionsSpec pins row-set equality on
+        // real corpora, so the oracles' SQL derivation stays valid).
+        graft.functions.MinHashSigs.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr("minhash16(text)").as("sig"))
           .select(col("doc_id"),
-            conv(substring(md5(col("s")), 1, 15), 16, 10)
-              .cast("long").bitwiseAND(2147483647L).as("h"))
-          .withColumn("seed", explode(sequence(lit(0), lit(15))))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(((lit(2) * col("seed") + 1) * col("h")
-            + lit(7919) * col("seed")) % 2147483647L).as("mh"))
-          .localCheckpoint(false))
+            posexplode(col("sig")).as(Seq("seed", "mh")))
+          .localCheckpoint(false)
+      })
     }
+
+  /** the pre-expression relational signature build — the reference
+    * implementation [[minhashSlots]]'s fused native path must match
+    * row-for-row (pinned by FunctionsSpec at two SFs). */
+  def minhashSlotsAgg(s: SparkSession, dir: String): DataFrame =
+    shingleTable(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").bitwiseAND(2147483647L).as("h"))
+      .withColumn("seed", explode(sequence(lit(0), lit(15))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(((lit(2) * col("seed") + 1) * col("h")
+        + lit(7919) * col("seed")) % 2147483647L).as("mh"))
 
   private val bandCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]

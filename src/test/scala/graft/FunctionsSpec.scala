@@ -160,4 +160,85 @@ class FunctionsSpec extends SparkSpec {
     assert(edge(0).isNullAt(0))
     assert(edge(1).getSeq[Long](0).isEmpty)
   }
+
+  test("minhash16 matches the relational shingle→explode→min build " +
+    "row-for-row on real corpora") {
+    import graft.queries.TextOps
+    Seq("sf0.001", "sf0.01").foreach { sfName =>
+      val dir = sf(sfName)
+      val fused = TextOps.minhashSlots(spark, dir)
+        .select($"doc_id", $"seed", $"mh")
+        .as[(Long, Int, Long)].collect().toSet
+      val relational = TextOps.minhashSlotsAgg(spark, dir)
+        .select($"doc_id", $"seed", $"mh")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fused == relational,
+        s"$sfName: fused native signatures diverge from the relational " +
+          s"reference (${(fused -- relational).take(3)} vs " +
+          s"${(relational -- fused).take(3)})")
+    }
+  }
+
+  test("minhash16 edge contracts: short docs empty, whitespace quirks " +
+    "match the SQL tokenizer") {
+    graft.functions.MinHashSigs.register(spark)
+    // docs shorter than one shingle → empty array (posexplode drops)
+    val outs = Seq("", "one", "one two", "  one   two  ",
+      "one two three", "a\tb c d") // tab is NOT trimmed, IS a splitter
+      .toDF("text").select(expr("minhash16(text)").as("sig"))
+      .as[Seq[Long]].collect()
+    assert(outs(0).isEmpty && outs(1).isEmpty && outs(2).isEmpty &&
+      outs(3).isEmpty)
+    assert(outs(4).length == 16 && outs(5).length == 16)
+    // parity with the SQL pipeline on the quirky strings too
+    val viaSql = Seq("one two three", "a\tb c d").toDF("text")
+      .selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS w")
+      .count()
+    assert(viaSql == 7L) // 3 + 4 tokens — same tokenizer both paths
+  }
+
+  test("shingles3 matches the windowed relational shingle build " +
+    "row-for-row on real corpora") {
+    import graft.queries.TextOps
+    Seq("sf0.001", "sf0.01").foreach { sfName =>
+      val dir = sf(sfName)
+      val fused = TextOps.shingleRows(spark, dir)
+        .select($"doc_id", $"s", $"sz")
+        .as[(Long, String, Long)].collect().toSet
+      val windowed = TextOps.shingleRowsWindowed(spark, dir)
+        .select($"doc_id", $"s", $"sz")
+        .as[(Long, String, Long)].collect().toSet
+      assert(fused == windowed,
+        s"$sfName: fused shingles diverge from the windowed reference " +
+          s"(${(fused -- windowed).take(3)} vs ${(windowed -- fused).take(3)})")
+    }
+  }
+
+  test("fused shingle build is a map-only scan: no Exchange, no Window") {
+    // the whole point of Shingles3 over the windowed form — the
+    // corpus's most shared base table materializes without a single
+    // shuffle or sort; a regression back to window/distinct shapes
+    // fails here before it costs anything at scale
+    val plan = graft.queries.TextOps.shingleRows(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"shingleRows plans an Exchange — no longer map-only:\n$plan")
+    assert(!plan.contains("Window"),
+      s"shingleRows plans a Window — the fused expression is bypassed:\n$plan")
+  }
+
+  test("minhash16 stays inside whole-stage codegen") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(
+      classOf[graft.functions.MinHashSigs]),
+      "MinHashSigs is CodegenFallback — doGenCode is dead code")
+    graft.functions.MinHashSigs.register(spark)
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("minhash16(text) AS sig")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash16("), s"expression missing from plan")
+    assert(plan.linesIterator.filter(_.contains("minhash16("))
+      .forall(_.trim.startsWith("*")),
+      s"minhash16 line lacks the WholeStageCodegen marker:\n$plan")
+  }
 }

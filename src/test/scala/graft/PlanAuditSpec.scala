@@ -35,7 +35,15 @@ class PlanAuditSpec extends SparkSpec {
       // KS evaluation grid: distinct length values × the ~5-row
       // per-source count table (broadcast) — the corpus scan itself
       // never crosses, only its value-domain summary
-      "q227_ks_source_drift")
+      "q227_ks_source_drift",
+      // per-type totals (~5 rows) × the 9-row Benford literal table —
+      // the digit grid that re-inserts zero-count digits; the event
+      // scan feeds only hash-aggs
+      "q246_benford",
+      // greedy MMR: the corpus crosses a BROADCAST ≤5-row side twice
+      // (the single query vector for relevance, the picked set per
+      // step) — the q40 intended-broadcast shape, k-bounded
+      "q247_mmr_coreset")
 
   test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
