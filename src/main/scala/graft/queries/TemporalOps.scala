@@ -1991,6 +1991,201 @@ object TemporalOps {
         |FROM bridged b JOIN peak p ON p.event_type = b.event_type
         |  AND abs(b.s_cum) = p.peak
         |GROUP BY 1, 2
-        |ORDER BY b.event_type""".stripMargin))
+        |ORDER BY b.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Clamped running balance — the nonlinear recurrence
+    // b_t = max(0, b_{t−1} + d_t) (inventory that can't go negative,
+    // a prepaid wallet, a queue depth) looks window-inexpressible
+    // because the clamp is applied at EVERY step, but it has an exact
+    // prefix-form: b_t = S_t − min(0, min_{j≤t} S_j) with S the plain
+    // prefix sum — each clamp "forgives" exactly the amount the
+    // running minimum dropped below zero, so the deepest minimum so
+    // far is the only state the recurrence carries. (Proof shape: by
+    // induction both sides agree at every step; pinned against the
+    // literal sequential fold in NewOpsSpec.) Credits: signup grants
+    // 100.0000; debits: each purchase spends its value; floor 0.
+    //
+    // Scale shape: two STACKED windows (running sum, running min) on
+    // ONE user_id exchange — q193's discipline; user_id is
+    // high-cardinality so no bucketing is needed. Final per-user
+    // balances then roll up per type-of-user-activity day count.
+    QueryDef("q253_clamped_balance",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            when(col("event_type") === "signup", lit(1000000L))
+              .otherwise(expr(
+                "-CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+              .as("d"))
+        // the END-state balance needs only the prefix-sum column: with
+        // S_N = sum(d) and M_N = min over prefix sums, b_N = S_N −
+        // min(0, M_N) — ONE window, one exchange, then a hash-agg
+        val w = "PARTITION BY user_id ORDER BY ts_ms, event_id"
+        ev.withColumn("s_run", expr(s"sum(d) OVER ($w)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_moves"),
+            expr("sum(d) - least(0L, min(s_run))").as("balance_fp"),
+            expr("-least(0L, min(s_run))").as("forgiven_fp"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT user_id, $tsMs AS ts_ms, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 1000000
+        |      ELSE -CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      END AS d
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |run AS (
+        |  SELECT user_id, d,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |      AS s_run
+        |  FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+        |  CAST(sum(d) - least(0, min(s_run)) AS BIGINT) AS balance_fp,
+        |  CAST(-least(0, min(s_run)) AS BIGINT) AS forgiven_fp
+        |FROM run GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Out-of-order depth profile — the number every Structured
+    // Streaming job needs BEFORE choosing `withWatermark`: for each
+    // event in ARRIVAL order (event_id — the ingest sequence), how
+    // far behind the running max event-time did it arrive? Per type:
+    // out-of-order ppm, max depth, and the exact p99 depth — set the
+    // watermark there and 99% of late data is admitted.
+    //
+    // Scale shape: the running max over arrival order is the fourth
+    // member of the bucketed low-cardinality-window family (q166
+    // gaps, q239 lag-2 products, q241 per-row backfill — here the
+    // statistic is MAX, the friendliest: associative and
+    // prefix-monotone). 256 arrival buckets, in-bucket running max,
+    // per-bucket max prefix-maxed on the ≤256-row summary and
+    // broadcast back; depth = max(in-bucket running max, previous
+    // buckets' max) − ts. The p99 selection runs on a (type, depth
+    // DIV 1s) GRID (q242's cumulative-rank discipline), never on raw
+    // rows.
+    QueryDef("q254_ooo_depth",
+      (s, dir) => {
+        val nBuckets = 256L
+        val ev = events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ms"))
+        val Seq(minId, maxId) = ev
+          .agg(min(col("event_id")), max(col("event_id")))
+          .head().toSeq.map(_.asInstanceOf[Long])
+        val width = math.max(1L, (maxId - minId + nBuckets) / nBuckets)
+        val w = "PARTITION BY event_type, bucket ORDER BY event_id"
+        val rows = ev
+          .withColumn("bucket", expr(s"(event_id - ${minId}L) DIV ${width}L"))
+          .withColumn("run_in", expr(s"max(ts_ms) OVER ($w)"))
+        val bounds = rows.groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("ts_ms")).as("b_max"))
+          .withColumn("prev_max", expr("max(b_max) OVER (PARTITION BY " +
+            "event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+            "AND 1 PRECEDING)"))
+          .select(col("event_type"), col("bucket"), col("prev_max"))
+        val depths = rows
+          .join(broadcast(bounds), Seq("event_type", "bucket"))
+          .withColumn("depth",
+            expr("greatest(run_in, coalesce(prev_max, run_in)) - ts_ms"))
+        val grid = depths
+          .groupBy(col("event_type"), expr("depth DIV 1000").as("dsec"))
+          .agg(count(lit(1)).as("c"))
+        val n = grid.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("dsec"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val p99 = grid.join(broadcast(n), "event_type")
+          .withColumn("cum", sum(col("c")).over(wc))
+          .filter(expr("cum * 100 >= n * 99"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(col("dsec")).as("p99_depth_sec"))
+        grid.groupBy(col("event_type"))
+          .agg(coalesce(sum(when(col("dsec") > 0, col("c"))), lit(0L))
+            .as("n_late_1s"),
+            max(col("dsec")).as("max_depth_sec"))
+          .join(p99, "event_type")
+          .select(col("event_type"), col("n"),
+            expr("n_late_1s * 1000000 DIV n").as("ooo_ppm"),
+            col("p99_depth_sec"), col("max_depth_sec"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, event_id, $tsMs AS ts_ms FROM events),
+        |runm AS (
+        |  SELECT event_type, ts_ms,
+        |    max(ts_ms) OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS run_max
+        |  FROM ev),
+        |grid AS (
+        |  SELECT event_type, (run_max - ts_ms) // 1000 AS dsec,
+        |    count(*) AS c
+        |  FROM runm GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM grid GROUP BY 1),
+        |p99 AS (
+        |  SELECT g.event_type, n.n, min(g.dsec) AS p99_depth_sec
+        |  FROM (SELECT event_type, dsec, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY dsec)
+        |            AS cum
+        |        FROM grid) g JOIN n USING (event_type)
+        |  WHERE g.cum * 100 >= n.n * 99
+        |  GROUP BY 1, 2)
+        |SELECT g.event_type, p99.n,
+        |  CAST(coalesce(sum(CASE WHEN g.dsec > 0 THEN g.c END), 0)
+        |    * 1000000 // p99.n AS BIGINT) AS ooo_ppm,
+        |  p99.p99_depth_sec,
+        |  max(g.dsec) AS max_depth_sec
+        |FROM grid g JOIN p99 ON p99.event_type = g.event_type
+        |GROUP BY 1, 2, 4
+        |ORDER BY g.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Seasonal-naive forecast eval (MASE) — the sanity baseline every
+    // event-volume forecast must beat: predict each day's count with
+    // the SAME WEEKDAY last week (lag 7), and score it as the Mean
+    // Absolute Scaled Error — Σ|c_d − c_{d−7}| over Σ|c_d − c_{d−1}|,
+    // the lag-1 naive as the scale. MASE < 10⁶ (ppm fixed point)
+    // means weekly seasonality is real signal (the weekly forecast
+    // beats persistence); ≥10⁶ means the series has no usable weekly
+    // structure. Pure integer counts, one DIV at the end.
+    //
+    // Scale shape: one map-side-combinable count to the (type, day)
+    // grid, lag windows on the ~30·|types| grid rows only.
+    QueryDef("q255_seasonal_naive",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), expr("ts_ms DIV 86400000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = "PARTITION BY event_type ORDER BY day"
+        daily
+          .withColumn("c7", expr(s"lag(c, 7) OVER ($w)"))
+          .withColumn("c1", expr(s"lag(c, 1) OVER ($w)"))
+          .filter(col("c7").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("c") - col("c7"))).as("sae_seasonal"),
+            sum(abs(col("c") - col("c1"))).as("sae_naive"))
+          .select(col("event_type"), col("n_days"),
+            col("sae_seasonal"), col("sae_naive"),
+            expr("CASE WHEN sae_naive > 0 THEN " +
+              "sae_seasonal * 1000000 DIV sae_naive END").as("mase_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH daily AS (
+        |  SELECT event_type, $tsMs // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (
+        |  SELECT event_type, c,
+        |    lag(c, 7) OVER w AS c7, lag(c, 1) OVER w AS c1
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(c - c7)) AS BIGINT) AS sae_seasonal,
+        |  CAST(sum(abs(c - c1)) AS BIGINT) AS sae_naive,
+        |  CAST(CASE WHEN sum(abs(c - c1)) > 0 THEN
+        |    sum(abs(c - c7)) * 1000000 // sum(abs(c - c1)) END AS BIGINT)
+        |    AS mase_ppm
+        |FROM lagd WHERE c7 IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -361,6 +361,91 @@ class NewOpsSpec extends SparkSpec {
     assert(out == ((3L, 2L, 1L, 5L, 3L)), s"cascade audit wrong: $out")
   }
 
+  test("q253: prefix-form balance equals the literal sequential clamp fold") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("clamp").toString
+    // user 1: grant, overspend (clamps), spend; user 2: spend first
+    // (clamps at 0 immediately), then grant; includes a ts tie broken
+    // by event_id
+    val evs = Seq(
+      (1L, 1000L, 1L, "signup", 0.0, "{}"),     // +100.0000
+      (2L, 2000L, 1L, "purchase", 150.0, "{}"), // -150 → clamp to 0
+      (3L, 2000L, 1L, "purchase", 10.0, "{}"),  // tie: after event 2
+      (4L, 3000L, 1L, "signup", 0.0, "{}"),     // +100
+      (5L, 1000L, 2L, "purchase", 30.0, "{}"),  // clamp at 0
+      (6L, 2000L, 2L, "signup", 0.0, "{}"),     // +100
+      (7L, 9999L, 2L, "view", 5.0, "{}"))       // filtered out
+      .map { case (id, ms, u, t, v, p) => (id, ms * 1000000L, u, t, v, p) }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def fold(ds: Seq[Long]): Long =
+      ds.foldLeft(0L)((b, d) => math.max(0L, b + d))
+    val expect = Map(
+      1L -> fold(Seq(1000000L, -1500000L, -100000L, 1000000L)),
+      2L -> fold(Seq(-300000L, 1000000L)))
+    val got = SparkEntry.queries("q253_clamped_balance")(spark, tmp)
+      .select($"user_id", $"balance_fp").as[(Long, Long)].collect().toMap
+    assert(got == expect, s"clamped balance: $got vs $expect")
+  }
+
+  test("q254: out-of-order arrivals are measured across bucket " +
+    "boundaries, and match a driver fold") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ooo").toString
+    // 1000 arrivals (event_id = arrival order); every 10th event
+    // arrives 25 s late, every 100th 120 s late — late spans cross
+    // the ~4-id-wide probe buckets by construction
+    val rows = (0 until 1000).map { i =>
+      val base = i.toLong * 1000L
+      val ts = if (i % 100 == 0 && i > 0) base - 120000L
+      else if (i % 10 == 0 && i > 0) base - 25000L else base
+      (i.toLong, ts * 1000000L, 1L, "t", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // driver fold: running max over arrival order
+    var runMax = Long.MinValue
+    val depthsSec = rows.map { r =>
+      val ts = r._2 / 1000000L
+      runMax = math.max(runMax, ts); (runMax - ts) / 1000L
+    }
+    val n = depthsSec.size
+    val grid = depthsSec.groupBy(identity).view.mapValues(_.size).toMap
+    val p99 = grid.keys.toSeq.sorted
+      .scanLeft((0L, 0L)) { case ((_, cum), d) => (d, cum + grid(d)) }
+      .drop(1).find { case (_, cum) => cum * 100 >= n * 99 }.get._1
+    val expOoo = depthsSec.count(_ > 0).toLong * 1000000L / n
+    val got = SparkEntry.queries("q254_ooo_depth")(spark, tmp)
+      .select($"n", $"ooo_ppm", $"p99_depth_sec", $"max_depth_sec")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((n.toLong, expOoo, p99, depthsSec.max)),
+      s"ooo profile: $got vs (${n}, $expOoo, $p99, ${depthsSec.max})")
+    assert(depthsSec.max > 0, "fixture must actually be out of order")
+  }
+
+  test("q255: a perfectly weekly series scores MASE 0; an alternating " +
+    "one scores above the naive") {
+    import org.apache.spark.sql.functions._
+    def series(counts: Seq[Int], typ: String) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (d.toLong * 10000 + i,
+          (d.toLong * 86400000L + i) * 1000000L, i.toLong, typ, 1.0, "{}"))
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("mase").toString
+    val weekly = Seq(5, 9, 7, 3, 8, 2, 6) // exact period-7 pattern ×3
+    val evs = series(weekly ++ weekly ++ weekly, "weekly") ++
+      series(Seq.fill(21)(0).zipWithIndex.map { case (_, d) =>
+        if (d % 2 == 0) 2 else 9 }, "alt") // period-2: lag-7 = lag-1 err
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q255_seasonal_naive")(spark, tmp)
+      .select($"event_type", $"mase_ppm").as[(String, Long)].collect().toMap
+    assert(got("weekly") == 0L,
+      s"exact weekly pattern must forecast perfectly: $got")
+    // alternating period-2: lag-7 error equals lag-1 error → MASE = 1
+    assert(got("alt") == 1000000L, s"period-2 series: $got")
+  }
+
   test("q245: a homogeneous QI class is flagged at l = 1") {
     val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
     val docs = Seq(
