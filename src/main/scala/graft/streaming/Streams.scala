@@ -63,8 +63,39 @@ case class SketchEstimate(grp: String, n_filled: Long, v_zero: Long,
 /** one live CMS cell (flattened `j*w + b`) with its running count. */
 case class CmsCell(cell: Long, c: Long)
 
+/** one observation for the streaming EXACT distinct counter: group +
+  * non-negative member id. */
+case class KeyedId(grp: String, id: Long)
+
+/** a group's live bitmap chunk (63 ids per chunk) with its OR-mask —
+  * exact distinct = Σ popcount over a group's current cells. */
+case class BitmapCell(grp: String, chunk: Long, mask: Long)
+
 /** cell-keyed additive counter for the streaming portable CMS — see
   * [[Streams.portableCmsStream]]. */
+/** OR-accumulating mask state for the streaming exact distinct — see
+  * [[Streams.bitmapDistinctStream]]. Unlike the CMS counter, OR is
+  * IDEMPOTENT, so replayed or duplicated inputs cannot corrupt the
+  * state — the cell converges to the batch mask under at-least-once
+  * delivery, not just exactly-once. */
+class BitmapCellProcessor
+    extends StatefulProcessor[(String, Long), KeyedId, BitmapCell] {
+
+  @transient private var mask: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    mask = getHandle.getValueState[Long]("mask",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, Long), rows: Iterator[KeyedId],
+      timerValues: TimerValues): Iterator[BitmapCell] = {
+    var m = if (mask.exists()) mask.get() else 0L
+    rows.foreach(r => m |= 1L << (r.id % 63).toInt)
+    mask.update(m)
+    Iterator.single(BitmapCell(key._1, key._2, m))
+  }
+}
+
 class CmsCellProcessor
     extends StatefulProcessor[Long, Long, CmsCell] {
 
@@ -661,6 +692,25 @@ object Streams {
     ds.flatMap(k => graft.functions.PortableCms.cells(k))
       .groupByKey(identity)
       .transformWithState(new CmsCellProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** live EXACT distinct via bitmap chunks — q251's relational
+    * bitmap index as keyed streaming state, and the exact
+    * counterpart of the approximate [[portableHllStream]]: the
+    * grouping key is (group, chunk = id DIV 63), the state ONE long
+    * mask OR-ing `1 << id%63`, and a group's live exact distinct is
+    * Σ popcount over its current cells. OR is associative AND
+    * idempotent, so the cells converge to exactly the batch masks
+    * under any micro-batch chopping or replay (at-least-once safe,
+    * which no count-based state is). State is |chunks| longs,
+    * hash-partitioned across executors like any keyed state — for a
+    * 10⁹-user id space that is ~16M cells ≈ 127 MB cluster-wide.
+    * Ids must be non-negative (the q251 contract). */
+  def bitmapDistinctStream(ds: Dataset[KeyedId]): Dataset[BitmapCell] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(k => (k.grp, k.id / 63))
+      .transformWithState(new BitmapCellProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

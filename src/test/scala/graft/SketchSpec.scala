@@ -239,4 +239,55 @@ class SketchSpec extends SparkSpec {
       .filter($"h_k" =!= $"h_expected").count()
     assert(joined == 0, "TopKMin 32nd element diverged from window rank-32")
   }
+
+  test("streaming bitmap cells converge to the batch masks — exact " +
+    "distinct, chopping- and replay-independent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{BitmapCell, KeyedId, Streams}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val obs = queries.Q.events(spark, sf())
+        .select($"event_type", $"user_id")
+        .as[(String, Long)].collect().map(t => KeyedId(t._1, t._2))
+      val (first, second) = obs.splitAt(obs.length / 2)
+      val cells = scala.collection.mutable.Map.empty[(String, Long), Long]
+      val in = MemoryStream[KeyedId]
+      val q = Streams.bitmapDistinctStream(in.toDS()).writeStream
+        .outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[BitmapCell],
+            _: Long) =>
+          val rows = ds.collect()
+          cells.synchronized {
+            rows.foreach(r => cells((r.grp, r.chunk)) = r.mask) }: Unit
+        }
+        .start()
+      in.addData(first.toSeq)
+      q.processAllAvailable()
+      // REPLAY a slice of batch 1 inside batch 2: OR-idempotence must
+      // absorb the duplicates (at-least-once tolerance, the property
+      // count-based state lacks)
+      in.addData(second.toSeq ++ first.take(first.length / 3).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val batch = obs.groupBy(o => (o.grp, o.id / 63))
+        .map { case (k, os) =>
+          k -> os.foldLeft(0L)((m, o) => m | (1L << (o.id % 63).toInt)) }
+      assert(cells.toMap == batch,
+        s"streaming masks diverged (stream ${cells.size} cells, " +
+          s"batch ${batch.size})")
+      // and the masks ARE the exact distinct
+      val exact = obs.groupBy(_.grp).view.mapValues(_.map(_.id).distinct.size)
+      val viaMasks = cells.toMap.groupBy(_._1._1).view
+        .mapValues(_.values.map(java.lang.Long.bitCount(_).toLong).sum)
+      exact.foreach { case (g, n) =>
+        assert(viaMasks(g) == n.toLong, s"group $g: ${viaMasks(g)} != $n")
+      }
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
 }
