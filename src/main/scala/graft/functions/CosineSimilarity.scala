@@ -148,6 +148,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children(0))))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NGramsGenerator].getName, "ngrams"),

@@ -688,7 +688,7 @@ object TextOps {
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
     dupQualityQueryDef, listaggQueryDef, dedupSavingsQueryDef,
     langConfusionQueryDef, containmentQueryDef, raterKappaQueryDef,
-    datasetCardQueryDef, dsirQueryDef, zipfQueryDef)
+    datasetCardQueryDef, dsirQueryDef, zipfQueryDef, nfcAuditQueryDef)
 
   /** Shingle CONTAINMENT near-dup mining — the asymmetric measure
     * |A∩B| / min(|A|,|B|) that catches subset-style duplication
@@ -3389,4 +3389,47 @@ object TextOps {
       |      // max(CASE WHEN rnk = 10 THEN c END) END AS BIGINT)
       |    AS decay_fp
       |FROM rk GROUP BY 1 ORDER BY source""".stripMargin))
+
+  // --------------------------------------------------------------------
+  // Unicode-normalization audit — the pre-hash hygiene check: any doc
+  // whose text ≠ NFC(text) will defeat exact dedup ('é' composed vs
+  // 'e'+combining-acute are different md5s for identical rendered
+  // text) and fragment the shingle vocabulary. Per source: docs
+  // needing normalization, per-mille, and the codepoints composition
+  // would remove. Spark has no normalizer built-in — the native
+  // `nfc` Expression (graft.functions.NfcNormalize, JDK Normalizer
+  // NFC) computes the same canonical composition DuckDB's
+  // nfc_normalize applies, so both engines derive the transform
+  // independently and the hash match pins JDK-vs-utf8proc agreement
+  // on the corpus. The testdata is ASCII (all-zero audit — the
+  // oracle still pins the zero), so the SEMANTICS are additionally
+  // pinned by a combining-marks fixture in NewOpsSpec.
+  //
+  // Scale shape: one map-only projection (with the is-normalized
+  // fast path skipping allocation on clean text) + one hash-agg.
+  private lazy val nfcAuditQueryDef = QueryDef(
+    "q256_nfc_audit",
+    (s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      t(s, dir, "documents")
+        .select(col("source"), col("text"), expr("nfc(text)").as("norm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text") =!= col("norm"), 1L).otherwise(0L))
+            .as("n_denorm"),
+          coalesce(sum(when(col("text") =!= col("norm"),
+            length(col("text")) - length(col("norm")))), lit(0L))
+            .as("chars_removed"))
+        .withColumn("denorm_pm", expr("n_denorm * 1000 DIV n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(sum(CASE WHEN text <> nfc_normalize(text)
+      |    THEN 1 END), 0) AS BIGINT) AS n_denorm,
+      |  CAST(coalesce(sum(CASE WHEN text <> nfc_normalize(text)
+      |    THEN length(text) - length(nfc_normalize(text)) END), 0)
+      |    AS BIGINT) AS chars_removed,
+      |  CAST(coalesce(sum(CASE WHEN text <> nfc_normalize(text)
+      |    THEN 1 END), 0) * 1000 // count(*) AS BIGINT) AS denorm_pm
+      |FROM documents GROUP BY 1 ORDER BY source""".stripMargin))
 }

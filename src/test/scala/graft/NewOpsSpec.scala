@@ -446,6 +446,31 @@ class NewOpsSpec extends SparkSpec {
     assert(got("alt") == 1000000L, s"period-2 series: $got")
   }
 
+  test("q256: composed and combining-mark text is the SAME doc after nfc") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("nfc").toString
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"       // precomposed
+    val combining = "cafe\u0301 re\u0301sume\u0301" // e + combining acute
+    Seq((1L, composed, "en", "srcN", 10L),
+      (2L, combining, "en", "srcN", 13L),
+      (3L, "plain ascii", "en", "srcA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q256_nfc_audit")(spark, tmp)
+      .select($"source", $"n_denorm", $"chars_removed", $"denorm_pm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // only the combining-marks doc needs work: 3 marks removed
+    assert(out("srcN") == ((1L, 3L, 500L)), s"nfc audit: ${out("srcN")}")
+    assert(out("srcA") == ((0L, 0L, 0L)), s"ascii flagged: ${out("srcA")}")
+    // and the REASON the op exists: after nfc the two docs hash equal
+    graft.functions.NfcNormalize.register(spark)
+    val hashes = Seq(composed, combining).toDF("text")
+      .selectExpr("md5(nfc(text)) AS h").as[String].collect()
+    assert(hashes(0) == hashes(1),
+      "normalized duplicates must collide in exact dedup")
+  }
+
   test("q245: a homogeneous QI class is flagged at l = 1") {
     val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
     val docs = Seq(
