@@ -153,6 +153,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[NfcNormalize].getName, "nfc"),
       (children: Seq[Expression]) => NfcNormalize(children(0))))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_overlap"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedOverlapCount].getName, "sorted_overlap"),
+      (children: Seq[Expression]) =>
+        SortedOverlapCount(children(0), children(1))))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NGramsGenerator].getName, "ngrams"),

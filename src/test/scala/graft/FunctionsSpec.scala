@@ -227,6 +227,31 @@ class FunctionsSpec extends SparkSpec {
       s"shingleRows plans a Window — the fused expression is bypassed:\n$plan")
   }
 
+  test("sorted_overlap counts exactly what sorted_common materializes, " +
+    "and string order matches sort_array") {
+    graft.functions.SortedOverlapCount.register(spark)
+    graft.functions.SortedIntersect.register(spark)
+    // long regime: count == size of the intersect form
+    val longs = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array(1L)))
+      .toDF("a", "b")
+      .selectExpr("sorted_overlap(a, b) AS c", "size(sorted_common(a, b)) AS s")
+      .as[(Int, Int)].collect()
+    longs.foreach { case (c, s) => assert(c == s, s"$c != $s") }
+    // string regime: merge order must agree with sort_array (UTF8
+    // binary order), pinned against the built-in intersect on
+    // adversarial strings (case, unicode, prefixes, empties)
+    val words = Seq("b", "B", "ba", "b b", "β", "中", "", "b́")
+    val df = Seq((words.take(6), words.drop(2))).toDF("ra", "rb")
+      .selectExpr("sort_array(ra) AS a", "sort_array(rb) AS b")
+      .selectExpr("sorted_overlap(a, b) AS c",
+        "size(array_intersect(a, b)) AS s")
+      .as[(Int, Int)].head()
+    assert(df._1 == df._2, s"string overlap ${df._1} != intersect ${df._2}")
+  }
+
   test("minhash16 stays inside whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     assert(!classOf[CodegenFallback].isAssignableFrom(
