@@ -1354,6 +1354,73 @@ object PipelineOps {
         |  bm.n_chunks,
         |  CAST(bm.distinct_bitmap = ex.distinct_exact AS BIGINT) AS agree
         |FROM bm JOIN ex ON ex.event_type = bm.event_type
-        |ORDER BY bm.event_type""".stripMargin))
+        |ORDER BY bm.event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Gini concentration of user activity — the inequality readout
+    // ("does 1% of users generate 90% of the traffic?") that sizes
+    // per-user quotas, bot screens and skew mitigation; the Lorenz-
+    // curve sibling of q221's Gini IMPURITY (which measures value
+    // concentration of one column, not contribution inequality
+    // across actors). EXACT integer form on the COUNT-OF-COUNTS
+    // grid: users with equal activity v collapse to one cell (v, c);
+    // a cell occupying ascending ranks [R+1, R+c] contributes
+    // v·(c·R + c(c+1)/2) to S = Σ i·x_i, and
+    // G = (2S − (n+1)W) / (nW) with n users, W total events — one
+    // ppm DIV at the end, products in DECIMAL(38,0)/HUGEINT (S
+    // reaches n·W ≈ 10³⁰ at planetary scale — the q137 contract).
+    //
+    // Scale shape: one map-side-combinable count to the per-user
+    // grid, a second count to the (type, v) count-of-counts grid
+    // (bounded by DISTINCT activity levels — Zipf-small), and the
+    // rank arithmetic runs entirely on that grid via one cumulative
+    // window. The corpus is scanned once.
+    QueryDef("q257_user_gini",
+      (s, dir) => {
+        val perUser = events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("v"))
+        val grid = perUser.groupBy(col("event_type"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        grid
+          .withColumn("r_before", coalesce(sum(col("c")).over(wv), lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("c")).as("n_users"),
+            expr("sum(CAST(v AS DECIMAL(38,0)) * c)").as("w_total"),
+            expr("sum(CAST(v AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) " +
+              "* r_before + CAST(c AS DECIMAL(38,0)) * (c + 1) DIV 2))")
+              .as("s_rank"))
+          .select(col("event_type"),
+            col("n_users"), col("w_total").cast("long").as("total_events"),
+            expr("CAST((2 * s_rank - CAST(n_users + 1 AS DECIMAL(38,0)) " +
+              "* w_total) * 1000000 DIV (CAST(n_users AS DECIMAL(38,0)) " +
+              "* w_total) AS BIGINT)").as("gini_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, v, count(*) AS c FROM pu GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, v, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS r_before
+        |  FROM grid)
+        |SELECT event_type,
+        |  CAST(sum(c) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(v AS HUGEINT) * c) AS BIGINT) AS total_events,
+        |  CAST((2 * sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * r_before
+        |      + CAST(c AS HUGEINT) * (c + 1) // 2))
+        |    - (sum(c) + 1) * sum(CAST(v AS HUGEINT) * c)) * 1000000
+        |    // (sum(c) * sum(CAST(v AS HUGEINT) * c)) AS BIGINT)
+        |    AS gini_ppm
+        |FROM ranked GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
   )
 }

@@ -471,6 +471,33 @@ class NewOpsSpec extends SparkSpec {
       "normalized duplicates must collide in exact dedup")
   }
 
+  test("q257: Gini is 0 for equal users, matches the sorted-rank " +
+    "formula for an unequal fixture") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+    // type 'eq': 4 users × 5 events each → G = 0
+    // type 'sk': counts 1,1,2,16 → G from the textbook sorted formula
+    val evs =
+      (for (u <- 1 to 4; i <- 1 to 5) yield ("eq", u.toLong, i)) ++
+      (for ((c, u) <- Seq(1, 1, 2, 16).zipWithIndex; i <- 1 to c)
+        yield ("sk", u.toLong, i))
+    evs.zipWithIndex.map { case ((t, u, i), id) =>
+      (id.toLong, (id.toLong * 1000 + i) * 1000000L, u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def giniPpm(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length.toLong; val w = s.sum
+      val sr = s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (2 * sr - (n + 1) * w) * 1000000L / (n * w)
+    }
+    val got = SparkEntry.queries("q257_user_gini")(spark, tmp)
+      .select($"event_type", $"gini_ppm").as[(String, Long)].collect().toMap
+    assert(got("eq") == 0L, s"equal users must score 0: $got")
+    assert(got("sk") == giniPpm(Seq(1L, 1L, 2L, 16L)),
+      s"skewed fixture: ${got("sk")} vs ${giniPpm(Seq(1L, 1L, 2L, 16L))}")
+  }
+
   test("q245: a homogeneous QI class is flagged at l = 1") {
     val tmp = java.nio.file.Files.createTempDirectory("ldiv").toString
     val docs = Seq(
