@@ -34,5 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] is one JVM: driver heap is the only memory knob, and 8g
   // GC-thrashes a 40-query bench run on 32 threads
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // -Xms is opt-in: pinning it to the 32g default makes every sbt
+  // run/test JVM fail to start on hosts with less RAM, where an
+  // -Xmx-only setting degrades gracefully. Export SPARK_DRIVER_XMS
+  // (the bench recipe does) to pre-commit the heap and avoid growth
+  // pauses skewing timings.
+) ++ sys.env.get("SPARK_DRIVER_XMS").map(m => s"-Xms$m").toSeq

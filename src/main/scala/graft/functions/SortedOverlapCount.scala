@@ -91,12 +91,14 @@ case class SortedOverlapCount(left: Expression, right: Expression)
              |else if ($c > 0) { $j++; }
              |else { $k++; $i++; $j++; }""".stripMargin
         case IntegerType =>
-          s"""int xa = $x.getInt($i); int yb = $y.getInt($j);
-             |if (xa < yb) { $i++; } else if (xa > yb) { $j++; }
+          val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+          s"""int $xa = $x.getInt($i); int $yb = $y.getInt($j);
+             |if ($xa < $yb) { $i++; } else if ($xa > $yb) { $j++; }
              |else { $k++; $i++; $j++; }""".stripMargin
         case _ =>
-          s"""long xa = $x.getLong($i); long yb = $y.getLong($j);
-             |if (xa < yb) { $i++; } else if (xa > yb) { $j++; }
+          val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+          s"""long $xa = $x.getLong($i); long $yb = $y.getLong($j);
+             |if ($xa < $yb) { $i++; } else if ($xa > $yb) { $j++; }
              |else { $k++; $i++; $j++; }""".stripMargin
       }
       s"""

@@ -4,8 +4,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, AttributeReference, Cast, Divide, Expression,
-  NamedExpression}
+  Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression,
+  Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -135,8 +135,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
           // stores no per-column null counts.
           case Count(children) if children.forall(c =>
               c.foldable && c.eval() != null) =>
-            ae.copy(aggregateFunction =
+            val sumCnt = ae.copy(aggregateFunction =
               Sum(rollupAttr(rd.cnt).getOrElse(return None)))
+            // UNGROUPED count(*) over zero matching rollup cells:
+            // global Count returns 0 but a global Sum returns NULL —
+            // coalesce restores the contract. (The avg path needs no
+            // guard: ungrouped Average over empty input is NULL, and
+            // so is the merged NULL÷NULL divide.) Grouped aggregates
+            // emit no row for an empty group either way.
+            if (agg.groupingExpressions.isEmpty)
+              Coalesce(Seq(sumCnt, Literal(0L, LongType)))
+            else sumCnt
           case Sum(a: AttributeReference, _)
               if rd.measures.contains(a.name) &&
                 fn.dataType == LongType =>

@@ -477,20 +477,74 @@ object AnalyticsOps {
     QueryDef("q150_tick_flow",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_ms"), col("event_id"))
-        val ev = events(s, dir)
+        // Two-phase bucketed sign carry (q239's boundary-stitch
+        // generalized to last_value semantics), NOT windows
+        // partitioned by event_type alone — ~4 types would serialize
+        // |events|/4 rows through ONE task. The tick sign per row
+        // depends on (a) the in-bucket lag, (b) for each bucket's
+        // first row, the boundary comparison with the previous
+        // bucket's last value, and (c) when no in-bucket change
+        // precedes, the sign carried INTO the bucket. (b) and (c)
+        // are closed forms over the ≤256-row per-bucket summary
+        // (first/last value + last in-bucket change), broadcast back.
+        val nBuckets = 256L
+        val ev0 = events(s, dir)
           .select(col("event_type"), col("event_id"), col("ts_ms"),
             col("value"))
-          .withColumn("prev", lag(col("value"), 1).over(w))
-          .withColumn("chg",
+        val Array(minT, maxT) = ev0
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val wIn = Window.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val wS = Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket"))
+        val rows = ev0
+          .withColumn("bucket",
+            expr(s"(ts_ms - ${minT}L) DIV ${width}L"))
+          .withColumn("rn", row_number().over(wIn))
+          .withColumn("prev", lag(col("value"), 1).over(wIn))
+          .withColumn("chg_in",
             when(col("prev").isNull, lit(null))
               .when(col("value") > col("prev"), 1L)
               .when(col("value") < col("prev"), -1L)
               .otherwise(lit(null)))
+        val summ = rows.groupBy(col("event_type"), col("bucket"))
+          .agg(
+            min(struct(col("ts_ms"), col("event_id"), col("value")))
+              .getField("value").as("v_first"),
+            max(struct(col("ts_ms"), col("event_id"), col("value")))
+              .getField("value").as("v_last"),
+            // last row of the bucket whose in-bucket change is
+            // non-null (max over structs skips null inputs)
+            max(when(col("chg_in").isNotNull,
+              struct(col("ts_ms"), col("event_id"), col("chg_in"))))
+              .getField("chg_in").as("last_chg_in"))
+          .withColumn("prev_last", lag(col("v_last"), 1).over(wS))
+          .withColumn("bnd_chg",
+            when(col("prev_last").isNull, lit(null))
+              .when(col("v_first") > col("prev_last"), 1L)
+              .when(col("v_first") < col("prev_last"), -1L)
+              .otherwise(lit(null)))
+          // the last effective change WITHIN the bucket (its own
+          // boundary change when no interior one exists) — the value
+          // later buckets inherit when they open with no change
+          .withColumn("eff",
+            coalesce(col("last_chg_in"), col("bnd_chg")))
+          .withColumn("carry_in",
+            last(col("eff"), ignoreNulls = true).over(
+              wS.rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("event_type"), col("bucket"), col("bnd_chg"),
+            col("carry_in"))
+        val ev = rows
+          .join(broadcast(summ), Seq("event_type", "bucket"))
+          .withColumn("chg",
+            when(col("rn") === 1, col("bnd_chg")).otherwise(col("chg_in")))
           .withColumn("sgn",
-            coalesce(last(col("chg"), ignoreNulls = true).over(
-              w.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+            coalesce(
+              last(col("chg"), ignoreNulls = true).over(
+                wIn.rowsBetween(Window.unboundedPreceding, 0)),
+              col("carry_in"), lit(0L)))
         ev.groupBy(col("event_type"),
             expr("ts_ms div 3600000 * 3600000").as("hour_ms"))
           .agg(count(lit(1)).as("n"),
@@ -538,12 +592,35 @@ object AnalyticsOps {
     QueryDef("q151_realized_vol",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_ms"), col("event_id"))
-        events(s, dir)
+        // Two-phase bucketed lag (q241's backfill shape), NOT a
+        // window partitioned by event_type alone — ~4 types would
+        // funnel |events|/4 rows through ONE task at any SF. Each
+        // bucket's first row reads its previous price from the
+        // ≤256-row per-bucket boundary summary, broadcast back; all
+        // other rows lag within (type, bucket) in parallel.
+        val nBuckets = 256L
+        val ev = events(s, dir)
           .select(col("event_type"), col("event_id"), col("ts_ms"),
             floor(col("value") * 10000 + 0.5).cast("long").as("p"))
-          .withColumn("pp", lag(col("p"), 1).over(w))
+        val Array(minT, maxT) = ev
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val wIn = Window.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val rows = ev
+          .withColumn("bucket",
+            expr(s"(ts_ms - ${minT}L) DIV ${width}L"))
+          .withColumn("pp_in", lag(col("p"), 1).over(wIn))
+        val bounds = rows.groupBy(col("event_type"), col("bucket"))
+          .agg(max(struct(col("ts_ms"), col("event_id"), col("p")))
+            .getField("p").as("p_last"))
+          .withColumn("prev_last", expr("lag(p_last, 1) OVER " +
+            "(PARTITION BY event_type ORDER BY bucket)"))
+          .select(col("event_type"), col("bucket"), col("prev_last"))
+        rows
+          .join(broadcast(bounds), Seq("event_type", "bucket"))
+          .withColumn("pp", coalesce(col("pp_in"), col("prev_last")))
           .filter(col("pp").isNotNull && col("pp") =!= 0)
           // clamp at ±10× (±10⁷ fp): synthetic event values are not a
           // smooth price path, and an uncapped ratio overflows the
@@ -583,13 +660,37 @@ object AnalyticsOps {
     QueryDef("q152_max_drawdown",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_ms"), col("event_id"))
-        events(s, dir)
+        // Two-phase bucketed running max (the q165 offset-handoff
+        // shape), NOT a window partitioned by event_type alone — ~4
+        // types would serialize |events|/4 rows through ONE task.
+        // Running max decomposes exactly: peak(row) = max(in-bucket
+        // running max, max over ALL previous buckets), and the
+        // latter is a prefix max over the ≤256-row per-bucket
+        // summary, broadcast back.
+        val nBuckets = 256L
+        val ev = events(s, dir)
           .select(col("event_type"), col("event_id"), col("ts_ms"),
             floor(col("value") * 10000 + 0.5).cast("long").as("p"))
-          .withColumn("peak", max(col("p")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val Array(minT, maxT) = ev
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val wIn = Window.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val rows = ev.withColumn("bucket",
+          expr(s"(ts_ms - ${minT}L) DIV ${width}L"))
+        val carry = rows.groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("p")).as("p_max"))
+          .withColumn("carry_peak", max(col("p_max")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("event_type"), col("bucket"), col("carry_peak"))
+        rows
+          .withColumn("peak_in", max(col("p")).over(
+            wIn.rowsBetween(Window.unboundedPreceding, 0)))
+          .join(broadcast(carry), Seq("event_type", "bucket"))
+          // greatest skips nulls: first bucket has no carry
+          .withColumn("peak", greatest(col("peak_in"), col("carry_peak")))
           .withColumn("drop", col("peak") - col("p"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -634,12 +735,29 @@ object AnalyticsOps {
     QueryDef("q154_ewma",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_ms"), col("event_id"))
+        // Two-phase bucketed lags (Bucketed.withTrailingCarry), NOT a
+        // window partitioned by event_type alone — ~4 types would
+        // funnel |events|/4 rows through ONE task at any SF. The
+        // 16-tap dot product needs 15 preceding rows, so each (type,
+        // bucket) partition is extended with its 15 global
+        // predecessors (flagged, dropped post-window); warmup
+        // renormalization is untouched because the carry provides
+        // exactly the lags that globally exist.
         val lags = 16
-        val base = events(s, dir)
+        val nBuckets = 256L
+        val base0 = events(s, dir)
           .select(col("event_type"), col("event_id"), col("ts_ms"),
             floor(col("value") * 10000 + 0.5).cast("long").as("p"))
+        val Array(minT, maxT) = base0
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val w = Window.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        val base = Bucketed.withTrailingCarry(
+          base0.withColumn("bucket",
+            expr(s"(ts_ms - ${minT}L) DIV ${width}L")),
+          "event_type", lags - 1)
         val num = (0 until lags).map(k =>
           coalesce(lag(col("p"), k).over(w) * (1L << (lags - 1 - k)),
             lit(0L))).reduce(_ + _)
@@ -648,6 +766,7 @@ object AnalyticsOps {
             lit(1L << (lags - 1 - k))).otherwise(0L)).reduce(_ + _)
         base
           .withColumn("num", num).withColumn("den", den)
+          .filter(!col("is_carry"))
           .withColumn("ewma_fp", expr("num div den"))
           .select(col("event_type"), col("event_id"), col("ts_ms"),
             col("p"), col("ewma_fp"))

@@ -1302,10 +1302,16 @@ object ExtendedOps {
     // together" shape), and the top offenders tell you how many salt
     // shards the hot keys need. q89 profiles ONE table's per-key
     // rows; this screens the JOIN's multiplicative blow-up, which is
-    // what actually OOMs a task. Exact integers: per-key counts, c²
-    // and the corpus total in DECIMAL(38,0)/HUGEINT (c² sums pass
-    // 2^63 at ~10⁵ rows per hot key × 10⁹ keys), top-20 share as
-    // ×10⁶ fixed point. Scale shape: one map-side-combinable
+    // what actually OOMs a task. Exact integers: per-key counts; c²
+    // emitted as BIGINT under a documented overflow contract (q137
+    // style: c < 2³¹ rows per key ⇒ c² < 2⁶² — ANSI cast throws
+    // loudly past it; scale-0 DECIMAL output is banned catalog-wide
+    // because the driver's parquet→pandas hash channel renders it
+    // float64 while DuckDB renders HUGEINT-integer — value-equal,
+    // hash-divergent). The corpus-total Σc² stays DECIMAL/HUGEINT
+    // INTERNALLY (it passes 2^63 at ~10⁵ rows per hot key × 10⁹
+    // keys) and only feeds the ×10⁶-fixed-point share. Scale shape:
+    // one map-side-combinable
     // hash-agg → a 20-row TakeOrdered → one broadcast-sized join
     // against the 1-row total; the fact table is scanned once.
     QueryDef("q233_join_skew_screen",
@@ -1321,7 +1327,7 @@ object ExtendedOps {
           .orderBy(col("est_out").desc, col("l_partkey")).limit(20)
         top.crossJoin(broadcast(tot))
           .select(col("l_partkey"), col("c"),
-            col("est_out").cast("decimal(38,0)").as("est_out"),
+            col("est_out").cast("long").as("est_out"),
             col("n_keys"),
             expr("CAST(est_out * 1000000 DIV total_est AS BIGINT)")
               .as("share_ppm"))
@@ -1338,7 +1344,7 @@ object ExtendedOps {
         |  SELECT l_partkey, c, est_out FROM perkey
         |  ORDER BY est_out DESC, l_partkey LIMIT 20)
         |SELECT top.l_partkey, CAST(top.c AS BIGINT) AS c,
-        |  CAST(top.est_out AS DECIMAL(38,0)) AS est_out,
+        |  CAST(top.est_out AS BIGINT) AS est_out,
         |  CAST(tot.n_keys AS BIGINT) AS n_keys,
         |  CAST(top.est_out * 1000000 // tot.total_est AS BIGINT)
         |    AS share_ppm

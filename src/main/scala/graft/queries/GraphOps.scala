@@ -146,9 +146,34 @@ object GraphOps {
     * not its full degree — the same skew cap that makes the wedge
     * form viable, here bounding row width instead of row count. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
+    val (_, adj) = orientedAdjacency(s, dir)
+    triangleRollup(s, dir, adj)
+  }
+
+  /** q123's 100-TB-practical sibling: triangle counting on the
+    * DEGREE-CAPPED oriented adjacency — each node keeps only its
+    * `dMax` smallest-id oriented neighbors, so per-node wedge work
+    * is bounded by dMax² regardless of hub size (exact counting is
+    * data-proportional: the round-9 sf10 probe measured q123 at
+    * 148× for 100× data, all adjacency bytes). The capped count is
+    * a DETERMINISTIC UNDER-count with a monotone contract — capped
+    * counts never exceed exact, never decrease as dMax grows, and
+    * EQUAL exact once dMax ≥ the max oriented out-degree (the
+    * orientation already bounds out-degrees near √(2|E|), so modest
+    * caps are exact on all but hub-dense graphs) — pinned by
+    * CappedTriangleSpec on the real co-purchase graph. */
+  def trianglesCapped(s: SparkSession, dir: String, dMax: Int): DataFrame = {
+    val (_, adj0) = orientedAdjacency(s, dir)
+    // nb is sorted ascending, so slice(1, dMax) = the dMax smallest
+    // neighbor ids — the same deterministic rule the oracle applies
+    triangleRollup(s, dir,
+      adj0.select(col("src"), slice(col("nb"), 1, dMax).as("nb")))
+  }
+
+  private def triangleRollup(s: SparkSession, dir: String,
+      adj: DataFrame): DataFrame = {
     graft.functions.SortedIntersect.register(s)
     val deg = coPurchaseDegrees(s, dir)
-    val (_, adj) = orientedAdjacency(s, dir)
     // The oriented edge list IS the adjacency table exploded —
     // deriving (a, b, nbu) by map-side explode makes the first
     // array-attach join disappear (src co-location is free), so the
@@ -887,6 +912,136 @@ object GraphOps {
         |  CAST((m * sxy - sx * sx) * 1000000
         |    // (m * sxx - sx * sx) AS BIGINT) AS assortativity_fp
         |FROM sums
-        |WHERE m * sxx - sx * sx <> 0""".stripMargin))
+        |WHERE m * sxx - sx * sx <> 0""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // k-core run to the TRUE fixpoint (k = 60) — q124's production
+    // form, now with a full hash-matched oracle: DuckDB's recursive
+    // CTE carries the surviving symmetric edge set per round, peels
+    // with window-function degrees, and STOPS when a round drops
+    // nothing (the survivor count, computed in the same window pass,
+    // equals the working count) — exactly kcoreFixpointEdges'
+    // unchanged-edge-count test. k = 60 keeps the fixpoint core
+    // NON-empty at every test SF (probed sf0.001/0.01/0.1: 1 genuine
+    // peel round each) — an empty core is unrepresentable in the
+    // UNION ALL recursion, whose last state would silently be the
+    // pre-collapse graph. Scale shape: each Spark round is one
+    // degree hash-agg + two semi joins on the u-partitioned edge
+    // list (exchange reused round-over-round), rounds bound the peel
+    // DEPTH, and convergence detection rides the materialization the
+    // next round needs anyway.
+    QueryDef("q258_kcore_fixpoint",
+      (s, dir) => kcoreConverged(s, dir, k = 60),
+      Some(s"""WITH RECURSIVE $edgeSql,
+        |peel AS (
+        |  SELECT u, v, 0 AS r
+        |  FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+        |  UNION ALL
+        |  SELECT u, v, r + 1 FROM (
+        |    SELECT u, v, r, du, dv,
+        |      count(*) OVER () AS n_all,
+        |      sum(CASE WHEN du >= 60 AND dv >= 60 THEN 1 ELSE 0 END)
+        |        OVER () AS n_surv
+        |    FROM (
+        |      SELECT u, v, r,
+        |        count(*) OVER (PARTITION BY u) AS du,
+        |        count(*) OVER (PARTITION BY v) AS dv
+        |      FROM peel))
+        |  WHERE du >= 60 AND dv >= 60 AND n_surv < n_all)
+        |SELECT u AS node, count(*) AS residual_deg
+        |FROM peel WHERE r = (SELECT max(r) FROM peel)
+        |GROUP BY u ORDER BY node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Label propagation run to the TRUE fixpoint — q192's production
+    // form, hash-matched: the recursive state carries each node's
+    // label AND its predecessor label, so the stopping rule ("no
+    // label changed this round") is a scan of the working table —
+    // no second state copy needed. The emitted round joins the
+    // working table twice (new-label argmax + previous-label
+    // lookup), which DuckDB's recursion permits; Spark's
+    // lpaFixpointEdges computes the identical synchronous update
+    // (most frequent neighbor label, ties to the smallest code) and
+    // stops on the same changed-count-zero test, so the final label
+    // sets agree row-for-row. Converges in 7 rounds at the gate SF;
+    // the 20-round cap is a loud-failure backstop for synchronous
+    // LPA's bipartite 2-cycles, not a tuning knob.
+    QueryDef("q259_lpa_fixpoint",
+      (s, dir) => lpaConverged(s, dir).orderBy(col("node")),
+      Some(s"""WITH RECURSIVE $edgeSql,
+        |sym AS (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |dict AS (
+        |  SELECT lbl, CAST(row_number() OVER (ORDER BY lbl) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT p_brand AS lbl FROM part)),
+        |l0 AS (
+        |  SELECT n.node, d.code
+        |  FROM (SELECT DISTINCT src AS node FROM sym) n
+        |  JOIN part p ON p.p_partkey = n.node
+        |  JOIN dict d ON d.lbl = p.p_brand),
+        |lp AS (
+        |  SELECT node, code, CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM l0
+        |  UNION ALL
+        |  SELECT nl.node, nl.code, o.code AS prev, o.it + 1
+        |  FROM (
+        |    SELECT src AS node, code FROM (
+        |      SELECT n.src, l.code,
+        |        row_number() OVER (PARTITION BY n.src
+        |          ORDER BY count(*) DESC, l.code) AS rn
+        |      FROM sym n JOIN lp l ON l.node = n.dst
+        |      GROUP BY n.src, l.code) WHERE rn = 1) nl
+        |  JOIN lp o ON o.node = nl.node
+        |  WHERE (SELECT count(*) FROM lp
+        |         WHERE prev IS NULL OR code <> prev) > 0)
+        |SELECT node, code FROM lp WHERE it = (SELECT max(it) FROM lp)
+        |ORDER BY node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Degree-capped triangle counting (dMax = 64) — the bounded-work
+    // sibling of exact q123 for the 100 TB regime, as a first-class
+    // hash-matched row: both engines apply the IDENTICAL
+    // deterministic cap (degree-oriented edges, each source keeps
+    // its 64 smallest-id neighbors), so the under-count is exactly
+    // reproducible, and CappedTriangleSpec pins the bias contract
+    // (≤ exact, monotone in dMax, = exact when dMax ≥ max oriented
+    // out-degree). `degree` stays the FULL degree — the readout is
+    // "capped triangle mass per real node", not a subgraph metric.
+    QueryDef("q261_triangles_capped",
+      (s, dir) => trianglesCapped(s, dir, dMax = 64),
+      Some(s"""WITH $edgeSql,
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |orient AS (
+        |  SELECT
+        |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND e.u < e.v)
+        |      THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND e.u < e.v)
+        |      THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v),
+        |capped AS (
+        |  SELECT src, unnest(l[1:64]) AS dst FROM (
+        |    SELECT src, list_sort(list(dst)) AS l
+        |    FROM orient GROUP BY src)),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM capped e1
+        |  JOIN capped e2 ON e2.src = e1.dst
+        |  JOIN capped e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |tn AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT tn.node, deg.deg AS degree, tn.triangles,
+        |  CAST(tn.triangles * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
+        |    AS clustering
+        |FROM tn JOIN deg ON tn.node = deg.node
+        |ORDER BY tn.triangles DESC, tn.node LIMIT 100""".stripMargin))
   )
 }

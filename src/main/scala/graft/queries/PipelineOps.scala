@@ -892,22 +892,30 @@ object PipelineOps {
     // no shuffle grows with the data beyond the agg itself.
     QueryDef("q107_drift_report",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        // Per-type totals via a second tiny hash-agg + broadcast join,
+        // NOT an unpartitioned-frame window over the binned table: the
+        // window form shuffles every (type, bin) row into one task per
+        // type and holds the whole frame; the agg+join form is two
+        // map-side-combinable aggs and a broadcast of ~|types| rows —
+        // no per-type serialization anywhere, at any bin-domain size.
         val ev = events(s, dir)
           .select(col("event_type"), col("value"), col("ts_ms"))
         val Array(mn, mx) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val mid = (mn + mx) / 2
-        val wt = Window.partitionBy(col("event_type"))
-        ev.withColumn("bin", floor(col("value") / 50.0).cast("long"))
+        val binned = ev
+          .withColumn("bin", floor(col("value") / 50.0).cast("long"))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(when(col("ts_ms") <= mid, 1)).as("n_ref"),
             count(when(col("ts_ms") > mid, 1)).as("n_cur"))
-          .withColumn("p_ref",
-            col("n_ref").cast("double") / sum(col("n_ref")).over(wt))
-          .withColumn("p_cur",
-            col("n_cur").cast("double") / sum(col("n_cur")).over(wt))
+        val totals = binned.groupBy(col("event_type"))
+          .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+        binned.join(broadcast(totals), "event_type")
+          .withColumn("p_ref", col("n_ref").cast("double") / col("t_ref"))
+          .withColumn("p_cur", col("n_cur").cast("double") / col("t_cur"))
           .withColumn("shift", col("p_cur") - col("p_ref"))
+          .select(col("event_type"), col("bin"), col("n_ref"),
+            col("n_cur"), col("p_ref"), col("p_cur"), col("shift"))
           .orderBy(col("event_type"), col("bin"))
       },
       Some(s"""WITH ev AS (
@@ -1421,6 +1429,46 @@ object PipelineOps {
         |    // (sum(c) * sum(CAST(v AS HUGEINT) * c)) AS BIGINT)
         |    AS gini_ppm
         |FROM ranked GROUP BY 1
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Damped PageRank run to CONVERGENCE (max per-node delta ≤ 10⁶
+    // fp = 10⁻⁶ rank mass) — q120's production form, hash-matched:
+    // the recursive state carries (rank, previous rank), so the
+    // epsilon test is a scan of the working table, and the oracle
+    // stops on EXACTLY pagerankFixpoint's rule — the first state
+    // whose max |r − prev| ≤ eps is the last one emitted. Damping
+    // contracts deltas ~0.85/round, so rounds-to-eps is O(log 1/eps)
+    // (57 at the gate SF), independent of graph size — the property
+    // that makes run-to-convergence viable at 100 TB, where each
+    // round exchanges only the |V|-row rank vector against the
+    // pre-partitioned edge list.
+    QueryDef("q260_pagerank_fixpoint",
+      (s, dir) => pagerankConverged(s, dir),
+      Some("""WITH RECURSIVE sc AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM sc UNION ALL SELECT dst, src FROM sc),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ej AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |nn AS (SELECT count(DISTINCT src) AS n FROM ej),
+        |pr AS (
+        |  SELECT DISTINCT src AS node,
+        |    1000000000000 // (SELECT n FROM nn) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM ej
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ej.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nn)
+        |        + (85 * sum(p.r // ej.outdeg)) // 100 AS r
+        |    FROM ej JOIN pr p ON p.node = ej.src GROUP BY ej.dst) nx
+        |  JOIN pr o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM pr),
+        |    9223372036854775807) > 1000000)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr
+        |WHERE it = (SELECT max(it) FROM pr)
+        |ORDER BY r DESC, node LIMIT 100""".stripMargin))
   )
 }

@@ -106,16 +106,32 @@ object TemporalOps {
     QueryDef("q114_rolling_outliers",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_ms"), col("event_id"))
-          .rowsBetween(-100, -1)
-        events(s, dir)
+        // Two-phase bucketed trailing window (Bucketed.withTrailingCarry),
+        // NOT a window partitioned by event_type alone: ~4 types would
+        // funnel |events|/4 rows through ONE task at any SF. The
+        // trailing-100 frame crosses bucket edges, so each (type,
+        // bucket) partition is extended with the 100 globally
+        // preceding rows (flagged, dropped post-window) — bounded
+        // carry, bucket-parallel window, identical frames.
+        val nBuckets = 256L
+        val ev = events(s, dir)
           .select(col("event_type"), col("event_id"), col("ts_ms"),
             round(col("value") * 10000).cast("long").as("v"))
+        val Array(minT, maxT) = ev
+          .agg(min(col("ts_ms")), max(col("ts_ms")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val width = math.max(1L, (maxT - minT + nBuckets) / nBuckets)
+        val w = Window.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(-100, -1)
+        Bucketed.withTrailingCarry(
+            ev.withColumn("bucket",
+              expr(s"(ts_ms - ${minT}L) DIV ${width}L")),
+            "event_type", 100)
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("s1", sum(col("v")).over(w))
           .withColumn("s2", sum(col("v") * col("v")).over(w))
-          .filter(col("n") === 100)
+          .filter(!col("is_carry") && col("n") === 100)
           .withColumn("dev", col("n") * col("v") - col("s1"))
           .withColumn("var_n2", col("n") * col("s2") - col("s1") * col("s1"))
           .filter(col("dev") * col("dev") > lit(9L) * col("var_n2"))
@@ -156,10 +172,50 @@ object TemporalOps {
     QueryDef("q119_equidepth_bins",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
+        // Two-phase bucketed rank (the q95 global-index shape), NOT
+        // ntile over a window partitioned by event_type alone — ~4
+        // types would sort |events|/4 rows in ONE task at any SF.
+        // VALUE-range buckets (monotone in the sort key, equal values
+        // pinned to one bucket) keep in-bucket (value, event_id) order
+        // composing to the per-type total order; the global rank is
+        // in-bucket row_number + a cumsum offset over the ≤256-row
+        // summary, and ntile's floor split is then pure arithmetic on
+        // (rank, n): tiles 1..(n mod 10) get ⌈n/10⌉ rows, the rest
+        // ⌊n/10⌋ — the exact ntile contract both engines implement.
+        val nBuckets = 256
+        val ev = events(s, dir)
+        val Array(vmin, vmax) = ev.agg(min(col("value")), max(col("value")))
+          .head().toSeq.map(_.asInstanceOf[Double]).toArray
+        val width =
+          if (vmax > vmin) (vmax - vmin) / nBuckets else 1.0
+        val wIn = Window.partitionBy(col("event_type"), col("bucket"))
           .orderBy(col("value"), col("event_id"))
-        events(s, dir)
-          .withColumn("bin", ntile(10).over(w).cast("long"))
+        val wOff = Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket"))
+        val rows = ev.withColumn("bucket",
+          least(floor((col("value") - lit(vmin)) / lit(width)),
+            lit(nBuckets - 1L)).cast("long"))
+        val offs = rows.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("offset",
+            coalesce(sum(col("c")).over(
+              wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n_tot", sum(col("c")).over(
+            wOff.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select(col("event_type"), col("bucket"), col("offset"),
+            col("n_tot"))
+        rows
+          .withColumn("rk_in", row_number().over(wIn))
+          .join(broadcast(offs), Seq("event_type", "bucket"))
+          .withColumn("rk", col("offset") + col("rk_in"))
+          .withColumn("bin", expr(
+            """CASE WHEN rk <= (n_tot DIV 10 + 1) * (n_tot % 10)
+              |  THEN (rk - 1) DIV (n_tot DIV 10 + 1) + 1
+              |  ELSE n_tot % 10 +
+              |    (rk - 1 - (n_tot DIV 10 + 1) * (n_tot % 10))
+              |      DIV greatest(n_tot DIV 10, 1L) + 1
+              |END""".stripMargin))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(lit(1)).as("n"),
             min(col("value")).as("lo"), max(col("value")).as("hi"),
@@ -1537,10 +1593,14 @@ object TemporalOps {
     // core: cov(Δp_t, Δp_{t−1}) over the per-type price series (a
     // negative value ⇒ bid/ask bounce; spread ≈ 2·√−cov). Exact
     // integer numerator form: prices quantized ×10⁴ (q65/q238
-    // contract), cov_num = n·Σ(d_t·d_{t−1}) − Σd_t·Σd_{t−1} in
-    // DECIMAL(38,0) (per-term products fit long; the sums don't at
-    // scale — bounds hold to ~10¹² rows/type, the q155 overflow-
-    // contract class).
+    // contract), cov_num = n·Σ(d_t·d_{t−1}) − Σd_t·Σd_{t−1},
+    // accumulated in DECIMAL(38,0)/HUGEINT INTERNALLY but EMITTED as
+    // BIGINT (q137 overflow-contract style: values fit int64 to
+    // ~10¹² rows/type; the ANSI cast throws loudly past the bound).
+    // Scale-0 DECIMAL output is banned catalog-wide — the driver's
+    // parquet→pandas hash channel renders it float64 (lossy past
+    // 2⁵³: cov_num ≈ −1.05e18 at the gate SF) while DuckDB renders
+    // integer, so value-equal results hash-diverge.
     //
     // Scale shape: q166's two-phase bucketed pattern GENERALIZED to a
     // lag-2 statistic — a per-type window would funnel |events|/4
@@ -1625,9 +1685,9 @@ object TemporalOps {
             expr("(pl_g - pf_g) - (pl_g - coalesce(psl_g, pl2_g))"))
           .filter(col("n_pairs") >= 1)
           .select(col("event_type"), col("n_pairs"),
-            col("a_tot").cast("decimal(38,0)").as("sum_prod"),
+            col("a_tot").cast("long").as("sum_prod"),
             expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * a_tot - " +
-              "CAST(b_sum AS DECIMAL(38,0)) * c_sum AS DECIMAL(38,0))")
+              "CAST(b_sum AS DECIMAL(38,0)) * c_sum AS BIGINT)")
               .as("cov_num"))
           .orderBy(col("event_type"))
       },
@@ -1647,10 +1707,10 @@ object TemporalOps {
         |  FROM d WHERE d IS NOT NULL),
         |f AS (SELECT * FROM dd WHERE e IS NOT NULL)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(CAST(d AS HUGEINT) * e) AS DECIMAL(38,0)) AS sum_prod,
+        |  CAST(sum(CAST(d AS HUGEINT) * e) AS BIGINT) AS sum_prod,
         |  CAST(count(*) * sum(CAST(d AS HUGEINT) * e)
         |    - sum(CAST(d AS HUGEINT)) * sum(CAST(e AS HUGEINT))
-        |    AS DECIMAL(38,0)) AS cov_num
+        |    AS BIGINT) AS cov_num
         |FROM f GROUP BY event_type
         |ORDER BY event_type""".stripMargin)),
 

@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * projection. Interior CTE sums are fine — only what reaches the
   * output schema is hashed.
   */
-class OracleLintSpec extends AnyFunSuite {
+class OracleLintSpec extends SparkSpec {
 
   /** items of the top-level (depth-0) final SELECT's projection list,
     * split on top-level commas. */
@@ -111,6 +111,30 @@ class OracleLintSpec extends AnyFunSuite {
       "uncast sum() reaching a final projection (HUGEINT→float64 hash " +
         "bug class; wrap in CAST(... AS BIGINT/DOUBLE)):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("no catalog query emits a scale-0 DECIMAL output column") {
+    // Round-9's only two red rows (q233 est_out, q239 sum_prod/cov_num)
+    // were DECIMAL(38,0) FINAL columns: value-equal on both engines but
+    // hash-divergent, because the driver's parquet→pandas channel
+    // renders scale-0 decimal as float64 ("2401.0", lossy past 2^53)
+    // while DuckDB renders HUGEINT-integer. Interior decimal math is
+    // fine — only the OUTPUT schema is hashed, so the lint walks every
+    // query's analyzed schema at sf0.001 (analysis only; no execution
+    // beyond the few queries that read a 1-row bound eagerly).
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf()).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] &&
+            f.dataType.asInstanceOf[DecimalType].scale == 0 =>
+            s"$name.${f.name}: ${f.dataType.sql}"
+        }
+    }
+    assert(offenders.isEmpty,
+      "scale-0 DECIMAL reaching an output schema (pandas-float64 vs " +
+        "DuckDB-integer hash bug class; emit BIGINT with an overflow " +
+        "contract instead):\n" + offenders.mkString("\n"))
   }
 
   test("catalog integrity: unique well-formed names; every oracle has a query") {

@@ -210,8 +210,16 @@ class PlanAuditSpec extends SparkSpec {
     // q239 joined the family in round 9: its fact-scan windows must
     // carry (event_type, bucket); its summary windows run over the
     // ≤256-row per-bucket table and name `bucket` as their sort key
+    // round 10 closed the rest of the class: q114/q154 carry the
+    // trailing-K context via Bucketed.withTrailingCarry, q119 ranks
+    // in value-range buckets (q95 shape), q150/q151/q152 stitch
+    // boundary lag/sign/peak at summary level. q107 left the family
+    // by losing its window entirely (totals agg + broadcast join).
     Seq("q165_peak_concurrency", "q166_interarrival",
-        "q239_roll_autocov", "q241_amihud").foreach { name =>
+        "q239_roll_autocov", "q241_amihud",
+        "q114_rolling_outliers", "q119_equidepth_bins",
+        "q150_tick_flow", "q151_realized_vol",
+        "q152_max_drawdown", "q154_ewma").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       val winLines = plan.linesIterator
@@ -223,6 +231,11 @@ class PlanAuditSpec extends SparkSpec {
             s"partition — serializes at scale):\n$l")
       }
     }
+    val q107 = SparkEntry.queries("q107_drift_report")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!q107.contains("windowspecdefinition("),
+      s"q107 re-grew a per-type window (totals ride a broadcast " +
+        s"join now):\n$q107")
     val q167 = SparkEntry.queries("q167_cohort_ltv")(spark, sf())
       .queryExecution.executedPlan.toString
     assert(!q167.contains("Expand"),

@@ -95,6 +95,29 @@ class RollupRewriteSpec extends SparkSpec {
     assert(rewritten.collect().toSeq === q.collect().toSeq)
   }
 
+  test("ungrouped count over an empty filter result is 0, not NULL") {
+    ensure()
+    // the advisor's round-9 finding: count(*) rewrites to sum(cnt),
+    // and a GLOBAL Sum over zero rollup cells is NULL while the
+    // un-rewritten global Count is 0 — the coalesce guard must make
+    // the navigated answer identical. 'zz' matches no document lang.
+    val q = base.filter(col("lang") === "zz")
+      .agg(count(lit(1)).as("n"))
+    val rewritten = Rollup.rewrite(q)
+    val plan = physPlan(rewritten)
+    assert(!plan.contains("documents.parquet"),
+      s"empty-filter global count did not navigate:\n$plan")
+    assert(rewritten.collect().toSeq === q.collect().toSeq)
+    assert(rewritten.head().getLong(0) === 0L)
+    // avg needs no guard — NULL on both paths over empty input
+    val qa = base.filter(col("lang") === "zz")
+      .agg(avg(col("n_chars")).as("m"))
+    val ra = Rollup.rewrite(qa)
+    assert(!physPlan(ra).contains("documents.parquet"))
+    assert(ra.collect().toSeq === qa.collect().toSeq)
+    assert(ra.head().isNullAt(0))
+  }
+
   test("avg of a covered measure merges as exact sums and matches") {
     ensure()
     val q = base.groupBy(col("lang")).agg(
