@@ -19,9 +19,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the core count (the driver's
+    // contract at sf0.1) but scale with DATA, not cores: at the sf10
+    // probe, 32 partitions put 7.5M edge rows in one task's hash
+    // build and the iterative graph queries OOM the execution pool —
+    // the same sizing rule (partitions ∝ bytes, AQE coalesces the
+    // small ones back) a 1000-executor cluster applies.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,8 +41,11 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // the host shows heavy run-to-run CPU jitter (a fixed single-thread
-    // loop varies ~2x), so time each query twice and report the min
-    val runs = 2
+    // loop varies ~2x), so time each query twice and report the min.
+    // SPARK_GRAFT_RUNS overrides for dev probes (1 = single-shot for
+    // multi-minute iterative queries at big SFs, where min-of-2 would
+    // double a half-hour measurement for no information).
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     // Stall adjudication baseline: the prior round's committed
     // per-query map (bench_metrics.json, read BEFORE this run
     // overwrites it). Round 9's headline carried a 121.7 s phantom —
@@ -49,7 +60,12 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_metrics.json")),
           java.nio.charset.StandardCharsets.UTF_8)
-        "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+        // only adjudicate against a SAME-SF artifact: a dev run at
+        // another SF would otherwise flag every query as a "stall"
+        val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else "\"(q[0-9]+_[a-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]

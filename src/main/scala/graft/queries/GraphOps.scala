@@ -290,13 +290,62 @@ object GraphOps {
   def kcore(s: SparkSession, dir: String, k: Int): DataFrame =
     residualDegrees(kcorePeelEdges(symCoPurchase(s, dir), k, 3))
 
+  /** DELTA-based k-core fixpoint — the 100 TB form of
+    * [[kcoreFixpointEdges]], found the hard way: at the sf10 probe,
+    * edge-peeling re-materialized the 240M-row symmetric edge list
+    * EVERY round (three live block-store copies, 1046 s / heap
+    * pressure on one 32 GB JVM). Peeling only ever REMOVES nodes, so
+    * the state that needs to iterate is the |V|-row degree table:
+    * each round drops the nodes below k and subtracts, from the
+    * survivors, their edge count INTO the newly-dropped set — one
+    * scan of the (never-rewritten) edge view with the newly-dropped
+    * set on the build side (AQE broadcasts it when small, which is
+    * every round past the first on real graphs), then a |V|-row
+    * checkpoint. Per-round cost: one |E| scan + O(|V|) state — no
+    * |E|-sized write, ever. The trajectory is identical to edge
+    * peeling (same synchronous node removals), so the surviving
+    * (node, deg) table IS the residual-degree answer — pinned
+    * against [[kcoreFixpointEdges]] in ConvergenceSpec. */
+  private[graft] def kcoreFixpointDegrees(sym: DataFrame, k: Int,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    var deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIters) {
+      val newly = deg.filter(col("deg") < k).select(col("node"))
+        .localCheckpoint(true)
+      if (newly.count() == 0L) done = true
+      else {
+        val delta = sym
+          .join(newly.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        deg = deg
+          .join(newly.withColumnRenamed("node", "dead"),
+            col("node") === col("dead"), "left_anti")
+          .join(delta, Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    require(done,
+      s"k-core did not converge in $maxIters peel rounds")
+    (deg, rounds)
+  }
+
   /** [[kcore]]'s production form: identical signature and output
     * schema, but peeled to the true fixpoint — the operator a real
     * 100 TB graph job needs, where a fixed unroll under-peels deep
     * degeneracy sequences. Spec'd against the unrolled shadow on
-    * graphs where 3 rounds already converge (ConvergenceSpec). */
+    * graphs where 3 rounds already converge, and against the
+    * edge-peeling reference (ConvergenceSpec). */
   def kcoreConverged(s: SparkSession, dir: String, k: Int): DataFrame =
-    residualDegrees(kcoreFixpointEdges(symCoPurchase(s, dir), k)._1)
+    kcoreFixpointDegrees(symCoPurchase(s, dir), k)._1
+      .select(col("node"), col("deg").as("residual_deg"))
+      .orderBy(col("node"))
 
   private def symCoPurchase(s: SparkSession, dir: String): DataFrame = {
     val canon = coPurchaseEdges(s, dir)
@@ -362,7 +411,16 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cnt").desc, col("code"))
-    sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+    // labels are |V| compact rows (2M × 16B ≈ 32 MB at the sf10
+    // probe) — above AQE's default broadcast threshold but far
+    // cheaper to ship than re-shuffling the |E|-row edge list EVERY
+    // round (240M rows × rounds at sf10; the label attach is the
+    // round's only join). Forced broadcast keeps each round one
+    // map-side scan + a partial-agg shuffle of ≤|V|·|labels-per-src|
+    // rows. Past broadcastable |V| (≈10⁹ nodes), the production
+    // alternative is co-partitioning sym by dst once and shuffling
+    // only the rank/label vector — the q120 transactionGraph layout.
+    sym.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
       .groupBy(col("src"), col("code"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
@@ -383,8 +441,14 @@ object GraphOps {
     * 2-round [[lpaLabels]] stays the oracle shadow; this is the
     * production operator behind the same (sym, seeds) inputs. */
   private[graft] def lpaFixpointEdges(sym0: DataFrame, seeds: DataFrame,
-      maxIters: Int = 20): (DataFrame, Int) = {
-    val sym = sym0.localCheckpoint(true)
+      maxIters: Int = 20, materialize: Boolean = true): (DataFrame, Int) = {
+    // materialize = false when the caller's edge view is a cheap
+    // projection over an ALREADY-checkpointed canonical list (the
+    // memoized coPurchaseEdges): re-checkpointing the symmetric
+    // union duplicated 240M rows in the block store per CALL at the
+    // sf10 probe — per-round recomputation of a map-side union over
+    // checkpoint blocks is strictly cheaper than a second copy.
+    val sym = if (materialize) sym0.localCheckpoint(true) else sym0
     var labels = seeds.localCheckpoint(true)
     var changed = 1L
     var rounds = 0
@@ -416,7 +480,10 @@ object GraphOps {
         "node")
       .join(broadcast(brandDict(s, dir)), "lbl")
       .select(col("node"), col("code"))
-    lpaFixpointEdges(sym, seeds, maxIters)._1
+    // sym is a map-side union over the memoized checkpointed edge
+    // list — do NOT duplicate it in the block store (see
+    // lpaFixpointEdges' materialize flag)
+    lpaFixpointEdges(sym, seeds, maxIters, materialize = false)._1
   }
 
   /** the q192 LPA pipeline as DuckDB CTEs (needs $edgeSql in scope
@@ -1000,17 +1067,24 @@ object GraphOps {
         |ORDER BY node""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // Degree-capped triangle counting (dMax = 64) — the bounded-work
+    // Degree-capped triangle counting (dMax = 16) — the bounded-work
     // sibling of exact q123 for the 100 TB regime, as a first-class
     // hash-matched row: both engines apply the IDENTICAL
     // deterministic cap (degree-oriented edges, each source keeps
-    // its 64 smallest-id neighbors), so the under-count is exactly
+    // its 16 smallest-id neighbors), so the under-count is exactly
     // reproducible, and CappedTriangleSpec pins the bias contract
     // (≤ exact, monotone in dMax, = exact when dMax ≥ max oriented
-    // out-degree). `degree` stays the FULL degree — the readout is
-    // "capped triangle mass per real node", not a subgraph metric.
+    // out-degree). dMax = 16 because the cap must BITE to bound
+    // anything: the co-purchase graph's oriented out-degrees run
+    // min/median/max = 1/68/97 at the bench SF (measured), so a
+    // 64-cap would keep ~all neighbors and inherit exact q123's
+    // data-proportional cost; at 16 the exploded wedge rows and
+    // their array payloads are ≤ 16·|V| and 16 ints wide
+    // respectively, independent of density. `degree` stays the FULL
+    // degree — the readout is "capped triangle mass per real node",
+    // not a subgraph metric.
     QueryDef("q261_triangles_capped",
-      (s, dir) => trianglesCapped(s, dir, dMax = 64),
+      (s, dir) => trianglesCapped(s, dir, dMax = 16),
       Some(s"""WITH $edgeSql,
         |deg AS (
         |  SELECT node, count(*) AS deg FROM (
@@ -1024,7 +1098,7 @@ object GraphOps {
         |      THEN e.v ELSE e.u END AS dst
         |  FROM e JOIN deg a ON a.node = e.u JOIN deg b ON b.node = e.v),
         |capped AS (
-        |  SELECT src, unnest(l[1:64]) AS dst FROM (
+        |  SELECT src, unnest(l[1:16]) AS dst FROM (
         |    SELECT src, list_sort(list(dst)) AS l
         |    FROM orient GROUP BY src)),
         |tri AS (

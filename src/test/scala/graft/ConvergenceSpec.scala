@@ -47,6 +47,32 @@ class ConvergenceSpec extends SparkSpec {
     assert(toSet(fix) == toSet(GraphOps.kcorePeelEdges(g, 3, 3)))
   }
 
+  test("degree-delta peeling equals edge peeling on every fixture") {
+    // the round-10 100 TB re-form: kcoreFixpointDegrees iterates the
+    // |V|-row degree table (no per-round edge re-materialization) and
+    // must reproduce the edge-peeling reference's answer exactly —
+    // survivor set AND residual degrees — across the peel regimes:
+    // deep dissolve-to-empty (path), pendant-drop-then-stable
+    // (K5+pendant), and a two-level cascade (triangle with a tail
+    // whose removal drags its neighbor under k next round)
+    val toMap = (df: DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val k5 = for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)
+    val cascade = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 0L -> 3L, 3L -> 4L)
+    val cases = Seq(
+      ("path", symOf((0L until 9L).map(i => (i, i + 1))), 2),
+      ("k5+pendant", symOf(k5 :+ (0L -> 99L)), 3),
+      ("cascade", symOf(cascade), 2))
+    cases.foreach { case (name, sym, k) =>
+      val viaEdges = GraphOps.kcoreFixpointEdges(sym, k)._1
+        .groupBy(col("u").as("node"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("residual_deg"))
+      val viaDeg = GraphOps.kcoreFixpointDegrees(sym, k)._1
+      assert(toMap(viaDeg) == toMap(viaEdges), name)
+    }
+  }
+
   test("kcoreConverged output is a true k-core on the co-purchase graph") {
     val res = GraphOps.kcoreConverged(spark, sf(), 5)
     // the defining fixpoint property: every survivor keeps >= k
