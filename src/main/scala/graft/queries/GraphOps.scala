@@ -331,6 +331,12 @@ object GraphOps {
         rounds += 1
       }
     }
+    // a graph that needs EXACTLY maxIters peel rounds exits the loop
+    // before the confirming empty-`newly` iteration can set `done`
+    // (unlike lpaFixpointEdges/pagerankFixpoint, whose convergence
+    // check rides the same iteration as the update) — run the
+    // confirming check once more so convergence AT the cap passes
+    if (!done) done = deg.filter(col("deg") < k).count() == 0L
     require(done,
       s"k-core did not converge in $maxIters peel rounds")
     (deg, rounds)

@@ -81,6 +81,31 @@ class ConvergenceSpec extends SparkSpec {
     assert(res.count() > 0, "sf0.001 co-purchase graph has a 5-core")
   }
 
+  test("k-core fixpoint converges when it needs exactly maxIters peels") {
+    // a 10-node path at k = 2 needs exactly 5 peel rounds; with the
+    // cap set to 5 the loop exits right after the final peel, before
+    // a confirming empty-`newly` iteration can run — the post-loop
+    // confirmation must accept this as converged, not raise (ADVICE
+    // r10: rounds-at-cap false negative)
+    val chain = symOf((0L until 9L).map(i => (i, i + 1)))
+    val (deg, rounds) = GraphOps.kcoreFixpointDegrees(chain, 2, maxIters = 5)
+    assert(rounds == 5, s"got $rounds")
+    assert(deg.count() == 0, "a path has no 2-core")
+  }
+
+  test("q258's k=60 core is non-empty at every locally verified SF") {
+    // the recursive-CTE oracle CANNOT represent an empty fixpoint
+    // (UNION ALL recursion's last state would silently be the
+    // pre-collapse edge set), so q258 is only sound while the k=60
+    // core survives — assert it loudly at the SFs the driver
+    // verifies, instead of leaving the invariant as a comment
+    Seq("sf0.001", "sf0.01").foreach { s0 =>
+      assert(GraphOps.kcoreConverged(spark, sf(s0), 60).count() > 0,
+        s"k=60 co-purchase core dissolved at $s0 — q258's oracle can " +
+          "no longer represent the fixpoint; re-derive k")
+    }
+  }
+
   test("LPA fixpoint equals the 2-round unroll where 2 rounds converge") {
     // two label-homogeneous triangles joined by one bridge edge:
     // every node keeps its majority label, fixpoint after one

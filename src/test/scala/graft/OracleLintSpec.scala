@@ -120,8 +120,14 @@ class OracleLintSpec extends SparkSpec {
     // renders scale-0 decimal as float64 ("2401.0", lossy past 2^53)
     // while DuckDB renders HUGEINT-integer. Interior decimal math is
     // fine — only the OUTPUT schema is hashed, so the lint walks every
-    // query's analyzed schema at sf0.001 (analysis only; no execution
-    // beyond the few queries that read a 1-row bound eagerly).
+    // query's analyzed schema at sf0.001. NOTE: constructing the
+    // DataFrames is NOT free of execution — queries that read a 1-row
+    // bound eagerly run a small job, the q258/q259/q260 rows drive
+    // their fixpoint loops to convergence at sf0.001, and the
+    // side-table-backed rows (q36/q144/q44/q84 family) build their
+    // parquet side tables under GRAFT_SIDE_DIR on a cold machine.
+    // Cheap at sf0.001 (seconds), but this test does execute jobs and
+    // write side-table files, not just analyze plans.
     import org.apache.spark.sql.types.DecimalType
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
