@@ -112,9 +112,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // side-table builds that happened INSIDE this run: non-empty means
+    // the timings include one-off index construction (cold machine /
+    // fresh dataset fingerprint) rather than the steady state the
+    // numbers are meant to represent — rerun for a clean measurement.
+    val sb = graft.queries.SideTables.builtThisSession
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"remeasured":$rs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"n_failed":${failures.size},"remeasured":$rs,"side_built":$sb,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(line)
     // the full line (90+ queries) exceeds the driver's tail-capture
     // window, which truncates from the FRONT — so the leading

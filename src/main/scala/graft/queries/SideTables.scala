@@ -18,18 +18,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * incrementally (q106/q171's shard pattern), not rebuilt per query.
   *
   * Layout: `$GRAFT_SIDE_DIR (default: $java.io.tmpdir/graft_side) /
-  * <dirKey>-<sourceFingerprint>/<name>`. The fingerprint hashes the
-  * source parquet's file names + sizes + mtimes, so a regenerated
-  * dataset silently invalidates its side tables (a stale index is a
-  * correctness bug, not a cache miss). Writes go to a
-  * process-private temp dir, then one atomic rename publishes it —
-  * concurrent builders race benignly (the loser reads the winner's
-  * table).
+  * <dirKey>-<sourceFingerprint>-v<VERSION>/<name>`. The fingerprint
+  * hashes the source parquet's file names + sizes + mtimes, so a
+  * regenerated dataset silently invalidates its side tables, and the
+  * VERSION constant folds the BUILDER LOGIC into the key: any change
+  * to a side table's derivation (shingling, band width, quantization,
+  * codebook shape) must bump it, or the shared tmp dir — which
+  * outlives checkouts and branches on this host — would keep serving
+  * the pre-change artifact (a stale index is a correctness bug, not a
+  * cache miss). Writes go to a process-private temp dir, then one
+  * atomic rename publishes it — concurrent builders race benignly
+  * (the loser reads the winner's table).
+  *
+  * CLUSTER CONTRACT: the root must be storage that the DRIVER AND
+  * EVERY EXECUTOR see at the same path — the default
+  * `java.io.tmpdir/graft_side` is correct only in local mode. On a
+  * real deployment set `GRAFT_SIDE_DIR` to a shared mount (NFS,
+  * fuse-mounted object store); the parquet write/read already go
+  * through Spark, so only the `_SUCCESS` probe and the atomic publish
+  * rename assume driver-local visibility of the same tree.
   */
 object SideTables {
 
+  /** bump on ANY change to ANY side-table builder's logic or output
+    * schema — the key must invalidate on code changes exactly like it
+    * does on data changes. */
+  private val VERSION = 1
+
   private def root: String = sys.env.getOrElse("GRAFT_SIDE_DIR",
     sys.props("java.io.tmpdir") + "/graft_side")
+
+  /** side tables BUILT (not just read) by this JVM, as
+    * `<name>@<key>` strings — Bench folds this into
+    * bench_metrics.json (`"side_built"`) so a cold-machine run, whose
+    * timings include one-off index builds, is distinguishable from
+    * the steady state the numbers represent. */
+  private val built = collection.mutable.ArrayBuffer.empty[String]
+  def builtThisSession: Seq[String] = built.synchronized(built.toList)
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -57,7 +82,8 @@ object SideTables {
   def getOrBuild(s: SparkSession, dir: String, name: String,
       source: String = "documents")(build: => DataFrame): DataFrame = {
     val canon = Paths.get(dir).toAbsolutePath.normalize.toString
-    val key = md5hex(canon).take(12) + "-" + fingerprint(canon, source)
+    val key = md5hex(canon).take(12) + "-" + fingerprint(canon, source) +
+      s"-v$VERSION"
     val tableDir = Paths.get(root, key, name)
     if (!Files.exists(tableDir.resolve("_SUCCESS"))) {
       val tmp = Paths.get(root, key,
@@ -65,9 +91,10 @@ object SideTables {
           s"${Thread.currentThread.getId}")
       Files.createDirectories(tmp.getParent)
       build.write.mode("overwrite").parquet(tmp.toString)
-      try
+      try {
         Files.move(tmp, tableDir, StandardCopyOption.ATOMIC_MOVE)
-      catch {
+        built.synchronized(built += s"$name@$key")
+      } catch {
         // a concurrent builder published first — use theirs
         case _: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.FileSystemException =>
