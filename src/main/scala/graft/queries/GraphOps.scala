@@ -268,12 +268,12 @@ object GraphOps {
     * bounds the peel DEPTH, not wall-clock guesswork. */
   private[graft] def kcoreFixpointEdges(sym0: DataFrame, k: Int,
       maxIters: Int = 50): (DataFrame, Int) = {
-    var sym = sym0.repartition(col("u")).localCheckpoint(true)
+    var sym = Ckpt.cut(sym0.repartition(col("u")), true)
     var nEdges = sym.count()
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged && rounds < maxIters) {
-      val next = kcorePeelRound(sym, k).localCheckpoint(true)
+      val next = Ckpt.cut(kcorePeelRound(sym, k), true)
       val m = next.count()
       converged = m == nEdges || m == 0L
       sym = next; nEdges = m; rounds += 1
@@ -308,26 +308,24 @@ object GraphOps {
     * against [[kcoreFixpointEdges]] in ConvergenceSpec. */
   private[graft] def kcoreFixpointDegrees(sym: DataFrame, k: Int,
       maxIters: Int = 50): (DataFrame, Int) = {
-    var deg = sym.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    var deg = Ckpt.cut(sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg")), true)
     var rounds = 0
     var done = false
     while (!done && rounds < maxIters) {
-      val newly = deg.filter(col("deg") < k).select(col("node"))
-        .localCheckpoint(true)
+      val newly = Ckpt.cut(
+        deg.filter(col("deg") < k).select(col("node")), true)
       if (newly.count() == 0L) done = true
       else {
         val delta = sym
           .join(newly.withColumnRenamed("node", "v"), "v")
           .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-        deg = deg
+        deg = Ckpt.cut(deg
           .join(newly.withColumnRenamed("node", "dead"),
             col("node") === col("dead"), "left_anti")
           .join(delta, Seq("node"), "left")
           .select(col("node"),
-            (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
-          .localCheckpoint(true)
+            (col("deg") - coalesce(col("d"), lit(0L))).as("deg")), true)
         rounds += 1
       }
     }
@@ -404,29 +402,59 @@ object GraphOps {
             "node")
           .join(broadcast(brandDict(s, dir)), "lbl")
           .select(col("node"), col("code"))
-        lpaRound(sym, lpaRound(sym, seeds)).localCheckpoint(false)
+        // same size gate as the fixpoint form (see lpaRound): decided
+        // once, and the fallback regime pre-partitions the edge view
+        // so both unrolled rounds reuse one co-partitioned layout
+        val bcast = seeds.count() <= lpaBroadcastMaxRows
+        val symL =
+          if (bcast) sym
+          else sym.repartition(col("dst")).localCheckpoint(false)
+        lpaRound(symL, lpaRound(symL, seeds, bcast), bcast)
+          .localCheckpoint(false)
       })
     }
+
+  /** labels-row-count ceiling under which [[lpaRound]] broadcasts the
+    * label vector. 10M rows ≈ 160 MB serialized — generous for a
+    * local[32] JVM, the right order for real executors. Past it the
+    * round falls back to the co-partitioned label exchange (see
+    * [[lpaRound]]); overridable for probes/specs via env
+    * `GRAFT_LPA_BCAST_MAX_ROWS` or sysprop
+    * `graft.lpa.bcast.max.rows` (= 0 forces the fallback). */
+  private[graft] def lpaBroadcastMaxRows: Long =
+    sys.env.get("GRAFT_LPA_BCAST_MAX_ROWS")
+      .orElse(sys.props.get("graft.lpa.bcast.max.rows"))
+      .map(_.toLong).getOrElse(10000000L)
 
   /** one synchronous LPA round: every node adopts the most frequent
     * label among its neighbors' PREVIOUS labels, ties → smallest
     * code. Shared by the 2-round unrolled [[lpaLabels]] (oracle
-    * shadow) and the fixpoint [[lpaFixpointEdges]]. */
-  private[graft] def lpaRound(sym: DataFrame,
-      labels: DataFrame): DataFrame = {
+    * shadow) and the fixpoint [[lpaFixpointEdges]].
+    *
+    * `broadcastLabels` is the scale regime, decided ONCE by the
+    * caller (a per-round count would cost a job per round):
+    *  - true — labels are |V| compact rows (2M × 16B ≈ 32 MB at the
+    *    sf10 probe): far cheaper to ship than re-shuffling the
+    *    |E|-row edge list every round (240M rows × rounds at sf10;
+    *    the label attach is the round's only join). Each round is one
+    *    map-side edge scan + a partial-agg shuffle.
+    *  - false — past broadcastable |V| (≈10⁹ nodes a forced broadcast
+    *    would OOM the driver): the q120 transactionGraph layout. The
+    *    caller pre-partitions `sym` by dst once; each round then
+    *    shuffle-hash-joins with labels as the BUILD side, so the only
+    *    per-round exchange is the |V|-row label vector — the edge
+    *    list never moves again. The hint matters: without it the SMJ
+    *    default would re-sort the edge side every round. */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cnt").desc, col("code"))
-    // labels are |V| compact rows (2M × 16B ≈ 32 MB at the sf10
-    // probe) — above AQE's default broadcast threshold but far
-    // cheaper to ship than re-shuffling the |E|-row edge list EVERY
-    // round (240M rows × rounds at sf10; the label attach is the
-    // round's only join). Forced broadcast keeps each round one
-    // map-side scan + a partial-agg shuffle of ≤|V|·|labels-per-src|
-    // rows. Past broadcastable |V| (≈10⁹ nodes), the production
-    // alternative is co-partitioning sym by dst once and shuffling
-    // only the rank/label vector — the q120 transactionGraph layout.
-    sym.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
+    val lbl = labels.withColumnRenamed("node", "dst")
+    val attached =
+      if (broadcastLabels) sym.join(broadcast(lbl), "dst")
+      else sym.join(lbl.hint("shuffle_hash"), "dst")
+    attached
       .groupBy(col("src"), col("code"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
@@ -454,12 +482,28 @@ object GraphOps {
     // union duplicated 240M rows in the block store per CALL at the
     // sf10 probe — per-round recomputation of a map-side union over
     // checkpoint blocks is strictly cheaper than a second copy.
-    val sym = if (materialize) sym0.localCheckpoint(true) else sym0
-    var labels = seeds.localCheckpoint(true)
+    // scale-regime gate, decided ONCE per fixpoint (node set — and
+    // so label count — is constant across LPA rounds): small label
+    // vectors broadcast; past the ceiling, pre-partition the edge
+    // list by dst ONCE and let every round exchange only the |V|-row
+    // label vector (shuffle-hash build side). The fallback
+    // materializes its co-partitioned edge copy even when
+    // `materialize = false`, because the layout IS the point — one
+    // |E| shuffle up front buys exchange-free edge sides for every
+    // round after.
+    val bcast = {
+      val n = seeds.count()
+      n <= lpaBroadcastMaxRows
+    }
+    val sym =
+      if (!bcast) Ckpt.cut(sym0.repartition(col("dst")), true)
+      else if (materialize) Ckpt.cut(sym0, true)
+      else sym0
+    var labels = Ckpt.cut(seeds, true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIters) {
-      val next = lpaRound(sym, labels).localCheckpoint(true)
+      val next = Ckpt.cut(lpaRound(sym, labels, bcast), true)
       changed = next
         .join(labels.withColumnRenamed("code", "old"), "node")
         .filter(col("code") =!= col("old")).count()

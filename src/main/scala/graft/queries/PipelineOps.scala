@@ -74,13 +74,12 @@ object PipelineOps {
       epsFp: Long = 1000000L, maxIters: Int = 100): (DataFrame, Int) = {
     val unit = 1000000000000L
     val base = 15L * unit / 100L / n
-    var ranks = ej.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(unit / n))
-      .localCheckpoint(true)
+    var ranks = Ckpt.cut(ej.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(unit / n)), true)
     var delta = Long.MaxValue
     var rounds = 0
     while (delta > epsFp && rounds < maxIters) {
-      val next = prRound(ej, ranks, base).localCheckpoint(true)
+      val next = Ckpt.cut(prRound(ej, ranks, base), true)
       delta = next.join(ranks.withColumnRenamed("r", "old"), "node")
         .agg(max(abs(col("r") - col("old")))).head().getLong(0)
       ranks = next; rounds += 1
@@ -120,20 +119,18 @@ object PipelineOps {
     // every iteration joins against this edge list, and without the
     // checkpoint each round would re-execute the (possibly very
     // expensive) upstream pair-mining subtree that produced it.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val sym = Ckpt.cut(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      true)
+    var labels = Ckpt.cut(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")), true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val next = sym.join(labels, sym("src") === labels("node"))
+      val next = Ckpt.cut(sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .groupBy(col("node")).agg(min(col("label")).as("label")), true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
       labels = next
@@ -173,12 +170,11 @@ object PipelineOps {
     * round count. */
   private[graft] def connectedComponentsDoublingStats(edges: DataFrame,
       maxIters: Int): (DataFrame, Int) = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val sym = Ckpt.cut(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      true)
+    var labels = Ckpt.cut(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")), true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -186,11 +182,10 @@ object PipelineOps {
       // against itself trips Catalyst's constraint rewrite (missing
       // attribute in UnionBase.rewriteConstraints), and the cut also
       // keeps the jump from recomputing the propagation twice
-      val prop = sym.join(labels, sym("src") === labels("node"))
+      val prop = Ckpt.cut(sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .groupBy(col("node")).agg(min(col("label")).as("label")), true)
       // jump: label ← label(label). Inner join is total: every label
       // value is a node id present in `prop` (labels start as node
       // ids and only ever move to a smaller REACHABLE node's id).
@@ -205,8 +200,9 @@ object PipelineOps {
       // UnionBase.rewriteConstraints ("key not found: node#…").
       // createDataFrame sheds the stale constraints; the RDD reuses
       // the checkpoint blocks, so nothing recomputes.
-      val next = edges.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
-        .localCheckpoint(true)
+      val next = Ckpt.cut(
+        edges.sparkSession.createDataFrame(jumped.rdd, jumped.schema),
+        true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
       labels = next

@@ -124,6 +124,43 @@ class ConvergenceSpec extends SparkSpec {
       toSet(GraphOps.lpaRound(sym, GraphOps.lpaRound(sym, seeds))))
   }
 
+  test("LPA broadcast and co-partitioned label-exchange regimes agree") {
+    // the 100 TB de-cliff (VERDICT r10 #1): lpaRound must produce
+    // identical labels whether the label vector is broadcast (small
+    // |V|) or exchanged against a dst-partitioned edge list (|V| past
+    // broadcastable), and the fixpoint driver must pick the fallback
+    // when the gate says so
+    val sym = symOf(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 9L), (5L, 9L), (6L, 9L)).toDF("node", "code")
+    val toSet = (df: DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single round, both regimes, same answer
+    val viaB = GraphOps.lpaRound(sym, seeds, broadcastLabels = true)
+    val viaX = GraphOps.lpaRound(
+      sym.repartition(col("dst")), seeds, broadcastLabels = false)
+    assert(toSet(viaB) == toSet(viaX))
+    // plan pin: the regimes differ exactly in the label-attach join —
+    // broadcast hash join vs shuffled hash join (labels build side)
+    assert(viaB.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val xPlan = viaX.queryExecution.executedPlan.toString
+    assert(!xPlan.contains("BroadcastHashJoin"), xPlan)
+    assert(xPlan.contains("ShuffledHashJoin"), xPlan)
+    // fixpoint driver honors the gate: force the fallback via the
+    // sysprop knob and require the same converged labels + rounds
+    val (lb, rb) = GraphOps.lpaFixpointEdges(sym, seeds)
+    System.setProperty("graft.lpa.bcast.max.rows", "0")
+    try {
+      assert(GraphOps.lpaBroadcastMaxRows == 0L)
+      val (lx, rx) = GraphOps.lpaFixpointEdges(sym, seeds)
+      assert(rb == rx, s"rounds diverged: $rb vs $rx")
+      assert(toSet(lb) == toSet(lx))
+    } finally System.clearProperty("graft.lpa.bcast.max.rows")
+  }
+
   test("LPA fixpoint fails loudly on a 2-cycling star") {
     // synchronous LPA on a star flips center<->leaves forever; the
     // convergence mode must raise, not return mid-oscillation labels
@@ -134,6 +171,27 @@ class ConvergenceSpec extends SparkSpec {
       GraphOps.lpaFixpointEdges(sym, seeds, maxIters = 6)
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("fixpoint loops honor GRAFT_CHECKPOINT_DIR (reliable checkpoint)") {
+    // cluster hardening (VERDICT r10 #4): with the knob set, every
+    // round's lineage cut goes through reliable checkpoint() into the
+    // shared dir — executor loss mid-fixpoint recomputes one round,
+    // not the whole trajectory. Same answers, and the checkpoint tree
+    // must actually be written to.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    System.setProperty("graft.checkpoint.dir", dir.toString)
+    try {
+      val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L)).toDF("src", "dst")
+      val got = PipelineOps.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      val rddDirs = java.nio.file.Files.walk(dir)
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs > 0, "no reliable checkpoint files were written")
+    } finally System.clearProperty("graft.checkpoint.dir")
   }
 
   test("PageRank fixpoint matches an in-driver integer reference bit-for-bit") {
