@@ -43,4 +43,44 @@ object Ckpt {
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+
+  /** cut lineage AND keep the cut table's hash partitioning visible
+    * to downstream planning — the contract the per-round joins of
+    * every fixpoint loop depend on ("partition the edge list by the
+    * join key ONCE; each round exchanges only the |V|-row state
+    * vector").
+    *
+    * Why this exists: with AQE enabled (the bench/production
+    * default), `Dataset.checkpoint` reads the partitioning to embed
+    * in the checkpointed relation from the ADAPTIVE plan root, which
+    * reports `UnknownPartitioning` — so the cut table silently loses
+    * its layout and EVERY round's join re-exchanges the full edge
+    * list (measured: the q259 fallback regime at sf10 spent 22 min
+    * re-shuffling 240M rows × rounds that the layout should have
+    * made free; one plan probe showed prRound re-exchanging the
+    * transaction graph the same way). Disabling AQE around the
+    * materialization makes the physical plan a plain shuffle whose
+    * HashPartitioning survives into the checkpointed relation;
+    * consuming queries (AQE back on) then see a leaf that already
+    * satisfies the join's required distribution. AQE loses nothing
+    * here: the materialized plan is one explicit repartition, which
+    * AQE must not rewrite anyway for the layout to be the point.
+    *
+    * The conf flip is plan-time-scoped, and that is enough even for
+    * a LAZY cut: `Dataset.checkpoint` builds and freezes the physical
+    * plan (and records its partitioning) at CALL time — only the job
+    * runs later, against the frozen plan, so restoring AQE before the
+    * materialization cannot un-preserve anything (probed: lazy cut
+    * planned under AQE-off keeps hashpartitioning after the deferred
+    * run). Lazy is the right choice for one-shot shadow paths where
+    * the materialization can ride the first consuming job; loops use
+    * eager so the convergence count rides the same materialization. */
+  def cutPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val was = conf.get(key)
+    conf.set(key, "false")
+    try cut(df, eager)
+    finally conf.set(key, was)
+  }
 }

@@ -234,12 +234,15 @@ object GraphOps {
       .select(col("u"), col("v"))
   }
 
-  /** hash-partition the symmetric edge list by u ONCE: every peel
-    * round's degree groupBy(u) — and the final residual-degree agg —
-    * then reuses the checkpointed partitioning (Dataset.checkpoint
-    * records outputPartitioning in its LogicalRDD, so the Exchange is
-    * eliminated) instead of re-shuffling the whole surviving edge
-    * list each round. */
+  /** hash-partition the symmetric edge list by u once and cut. NOT
+    * [[Ckpt.cutPartitioned]], deliberately: the peel rounds consume
+    * sym through a partial-aggregable groupBy(u) (map-side combine
+    * shrinks the exchange to |V|-ish rows) and broadcast semi joins,
+    * so pinning the layout saves almost nothing while fixing every
+    * round at `shuffle.partitions` tasks — measured 1.7× slower at
+    * sf0.1 AND sf1 when pinned (round 11). Layout pinning pays only
+    * where a per-round JOIN would otherwise exchange the full edge
+    * list (prRound / connectedComponents / LPA fallback). */
   private def symByU(sym0: DataFrame): DataFrame =
     sym0.repartition(col("u")).localCheckpoint(false)
 
@@ -268,7 +271,7 @@ object GraphOps {
     * bounds the peel DEPTH, not wall-clock guesswork. */
   private[graft] def kcoreFixpointEdges(sym0: DataFrame, k: Int,
       maxIters: Int = 50): (DataFrame, Int) = {
-    var sym = Ckpt.cut(sym0.repartition(col("u")), true)
+    var sym = Ckpt.cutPartitioned(sym0.repartition(col("u")))
     var nEdges = sym.count()
     var rounds = 0
     var converged = nEdges == 0L
@@ -408,7 +411,7 @@ object GraphOps {
         val bcast = seeds.count() <= lpaBroadcastMaxRows
         val symL =
           if (bcast) sym
-          else sym.repartition(col("dst")).localCheckpoint(false)
+          else Ckpt.cutPartitioned(sym.repartition(col("dst")))
         lpaRound(symL, lpaRound(symL, seeds, bcast), bcast)
           .localCheckpoint(false)
       })
@@ -496,7 +499,7 @@ object GraphOps {
       n <= lpaBroadcastMaxRows
     }
     val sym =
-      if (!bcast) Ckpt.cut(sym0.repartition(col("dst")), true)
+      if (!bcast) Ckpt.cutPartitioned(sym0.repartition(col("dst")))
       else if (materialize) Ckpt.cut(sym0, true)
       else sym0
     var labels = Ckpt.cut(seeds, true)

@@ -38,9 +38,13 @@ object PipelineOps {
             sc.select(col("dst").as("src"), col("src").as("dst")))
         val deg = edges.groupBy(col("src"))
           .agg(count(lit(1)).as("outdeg"))
-        val ej = edges.join(deg, "src")
-          .repartition(col("src"))
-          .localCheckpoint(true)
+        // Ckpt.cutPartitioned, not a plain checkpoint: under AQE the
+        // checkpoint records UnknownPartitioning and every PageRank
+        // round silently re-exchanges the |E|-row list (round-11 plan
+        // probe) — the whole point of this layout is that rounds
+        // exchange only the |V|-row rank vector
+        val ej = Ckpt.cutPartitioned(
+          edges.join(deg, "src").repartition(col("src")))
         (ej, ej.select(col("src")).distinct().count())
       })
     }
@@ -51,7 +55,11 @@ object PipelineOps {
     * and [[pagerankFixpoint]]. */
   private[graft] def prRound(ej: DataFrame, ranks: DataFrame,
       base: Long): DataFrame =
-    ej.join(ranks, col("src") === col("node"))
+    // shuffle-hash, ranks as build side: ej is pre-partitioned on src
+    // (transactionGraph layout), so the default SMJ would re-SORT the
+    // |E|-row list every round even with the exchange elided — the
+    // hash join builds from the |V|-row rank partition instead
+    ej.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
       .groupBy(col("dst"))
       .agg(sum(expr("r div outdeg")).as("m"))
       .select(col("dst").as("node"),
@@ -119,15 +127,22 @@ object PipelineOps {
     // every iteration joins against this edge list, and without the
     // checkpoint each round would re-execute the (possibly very
     // expensive) upstream pair-mining subtree that produced it.
-    val sym = Ckpt.cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))),
-      true)
+    // partitioned by the per-round join key and cut with the
+    // layout VISIBLE (cutPartitioned): each round then exchanges
+    // only the |V|-row label table, never the edge list
+    val sym = Ckpt.cutPartitioned(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
     var labels = Ckpt.cut(sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")), true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val next = Ckpt.cut(sym.join(labels, sym("src") === labels("node"))
+      // labels as shuffle-hash build side: no per-round sort of the
+      // pre-partitioned edge list (see prRound)
+      val next = Ckpt.cut(
+        sym.join(labels.hint("shuffle_hash"),
+            sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label")), true)
@@ -170,9 +185,9 @@ object PipelineOps {
     * round count. */
   private[graft] def connectedComponentsDoublingStats(edges: DataFrame,
       maxIters: Int): (DataFrame, Int) = {
-    val sym = Ckpt.cut(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))),
-      true)
+    val sym = Ckpt.cutPartitioned(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
     var labels = Ckpt.cut(sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")), true)
     var changed = 1L
@@ -182,7 +197,9 @@ object PipelineOps {
       // against itself trips Catalyst's constraint rewrite (missing
       // attribute in UnionBase.rewriteConstraints), and the cut also
       // keeps the jump from recomputing the propagation twice
-      val prop = Ckpt.cut(sym.join(labels, sym("src") === labels("node"))
+      val prop = Ckpt.cut(
+        sym.join(labels.hint("shuffle_hash"),
+            sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label")), true)

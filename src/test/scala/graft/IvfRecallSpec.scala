@@ -16,6 +16,25 @@ class IvfRecallSpec extends SparkSpec {
   private def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
 
+  test("q44/q84 read their standing index from the side-table dir") {
+    // VERDICT r10 #3: the ANN artifacts (IVF coarse index, PQ
+    // codebook + encoded corpus) must persist across sessions the way
+    // q36's band index does — after one call, the plans READ the
+    // published parquet side tables instead of re-deriving from
+    // embeddings.parquet
+    val sideRoot = sys.env.getOrElse("GRAFT_SIDE_DIR",
+      sys.props("java.io.tmpdir") + "/graft_side")
+    val ivf = SimilarityOps.knnIvf(spark, sf(), nprobe = 1)
+    assert(ivf.inputFiles.exists(f =>
+        f.contains(sideRoot) && f.contains("ivf_sums")),
+      "knnIvf does not scan the ivf_sums side table")
+    val pq = SparkEntry.queries("q84_knn_pq")(spark, sf())
+    assert(pq.inputFiles.exists(_.contains("pq_codebook_m4")),
+      "codebook not standing")
+    assert(pq.inputFiles.exists(_.contains("pq_codes_m4")),
+      "encoded corpus not standing")
+  }
+
   test("IVF recall is monotone in nprobe and improves with 3 probes") {
     val truth = top5(SparkEntry.queries("q40_knn_bruteforce")(spark, sf()))
     val p1 = top5(SimilarityOps.knnIvf(spark, sf(), nprobe = 1))

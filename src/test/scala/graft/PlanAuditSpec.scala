@@ -141,6 +141,49 @@ class PlanAuditSpec extends SparkSpec {
         s"list — partitioning reuse lost:\n$plan")
   }
 
+  test("fixpoint rounds never re-exchange the pre-partitioned edge list") {
+    // round-11 find: under AQE, an EAGER checkpoint records
+    // UnknownPartitioning (Dataset.checkpoint reads the adaptive plan
+    // root), so every fixpoint round silently re-exchanged its edge
+    // list — Ckpt.cutPartitioned pins the layout again. These pins
+    // hold the contract: per round, the ONLY exchanges carry |V|-row
+    // state (or the round's own aggregation), never the edge list.
+    import org.apache.spark.sql.functions._
+    val dir = sf()
+    // PageRank round over the src-partitioned transaction graph:
+    // exchanges = ranks (build side) + the dst groupBy. The ej scan
+    // must be a bare ExistingRDD scan with no Exchange above it.
+    val (ej, _) = queries.PipelineOps.transactionGraph(spark, dir)
+    val ranks = ej.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1L)).localCheckpoint(true)
+    val pr = queries.PipelineOps.prRound(ej, ranks, 1L)
+    pr.collect()
+    val prPlan = pr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(prPlan.contains("ShuffledHashJoin"), prPlan)
+    assert(!prPlan.contains("SortMergeJoin"),
+      s"prRound re-sorts the edge list every round:\n$prPlan")
+    val prEx = prPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(prEx <= 2, s"prRound plans $prEx exchanges (edge list moved?):\n$prPlan")
+    // LPA fallback round over the dst-partitioned symmetric edges:
+    // exchanges = labels + (src, code) agg + src window. The plan
+    // shape is data-independent — a generated ring graph suffices.
+    val e = spark.range(1000).select(col("id").as("u"),
+      ((col("id") + 1) % 1000).as("v"))
+    val sym0 = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val sym = queries.Ckpt.cutPartitioned(sym0.repartition(col("dst")))
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .withColumn("code", col("node")).localCheckpoint(true)
+    val lpa = queries.GraphOps.lpaRound(sym, seeds, broadcastLabels = false)
+    lpa.collect()
+    val lpaPlan = lpa.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lpaEx = lpaPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(lpaEx <= 3, s"LPA fallback round plans $lpaEx exchanges:\n$lpaPlan")
+    assert(!lpaPlan.contains("SortMergeJoin"), lpaPlan)
+  }
+
   /** Portable-sketch plans: q175's estimate probe must BROADCAST the
     * 20-row candidate side against the 4096-cell counter table (a
     * shuffled join here would re-shuffle the counters for nothing),
