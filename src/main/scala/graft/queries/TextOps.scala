@@ -737,7 +737,8 @@ object TextOps {
     rankFusionQueryDef, sourceDivergenceQueryDef, lshEvalQueryDef,
     minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
-    dupLeakageQueryDef, incrementalMinhashQueryDef, bpeMergeQueryDef,
+    dupLeakageQueryDef, incrementalMinhashQueryDef,
+    bandCollisionsQueryDef, bpeMergeQueryDef,
     repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
@@ -814,6 +815,52 @@ object TextOps {
     * buckets, verify exact Jaccard on candidates. Output: verified
     * ≥ 0.8 pairs touching the shard (either as duplicate-of-corpus
     * or within-shard). */
+  /** Batch shadow of the STREAMING MinHash band index
+    * ([[graft.streaming.Streams.minhashDedupStream]]): the distinct
+    * band-collision candidate pairs with their shared-band counts —
+    * exactly what the live band-bucket state machine converges to
+    * after processing the same documents (its emitted
+    * (da, db, band_id) set, aggregated; StreamsSpec pins the parity
+    * across micro-batch chops and replays). One self-equi-join of
+    * the standing band side table on (band_id, bh) — each (doc,
+    * band) has exactly one bucket hash, so the join output is
+    * already pair-band-unique and the count IS the shared-band
+    * count. Scale: the index is the persisted q36 artifact; the join
+    * is bucket-local (collision fan-out bounded by bucket occupancy,
+    * the df-cap contract). */
+  private lazy val bandCollisionsQueryDef = QueryDef(
+    "q262_band_collisions",
+    (s, dir) => {
+      val bands = minhashBands(s, dir)
+      bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id")
+            && col("a.bh") === col("b.bh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shingleSql,
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM hashed GROUP BY doc_id, seed // 4)
+      |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+      |FROM bands a JOIN bands b
+      |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY da, db""".stripMargin))
+
   private lazy val incrementalMinhashQueryDef = QueryDef(
     "q171_incremental_minhash",
     (s, dir) => {

@@ -71,6 +71,21 @@ case class KeyedId(grp: String, id: Long)
   * exact distinct = Σ popcount over a group's current cells. */
 case class BitmapCell(grp: String, chunk: Long, mask: Long)
 
+/** one MinHash band row on the wire — the SAME (doc, band,
+  * band-hash) rows the batch dedup derives and persists as its
+  * standing index (`TextOps.minhashBands` / the `minhash_bands` side
+  * table). Featurization (shingle → minhash → band) is a per-row
+  * batch projection; the streaming op is the stateful index
+  * probe-and-insert. */
+case class MinhashBand(doc_id: Long, band_id: Long, bh: String)
+
+/** an emitted streaming near-dup candidate: docs `da` < `db` landed
+  * in the same band bucket (band `band_id`). A pair sharing k bands
+  * is emitted k times — once per bucket — so `count(distinct
+  * band_id)` per (da, db) downstream equals the batch shadow's
+  * n_bands (q262). */
+case class BandCandidate(da: Long, db: Long, band_id: Long)
+
 /** cell-keyed additive counter for the streaming portable CMS — see
   * [[Streams.portableCmsStream]]. */
 /** OR-accumulating mask state for the streaming exact distinct — see
@@ -93,6 +108,57 @@ class BitmapCellProcessor
     rows.foreach(r => m |= 1L << (r.id % 63).toInt)
     mask.update(m)
     Iterator.single(BitmapCell(key._1, key._2, m))
+  }
+}
+
+/** live MinHash band index — the q36/q171 dedup index as keyed
+  * streaming state. Grouping key = (band_id, bh), i.e. ONE BUCKET of
+  * the standing band index; state = the bucket's member doc ids. A
+  * new doc probes its bucket (emits a candidate pair against every
+  * member — the q171 asymmetric shard probe, live: per-batch cost is
+  * |new bands| × bucket occupancy, never a self-join) and joins it.
+  *
+  * Replay/at-least-once safety: membership GATES both emission and
+  * insertion, so a replayed band row emits nothing new and state
+  * converges to exactly the batch index under any micro-batch
+  * chopping (StreamsSpec pins parity with the batch band self-join
+  * across chops and replays).
+  *
+  * `maxBucket` is the df-cap analog from the batch index: a bucket
+  * at cap stops admitting members (and so stops emitting pairs) —
+  * a near-constant band value carries no discriminative signal and
+  * its pair fan-out would be occupancy², so the cap bounds both
+  * state and output. Batch parity holds for buckets under the cap.
+  * 100 TB shape: buckets hash-partition across executors like any
+  * keyed state; per-bucket state is occupancy longs. */
+class BandIndexProcessor(maxBucket: Int)
+    extends StatefulProcessor[(Long, String), MinhashBand, BandCandidate] {
+
+  @transient private var members: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[Long]("members",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, String),
+      rows: Iterator[MinhashBand],
+      timerValues: TimerValues): Iterator[BandCandidate] = {
+    val seen = collection.mutable.LinkedHashSet.empty[Long]
+    members.get().foreach(d => seen += d)
+    val out = Seq.newBuilder[BandCandidate]
+    // deterministic within-batch order (smallest id joins first), so
+    // a batch's emitted set is chop-independent
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (!seen.contains(r.doc_id) && seen.size < maxBucket) {
+        seen.foreach { e =>
+          out += BandCandidate(math.min(e, r.doc_id),
+            math.max(e, r.doc_id), key._1)
+        }
+        seen += r.doc_id
+        members.appendValue(r.doc_id)
+      }
+    }
+    out.result().iterator
   }
 }
 
@@ -712,6 +778,23 @@ object Streams {
     ds.groupByKey(k => (k.grp, k.id / 63))
       .transformWithState(new BitmapCellProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** streaming MinHash dedup — see [[BandIndexProcessor]]. The one
+    * north-star capability (near-dup detection) in live form: band
+    * rows arrive (featurized batch-side, the exact
+    * `TextOps.minhashBands` derivation), the standing band index
+    * lives as keyed state, and every emitted [[BandCandidate]] is a
+    * band collision to verify downstream (exact Jaccard on the
+    * shingle table — the same verify stage the batch q36 runs).
+    * Converges to the batch band self-join (q262's shadow) under any
+    * micro-batch chopping or replay. */
+  def minhashDedupStream(ds: Dataset[MinhashBand],
+      maxBucket: Int = 4096): Dataset[BandCandidate] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(b => (b.band_id, b.bh))
+      .transformWithState(new BandIndexProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** T4 — per-key running counter (the writer-state pattern): emits

@@ -144,6 +144,61 @@ class StreamsSpec extends SparkSpec {
       rows.head.end_ms - rows.head.start_ms == 10000L, rows.toSeq.toString)
   }
 
+  test("streaming MinHash band index: batch parity across chops, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{MinhashBand, BandCandidate}
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // synthetic band rows: docs 1/2/3 collide in band 0 bucket "x"
+      // (3 pairs), docs 1/2 ALSO collide in band 1 bucket "y" (the
+      // same pair again, different band), doc 4 alone in band 0 "z"
+      val rows = Seq(
+        MinhashBand(1L, 0L, "x"), MinhashBand(2L, 0L, "x"),
+        MinhashBand(3L, 0L, "x"), MinhashBand(1L, 1L, "y"),
+        MinhashBand(2L, 1L, "y"), MinhashBand(4L, 0L, "z"))
+      // the batch shadow over the same rows: the band self-join
+      val expected = (for {
+        a <- rows; b <- rows
+        if a.band_id == b.band_id && a.bh == b.bh && a.doc_id < b.doc_id
+      } yield (a.doc_id, b.doc_id, a.band_id)).toSet
+      assert(expected.size == 4)   // fixture sanity: 3 + 1 collisions
+      // chop patterns: all-at-once, row-by-row, split-mid-bucket
+      val chops = Seq(Seq(rows), rows.map(Seq(_)),
+        Seq(rows.take(2), rows.drop(2)))
+      chops.zipWithIndex.foreach { case (batches, i) =>
+        val in = MemoryStream[MinhashBand]
+        val q = Streams.minhashDedupStream(in.toDS())
+          .writeStream.format("memory").queryName(s"mhdedup$i")
+          .outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        // replay EVERY row (at-least-once delivery): membership-gated
+        // state must emit nothing new
+        in.addData(rows: _*)
+        drain(q)
+        val got = spark.table(s"mhdedup$i").as[BandCandidate].collect()
+          .map(c => (c.da, c.db, c.band_id))
+        assert(got.length == got.toSet.size,
+          s"chop $i: duplicate emissions (replay leaked)")
+        assert(got.toSet == expected, s"chop $i: $got")
+      }
+      // bucket cap: with maxBucket = 2, doc 3 is refused by band 0
+      // bucket "x" — only the first two members pair
+      val in = MemoryStream[MinhashBand]
+      val q = Streams.minhashDedupStream(in.toDS(), maxBucket = 2)
+        .writeStream.format("memory").queryName("mhcap")
+        .outputMode("append").start()
+      in.addData(rows: _*)
+      drain(q)
+      val capped = spark.table("mhcap").as[BandCandidate].collect()
+        .map(c => (c.da, c.db, c.band_id)).toSet
+      assert(capped == Set((1L, 2L, 0L), (1L, 2L, 1L)), capped.toString)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("transformWithState CDC view: latest-wins, stale drops, tombstones") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
