@@ -231,6 +231,64 @@ object PipelineOps {
     (labels, iter)
   }
 
+  /** Incremental (delta) connected components — the graph-side twin
+    * of incremental dedup (q106/q171): merge an arriving edge shard
+    * into a STANDING component labeling without re-solving the full
+    * graph. `standing` is the persisted (node, label) table a
+    * continuously-ingesting dedup pipeline maintains (labels = min
+    * reachable node id, [[connectedComponents]]' contract);
+    * `deltaEdges` are the shard's new undirected edges (src, dst).
+    *
+    * The merge never touches untouched components: delta endpoints
+    * map through the standing labels (unseen nodes label themselves),
+    * the delta edges CONTRACT to a touched-component graph (distinct
+    * (labelA, labelB) pairs, la ≠ lb — |touched| rows, not |V|), that
+    * tiny graph is solved with pointer doubling (O(log merge-chain)
+    * rounds), and the resulting relabel map — touched labels only —
+    * broadcasts back over the standing table. Because standing labels
+    * ARE min node ids, the contracted solve's min-over-labels equals
+    * the min node id of each merged component, so the output is
+    * bit-identical to a from-scratch [[connectedComponents]] over
+    * base ∪ delta (PipelineSpec pins it; q263's oracle re-derives the
+    * from-scratch fixpoint in SQL, so the hash check IS the
+    * equality-vs-from-scratch proof).
+    *
+    * 100 TB shape: per-shard cost is one |delta| map-through-labels
+    * join + a touched-components solve + one broadcast relabel —
+    * |standing| is scanned once and never shuffled; nothing rescans
+    * the base EDGES at all (the labels table is the whole standing
+    * state, which is why it is what a production pipeline persists).
+    */
+  def mergeDeltaComponents(standing: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val deltaNodes = deltaEdges.select(col("src").as("node"))
+      .union(deltaEdges.select(col("dst").as("node"))).distinct()
+    // standing label per delta endpoint; a node the standing table
+    // has never seen labels itself (= its own component of one)
+    val mapped = Ckpt.cut(deltaNodes.join(standing, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("lbl")),
+      true) // read three times below (both edge ends + fresh-node set)
+    val compEdges = deltaEdges
+      .join(mapped.select(col("node").as("src"), col("lbl").as("ls")),
+        "src")
+      .join(mapped.select(col("node").as("dst"), col("lbl").as("ld")),
+        "dst")
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val relabel = broadcast(connectedComponentsDoubling(compEdges)
+      .select(col("node").as("old"), col("label").as("merged")))
+    val baseOut = standing
+      .join(relabel, col("label") === col("old"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("label")).as("label"))
+    val freshOut = mapped
+      .join(standing.select(col("node")), Seq("node"), "left_anti")
+      .join(relabel, col("lbl") === col("old"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("lbl")).as("label"))
+    baseOut.union(freshOut)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -641,6 +699,81 @@ object PipelineOps {
         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
         |SELECT node AS doc_id, min(reach) AS canonical_id
         |FROM walk GROUP BY node
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Incremental graph maintenance (see [[mergeDeltaComponents]]):
+    // the dup graph split by the q171 shard rule (an edge is BASE iff
+    // both endpoints hash below 80), standing components solved on the
+    // base, the shard's edges merged in via the touched-component
+    // contraction. Output = the merged labeling + was_merged (did the
+    // delta change this node's component — fresh nodes compare
+    // against their self-label). The ORACLE solves the merged graph
+    // FROM SCRATCH (and the base graph, for was_merged) with the q80
+    // closure recursion — so a hash match here IS the proof that the
+    // incremental merge equals a full re-solve, at every verified SF.
+    QueryDef("q263_delta_components",
+      (s, dir) => {
+        val bucket = (c: org.apache.spark.sql.Column) =>
+          conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100
+        val pairs = TextOps.minedPairs(s, dir)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da").as("src"), col("db").as("dst"))
+        val isBase = bucket(col("src")) < 80 && bucket(col("dst")) < 80
+        val standing = connectedComponents(pairs.filter(isBase))
+        val merged = mergeDeltaComponents(standing, pairs.filter(!isBase))
+        merged
+          .join(standing.select(col("node"),
+            col("label").as("standing_label")), Seq("node"), "left")
+          .select(col("node").as("doc_id"),
+            col("label").as("canonical_id"),
+            (col("label") =!=
+              coalesce(col("standing_label"), col("node")))
+              .as("was_merged"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${TextOps.shingleSql},
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= ${TextOps.JaccardMaxDf}),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT da, db FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |edges AS (
+        |  SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |base_pairs AS (
+        |  SELECT da, db FROM pairs
+        |  WHERE CAST(('0x' || substring(md5(CAST(da AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 80
+        |    AND CAST(('0x' || substring(md5(CAST(db AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 80),
+        |base_edges AS (
+        |  SELECT da AS src, db AS dst FROM base_pairs
+        |  UNION ALL SELECT db, da FROM base_pairs),
+        |walk(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |walk_base(node, reach) AS (
+        |  SELECT src, src FROM base_edges
+        |  UNION
+        |  SELECT w.node, e.dst
+        |  FROM walk_base w JOIN base_edges e ON w.reach = e.src),
+        |full_cc AS (
+        |  SELECT node, min(reach) AS label FROM walk GROUP BY node),
+        |standing AS (
+        |  SELECT node, min(reach) AS label FROM walk_base GROUP BY node)
+        |SELECT f.node AS doc_id, f.label AS canonical_id,
+        |  f.label <> coalesce(s.label, f.node) AS was_merged
+        |FROM full_cc f LEFT JOIN standing s ON s.node = f.node
         |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------

@@ -47,6 +47,36 @@ class PipelineSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("mergeDeltaComponents equals from-scratch CC on every merge shape") {
+    // the incremental-merge shapes that can go wrong: (a) a delta
+    // edge BRIDGING two standing components (relabel to the global
+    // min), (b) a MERGE CHAIN through several components (contraction
+    // must close transitively), (c) a fresh node attaching to a
+    // standing component, (d) a wholly-fresh component, (e) a delta
+    // edge INSIDE one standing component (no-op), (f) an untouched
+    // standing component (must survive unrelabeled)
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L),
+      (40L, 41L)).toDF("src", "dst")
+    val delta = Seq(
+      (2L, 10L),             // (a) bridge comp(1) and comp(10)
+      (11L, 20L),            // (b) chain the bridge further into comp(20)
+      (31L, 99L),            // (c) fresh node 99 joins comp(30)
+      (100L, 101L),          // (d) wholly-fresh component
+      (40L, 41L)             // (e) internal edge, no-op
+    ).toDF("src", "dst")     // (f) = comp(40), untouched by relabel
+    val standing = PipelineOps.connectedComponents(base)
+    val got = PipelineOps.mergeDeltaComponents(standing, delta)
+      .as[(Long, Long)].collect().toMap
+    val scratch = PipelineOps.connectedComponents(
+        base.union(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch)
+    // shape sanity: the chain merged 1/10/20 into label 1; fresh and
+    // untouched components kept their own minima
+    assert(got(21L) == 1L && got(99L) == 30L && got(101L) == 100L
+      && got(40L) == 40L)
+  }
+
   test("q93 rolling sketch-union estimates within 5% of exact rolling distinct") {
     val got = SparkEntry.queries("q93_rolling_distinct")(spark, sf())
       .select($"day_ms", $"n_users_7d_est")
