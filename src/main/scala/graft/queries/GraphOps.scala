@@ -170,6 +170,58 @@ object GraphOps {
       adj0.select(col("src"), slice(col("nb"), 1, dMax).as("nb")))
   }
 
+  /** Doulion-style edge-sampled triangle TOTAL estimate — the third
+    * rung of the exact (q123) / degree-capped (q261) / SAMPLED
+    * ladder: keep each edge with probability p, count triangles in
+    * the sampled subgraph, scale by 1/p³ (each surviving triangle
+    * needed all three edges kept). Unlike q261's deterministic
+    * under-count, the estimator is UNBIASED — E[est] = T exactly —
+    * with variance that vanishes as p³·T grows, so on any graph big
+    * enough to need sampling the estimate is tight
+    * (SampledTriangleSpec pins the error envelope on real data and
+    * exactness at p = 100%).
+    *
+    * The coin is md5(u:v) — deterministic, reproducible, and
+    * re-derivable in SQL, so the whole estimator hash-matches the
+    * oracle instead of settling for a rows-only check. Work shrinks
+    * by p on edges and ~p³ on the triangle join's output; the
+    * sampled subgraph is re-oriented by its OWN degrees (the
+    * estimator is self-contained — at 100 TB it runs where exact
+    * counting can't, so it cannot assume the full graph's adjacency
+    * exists). est = tri · 100³ DIV p³ in integers: both engines
+    * truncate identically, and for p ∈ {25, 50} the factor is exact. */
+  def trianglesSampled(s: SparkSession, dir: String, pPct: Int): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val keep = conv(substring(md5(concat_ws(":", col("u"), col("v"))),
+      1, 15), 16, 10).cast("long") % 100 < pPct
+    val sampled = e.filter(keep).localCheckpoint(false)
+    val deg = sampled.select(col("u").as("node"))
+      .unionAll(sampled.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = sampled
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val o = withDeg.select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .localCheckpoint(false)
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(o.as("e3"), col("e3.src") === col("e1.src")
+        && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("tri_sampled"))
+    sampled.agg(count(lit(1)).as("n_edges_sampled"))
+      .crossJoin(tri)  // 1-row × 1-row
+      .select(lit(pPct.toLong).as("p_pct"), col("n_edges_sampled"),
+        col("tri_sampled"),
+        expr(s"tri_sampled * 1000000 DIV ${pPct.toLong * pPct * pPct}")
+          .as("est_triangles"))
+  }
+
   private def triangleRollup(s: SparkSession, dir: String,
       adj: DataFrame): DataFrame = {
     graft.functions.SortedIntersect.register(s)
@@ -1169,6 +1221,42 @@ object GraphOps {
         |  CAST(tn.triangles * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
         |    AS clustering
         |FROM tn JOIN deg ON tn.node = deg.node
-        |ORDER BY tn.triangles DESC, tn.node LIMIT 100""".stripMargin))
+        |ORDER BY tn.triangles DESC, tn.node LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Edge-sampled triangle estimate at p = 25% (see
+    // [[trianglesSampled]]) — completes the exact/capped/ESTIMATED
+    // ladder, and because the sampling coin is md5-derived the whole
+    // estimator hash-matches (both engines sample the same subgraph,
+    // orient it by the same sampled degrees, and scale by the same
+    // integer factor: at p = 25, est = 64·tri exactly).
+    QueryDef("q264_triangles_sampled",
+      (s, dir) => trianglesSampled(s, dir, pPct = 25),
+      Some(s"""WITH $edgeSql,
+        |se AS (
+        |  SELECT u, v FROM e
+        |  WHERE CAST(('0x' || substring(md5(u::VARCHAR || ':' ||
+        |    v::VARCHAR), 1, 15)) AS BIGINT) % 100 < 25),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM se UNION ALL SELECT v FROM se)
+        |  GROUP BY node),
+        |orient AS (
+        |  SELECT
+        |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND se.u < se.v)
+        |      THEN se.u ELSE se.v END AS src,
+        |    CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND se.u < se.v)
+        |      THEN se.v ELSE se.u END AS dst
+        |  FROM se JOIN deg a ON a.node = se.u JOIN deg b ON b.node = se.v),
+        |tri AS (
+        |  SELECT count(*) AS tri_sampled
+        |  FROM orient e1
+        |  JOIN orient e2 ON e2.src = e1.dst
+        |  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT CAST(25 AS BIGINT) AS p_pct,
+        |  (SELECT count(*) FROM se) AS n_edges_sampled,
+        |  tri_sampled,
+        |  tri_sampled * 1000000 // 15625 AS est_triangles
+        |FROM tri""".stripMargin))
   )
 }

@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
       // greedy MMR: the corpus crosses a BROADCAST ≤5-row side twice
       // (the single query vector for relevance, the picked set per
       // step) — the q40 intended-broadcast shape, k-bounded
-      "q247_mmr_coreset")
+      "q247_mmr_coreset",
+      // 1-row sampled-edge count × 1-row triangle total — the q135
+      // two-scalar-summaries shape
+      "q264_triangles_sampled")
 
   test("no CartesianProduct; BNLJ only where a broadcast cross is intended") {
     SparkEntry.queries.foreach { case (name, fn) =>
