@@ -42,9 +42,25 @@ object PipelineOps {
         // checkpoint records UnknownPartitioning and every PageRank
         // round silently re-exchanges the |E|-row list (round-11 plan
         // probe) — the whole point of this layout is that rounds
-        // exchange only the |V|-row rank vector
+        // exchange only the |V|-row rank vector.
+        //
+        // Partition count ∝ DATA, decided here: pinning the layout
+        // forfeits AQE's coalescing, so a fixed `shuffle.partitions`
+        // would run every one of PageRank's ~57 rounds at full task
+        // width even when the graph is tiny (measured +27% on q260 at
+        // sf0.1). lineitem's parquet row count is a free (metadata)
+        // upper-bound proxy for |E|: one partition per ~500k fact
+        // rows, clamped to [4, shuffle.partitions] — sf0.1 rounds run
+        // 4-task stages (measured 17.1 s vs 23.7 fixed-width), sf1
+        // lands at ~31 (13 measured 1.5x slower than 32 — the probe
+        // that set this divisor), sf10 keeps full width.
+        val nPart = {
+          val liRows = t(s, dir, "lineitem").count()
+          val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
+          math.max(4, math.min(conf, (liRows / 200000L + 1).toInt))
+        }
         val ej = Ckpt.cutPartitioned(
-          edges.join(deg, "src").repartition(col("src")))
+          edges.join(deg, "src").repartition(nPart, col("src")))
         (ej, ej.select(col("src")).distinct().count())
       })
     }
