@@ -38,8 +38,12 @@ object Ckpt {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
         // idempotent: first loop round sets it, later rounds (and
-        // other loops in the session) reuse it
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        // other loops in the session) reuse it. NOTE Spark stores a
+        // scheme-qualified, UUID-suffixed path under the requested
+        // dir, so equality against the raw knob would never match —
+        // test containment of the configured prefix instead.
+        if (!sc.getCheckpointDir.exists(_.contains(d)))
+          sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
@@ -75,12 +79,23 @@ object Ckpt {
     * run). Lazy is the right choice for one-shot shadow paths where
     * the materialization can ride the first consuming job; loops use
     * eager so the convergence count rides the same materialization. */
-  def cutPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val was = conf.get(key)
-    conf.set(key, "false")
-    try cut(df, eager)
-    finally conf.set(key, was)
-  }
+  def cutPartitioned(df: DataFrame, eager: Boolean = true): DataFrame =
+    // the flip mutates the SESSION conf: serialized under a lock so
+    // two concurrent cuts can't corrupt each other's restore value,
+    // and held only across plan construction + (for eager) the one
+    // materialization job. Anything ELSE planning on the same session
+    // inside that window would also plan AQE-less — acceptable for
+    // this engine's drivers (Bench/Verify/specs run queries
+    // sequentially); a concurrent-streaming deployment should front
+    // its loops with a dedicated session.
+    lock.synchronized {
+      val conf = df.sparkSession.conf
+      val key = "spark.sql.adaptive.enabled"
+      val was = conf.get(key)
+      conf.set(key, "false")
+      try cut(df, eager)
+      finally conf.set(key, was)
+    }
+
+  private val lock = new Object
 }

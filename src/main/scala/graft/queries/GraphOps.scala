@@ -208,12 +208,27 @@ object GraphOps {
           .otherwise(struct(col("v").as("src"), col("u").as("dst")))
           .as("e"))
       .select(col("e.src"), col("e.dst"))
+    // same adjacency-intersect shape as exact q123, NOT the wedge
+    // 3-way edge join: the wedge form materializes Σ C(outdeg, 2)
+    // rows through a shuffle and measured 691 s at sf10 — 2.6×
+    // SLOWER than exact counting, inverting the estimator's whole
+    // point. Here each oriented edge's triangle closure is one
+    // merge-scan |nb(src) ∩ nb(dst)| (codegen'd sorted_overlap), so
+    // the only movement is the adjacency explode + one equi-join —
+    // p on edges, and the per-edge intersect cost bounded by the
+    // sampled graph's oriented out-degrees.
+    graft.functions.SortedOverlapCount.register(s)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
       .localCheckpoint(false)
-    val tri = o.as("e1")
-      .join(o.as("e2"), col("e2.src") === col("e1.dst"))
-      .join(o.as("e3"), col("e3.src") === col("e1.src")
-        && col("e3.dst") === col("e2.dst"))
-      .agg(count(lit(1)).as("tri_sampled"))
+    val tri = adj
+      .select(col("src").as("a"), col("nb").as("na"),
+        explode(col("nb")).as("b"))
+      .join(adj.hint("shuffle_hash")
+          .select(col("src").as("b"), col("nb").as("nbv")),
+        Seq("b"))
+      .select(expr("sorted_overlap(na, nbv)").cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("tri_sampled"))
     sampled.agg(count(lit(1)).as("n_edges_sampled"))
       .crossJoin(tri)  // 1-row × 1-row
       .select(lit(pPct.toLong).as("p_pct"), col("n_edges_sampled"),
@@ -323,7 +338,10 @@ object GraphOps {
     * bounds the peel DEPTH, not wall-clock guesswork. */
   private[graft] def kcoreFixpointEdges(sym0: DataFrame, k: Int,
       maxIters: Int = 50): (DataFrame, Int) = {
-    var sym = Ckpt.cutPartitioned(sym0.repartition(col("u")))
+    // plain cut, NOT cutPartitioned: the peel rounds consume sym
+    // through a partial-aggregable groupBy(u) + broadcast semi joins
+    // (see symByU — pinning this shape measured 1.7x slower)
+    var sym = Ckpt.cut(sym0.repartition(col("u")), true)
     var nEdges = sym.count()
     var rounds = 0
     var converged = nEdges == 0L
@@ -537,20 +555,23 @@ object GraphOps {
     // union duplicated 240M rows in the block store per CALL at the
     // sf10 probe — per-round recomputation of a map-side union over
     // checkpoint blocks is strictly cheaper than a second copy.
-    // scale-regime gate, decided ONCE per fixpoint (node set — and
-    // so label count — is constant across LPA rounds): small label
-    // vectors broadcast; past the ceiling, pre-partition the edge
-    // list by dst ONCE and let every round exchange only the |V|-row
-    // label vector (shuffle-hash build side). The fallback
-    // materializes its co-partitioned edge copy even when
-    // `materialize = false`, because the layout IS the point — one
-    // |E| shuffle up front buys exchange-free edge sides for every
-    // round after.
-    val bcast = {
-      val n = seeds.count()
-      n <= lpaBroadcastMaxRows
-    }
-    val sym =
+    // scale-regime gate: small label vectors broadcast; past the
+    // ceiling, pre-partition the edge list by dst ONCE and let every
+    // round exchange only the label vector (shuffle-hash build
+    // side). The gate is seeded from seeds.count() but RE-CHECKED on
+    // every round's label count (a cheap count over the
+    // just-checkpointed |labels| rows): with PARTIAL seeding the
+    // label set grows as labels propagate — one row per edge-source
+    // with a labeled neighbor — so a one-shot seed-count decision
+    // could lock in a broadcast far above the ceiling (the driver
+    // OOM the fallback exists to prevent). On growth past the
+    // ceiling the loop demotes to the co-partitioned regime by
+    // materializing the dst layout once, mid-flight. The fallback
+    // materializes its edge copy even when `materialize = false`,
+    // because the layout IS the point — one |E| shuffle buys
+    // exchange-free edge sides for every later round.
+    var bcast = seeds.count() <= lpaBroadcastMaxRows
+    var sym =
       if (!bcast) Ckpt.cutPartitioned(sym0.repartition(col("dst")))
       else if (materialize) Ckpt.cut(sym0, true)
       else sym0
@@ -563,6 +584,10 @@ object GraphOps {
         .join(labels.withColumnRenamed("code", "old"), "node")
         .filter(col("code") =!= col("old")).count()
       labels = next; rounds += 1
+      if (bcast && labels.count() > lpaBroadcastMaxRows) {
+        bcast = false
+        sym = Ckpt.cutPartitioned(sym.repartition(col("dst")))
+      }
     }
     require(changed == 0,
       s"LPA did not converge in $maxIters rounds ($changed labels " +

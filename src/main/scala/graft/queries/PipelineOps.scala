@@ -49,7 +49,7 @@ object PipelineOps {
         // would run every one of PageRank's ~57 rounds at full task
         // width even when the graph is tiny (measured +27% on q260 at
         // sf0.1). lineitem's parquet row count is a free (metadata)
-        // upper-bound proxy for |E|: one partition per ~500k fact
+        // upper-bound proxy for |E|: one partition per ~200k fact
         // rows, clamped to [4, shuffle.partitions] — sf0.1 rounds run
         // 4-task stages (measured 17.1 s vs 23.7 fixed-width), sf1
         // lands at ~31 (13 measured 1.5x slower than 32 — the probe

@@ -91,9 +91,13 @@ object SideTables {
           s"${Thread.currentThread.getId}")
       Files.createDirectories(tmp.getParent)
       build.write.mode("overwrite").parquet(tmp.toString)
+      // recorded when the build JOB ran, not when the publish rename
+      // wins: a builder that loses the race still paid the one-off
+      // construction inside ITS timed queries, and side_built exists
+      // to flag exactly that contamination
+      built.synchronized(built += s"$name@$key")
       try {
         Files.move(tmp, tableDir, StandardCopyOption.ATOMIC_MOVE)
-        built.synchronized(built += s"$name@$key")
       } catch {
         // a concurrent builder published first — use theirs
         case _: java.nio.file.FileAlreadyExistsException |

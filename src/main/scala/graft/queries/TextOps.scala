@@ -118,23 +118,21 @@ object TextOps {
   // Callers that emit pairs directly (q35) sort at the very end;
   // callers that consume pairs (q63/q64 drop sets) must not pay it.
 
-  /** q36's MinHash-LSH candidate pairs (band-bucket collisions, no
-    * verification): 16 universal-hash minhashes from one md5 per
-    * shingle instance, 4 bands of 4, band-bucket self-join. Shared
-    * by q36 (which verifies at 0.8) and q144's recall audit. */
-  /** LSH candidate pairs (da < db sharing ≥1 band bucket) — memoized
-    * per (session, dataset) like every other shared text-family
-    * intermediate: the band self-join + distinct is the single most
-    * expensive stage of the dedup pipeline (46 s at sf10 — measured
-    * by StageProbe), and q36, q144 and q213 each re-derived it per
-    * call before the cut. At 100 TB this is the materialized
-    * candidate-pair table a production dedup run writes between its
-    * index and verify phases. */
-  private val candCache =
+  /** Band-bucket collision pairs with their shared-band counts
+    * (da < db, n_bands) — THE memoized product of the band self-join,
+    * the single most expensive stage of the dedup pipeline (46 s at
+    * sf10 per StageProbe). One (da, db) hash-agg replaces the old
+    * distinct (same shuffle shape, and the count is free), so ONE
+    * self-join now serves every consumer: q36/q144/q213 read the
+    * pair set via [[minhashCandidates]], q262 reads the counts
+    * directly. At 100 TB this is the materialized candidate-pair
+    * table a production dedup run writes between its index and
+    * verify phases. */
+  private val collCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    candCache.synchronized {
-      candCache.getOrElseUpdate((s, dir), {
+  private[queries] def bandCollisions(s: SparkSession, dir: String): DataFrame =
+    collCache.synchronized {
+      collCache.getOrElseUpdate((s, dir), {
         val bands = minhashBands(s, dir)
         bands.as("a")
           .join(bands.as("b"),
@@ -142,10 +140,17 @@ object TextOps {
               col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("n_bands"))
           .localCheckpoint(false)
       })
     }
+
+  /** q36's MinHash-LSH candidate pairs (da < db sharing ≥1 band
+    * bucket, no verification) — a free projection over the memoized
+    * [[bandCollisions]] table (grouped, so already distinct). */
+  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    bandCollisions(s, dir).select(col("da"), col("db"))
 
   /** The LSH band table (doc_id, band_id, bh) itself — the standing
     * dedup index a production pipeline persists. Memoized per
@@ -815,52 +820,6 @@ object TextOps {
     * buckets, verify exact Jaccard on candidates. Output: verified
     * ≥ 0.8 pairs touching the shard (either as duplicate-of-corpus
     * or within-shard). */
-  /** Batch shadow of the STREAMING MinHash band index
-    * ([[graft.streaming.Streams.minhashDedupStream]]): the distinct
-    * band-collision candidate pairs with their shared-band counts —
-    * exactly what the live band-bucket state machine converges to
-    * after processing the same documents (its emitted
-    * (da, db, band_id) set, aggregated; StreamsSpec pins the parity
-    * across micro-batch chops and replays). One self-equi-join of
-    * the standing band side table on (band_id, bh) — each (doc,
-    * band) has exactly one bucket hash, so the join output is
-    * already pair-band-unique and the count IS the shared-band
-    * count. Scale: the index is the persisted q36 artifact; the join
-    * is bucket-local (collision fan-out bounded by bucket occupancy,
-    * the df-cap contract). */
-  private lazy val bandCollisionsQueryDef = QueryDef(
-    "q262_band_collisions",
-    (s, dir) => {
-      val bands = minhashBands(s, dir)
-      bands.as("a").join(bands.as("b"),
-          col("a.band_id") === col("b.band_id")
-            && col("a.bh") === col("b.bh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .groupBy(col("da"), col("db"))
-        .agg(count(lit(1)).as("n_bands"))
-        .orderBy(col("da"), col("db"))
-    },
-    Some(s"""WITH $shingleSql,
-      |base AS (
-      |  SELECT doc_id,
-      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
-      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-      |hashed AS (
-      |  SELECT doc_id, seed,
-      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
-      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
-      |  GROUP BY doc_id, seed),
-      |bands AS (
-      |  SELECT doc_id, seed // 4 AS band_id,
-      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
-      |  FROM hashed GROUP BY doc_id, seed // 4)
-      |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
-      |FROM bands a JOIN bands b
-      |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2
-      |ORDER BY da, db""".stripMargin))
-
   private lazy val incrementalMinhashQueryDef = QueryDef(
     "q171_incremental_minhash",
     (s, dir) => {
@@ -944,6 +903,43 @@ object TextOps {
       |  jaccard
       |FROM ver WHERE jaccard >= 0.8
       |ORDER BY da, db""".stripMargin))
+
+  /** Batch shadow of the STREAMING MinHash band index
+    * ([[graft.streaming.Streams.minhashDedupStream]]): the distinct
+    * band-collision candidate pairs with their shared-band counts —
+    * exactly what the live band-bucket state machine converges to
+    * after processing the same documents (its emitted
+    * (da, db, band_id) set, aggregated; StreamsSpec pins the parity
+    * across micro-batch chops and replays). One self-equi-join of
+    * the standing band side table on (band_id, bh) — each (doc,
+    * band) has exactly one bucket hash, so the join output is
+    * already pair-band-unique and the count IS the shared-band
+    * count. Scale: the index is the persisted q36 artifact, the join
+    * runs ONCE per session ([[bandCollisions]] — shared with the
+    * whole q36 family), and collision fan-out is bucket-local. */
+  private lazy val bandCollisionsQueryDef = QueryDef(
+    "q262_band_collisions",
+    (s, dir) => bandCollisions(s, dir).orderBy(col("da"), col("db")),
+    Some(s"""WITH $shingleSql,
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM hashed GROUP BY doc_id, seed // 4)
+      |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+      |FROM bands a JOIN bands b
+      |  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY da, db""".stripMargin))
+
 
   /** Cross-source duplicate-leakage matrix — WHERE the near-dups come
     * from: dedup-threshold pairs (≥ 0.8, the shared mined table)
