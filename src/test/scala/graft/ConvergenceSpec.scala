@@ -161,6 +161,28 @@ class ConvergenceSpec extends SparkSpec {
     } finally System.clearProperty("graft.lpa.bcast.max.rows")
   }
 
+  test("LPA demotes broadcast -> co-partitioned mid-flight when labels outgrow the gate") {
+    // partial seeding grows the label set round over round (one row
+    // per edge-source with a labeled neighbor), so the gate re-checks
+    // each round's label count: ceiling 1 admits the single seed as
+    // broadcast, round 1 produces 2 labels, and the loop must demote
+    // to the fallback regime rather than keep force-broadcasting past
+    // the ceiling — same labels as running fallback from the start
+    val sym = symOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = Seq((3L, 7L)).toDF("node", "code")
+    val toSet = (df: DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    System.setProperty("graft.lpa.bcast.max.rows", "1")
+    val demoted = try GraphOps.lpaFixpointEdges(sym, seeds)
+      finally System.clearProperty("graft.lpa.bcast.max.rows")
+    System.setProperty("graft.lpa.bcast.max.rows", "0")
+    val fallback = try GraphOps.lpaFixpointEdges(sym, seeds)
+      finally System.clearProperty("graft.lpa.bcast.max.rows")
+    assert(toSet(demoted._1) == toSet(fallback._1))
+    assert(demoted._2 == fallback._2)
+  }
+
   test("LPA fixpoint fails loudly on a 2-cycling star") {
     // synchronous LPA on a star flips center<->leaves forever; the
     // convergence mode must raise, not return mid-oscillation labels
