@@ -133,16 +133,22 @@ object TextOps {
   private[queries] def bandCollisions(s: SparkSession, dir: String): DataFrame =
     collCache.synchronized {
       collCache.getOrElseUpdate((s, dir), {
-        val bands = minhashBands(s, dir)
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band_id") === col("b.band_id") &&
-              col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .groupBy(col("da"), col("db"))
-          .agg(count(lit(1)).as("n_bands"))
-          .localCheckpoint(false)
+        // persisted via SideTables (not just session-memoized): this
+        // IS the candidate-pair table a production dedup run writes
+        // between its index and verify phases, so after one build
+        // every session reads the parquet instead of re-running the
+        // self-join (the same cross-run cut minhash_bands got in r10)
+        SideTables.getOrBuild(s, dir, "band_collisions") {
+          val bands = minhashBands(s, dir)
+          bands.as("a")
+            .join(bands.as("b"),
+              col("a.band_id") === col("b.band_id") &&
+                col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+            .groupBy(col("da"), col("db"))
+            .agg(count(lit(1)).as("n_bands"))
+        }.localCheckpoint(false)
       })
     }
 
