@@ -175,21 +175,29 @@ object TextOps {
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   def minhashSlots(s: SparkSession, dir: String): DataFrame =
     slotCache.synchronized {
-      slotCache.getOrElseUpdate((s, dir), {
-        // fused native build (graft.functions.MinHashSigs): the whole
-        // tokenize → shingle → md5 → 16-way-min pipeline in one
-        // map-only codegen'd pass — ZERO shuffles, vs the relational
-        // form's 16·|shingle rows| explode + groupBy (kept verbatim in
-        // [[minhashSlotsAgg]]; FunctionsSpec pins row-set equality on
-        // real corpora, so the oracles' SQL derivation stays valid).
-        graft.functions.MinHashSigs.register(s)
-        t(s, dir, "documents")
-          .select(col("doc_id"), expr("minhash16(text)").as("sig"))
-          .select(col("doc_id"),
-            posexplode(col("sig")).as(Seq("seed", "mh")))
-          .localCheckpoint(false)
-      })
+      slotCache.getOrElseUpdate((s, dir),
+        minhashSlotsPlan(s, dir).localCheckpoint(false))
     }
+
+  /** the raw (un-memoized, un-checkpointed) slot plan — what
+    * [[minhashSlots]] materializes, and what side-table BUILDERS must
+    * consume instead of the memoized form: a localCheckpoint leaf is
+    * a LogicalRDD, which both hides the derivation from
+    * [[SideTables.logicKey]] and embeds a per-session RDD identity.
+    * Fused native build (graft.functions.MinHashSigs): the whole
+    * tokenize → shingle → md5 → 16-way-min pipeline in one map-only
+    * codegen'd pass — ZERO shuffles, vs the relational form's
+    * 16·|shingle rows| explode + groupBy (kept verbatim in
+    * [[minhashSlotsAgg]]; FunctionsSpec pins row-set equality on
+    * real corpora, so the oracles' SQL derivation stays valid). */
+  private[graft] def minhashSlotsPlan(s: SparkSession, dir: String)
+      : DataFrame = {
+    graft.functions.MinHashSigs.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("minhash16(text)").as("sig"))
+      .select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("seed", "mh")))
+  }
 
   /** per-doc SORTED distinct-shingle string arrays (doc_id, arr, sz)
     * — the verify-side companion of [[shingleTable]]: map-only
@@ -240,7 +248,10 @@ object TextOps {
         // dedup index a production run maintains between batches —
         // building it per JVM was the other half of q36's first-touch
         SideTables.getOrBuild(s, dir, "minhash_bands") {
-          minhashSlots(s, dir)
+          // the RAW slot plan, not the memoized checkpoint: the
+          // builder plan is this artifact's cache key (SideTables
+          // scaladoc), so it must expose the full derivation
+          minhashSlotsPlan(s, dir)
             .withColumn("band_id", expr("seed DIV 4"))
             .groupBy(col("doc_id"), col("band_id"))
             .agg(md5(array_join(transform(

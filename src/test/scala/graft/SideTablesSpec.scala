@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, SideTables}
+
+/** The side-table cache-key and publish contracts (SideTables
+  * scaladoc): the key is derived MECHANICALLY from the builder, so a
+  * logic change can never silently serve a stale artifact, and the
+  * publish path runs through the Hadoop FileSystem API so a
+  * scheme-qualified (non-local-default) root works and rename
+  * failures surface as the original error, never a misleading
+  * missing-path read. */
+class SideTablesSpec extends SparkSpec {
+
+  private def docs = Q.t(spark, sf(), "documents")
+
+  test("logicKey is stable across derivations and sessions") {
+    val k1 = SideTables.logicKey(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    val k2 = SideTables.logicKey(
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    assert(k1 === k2)
+    // a fresh session re-analyzes from scratch: new exprIds, new
+    // relation instances — the key must not move
+    val s2 = spark.newSession()
+    val k3 = SideTables.logicKey(
+      Q.t(s2, sf(), "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n")))
+    assert(k1 === k3)
+  }
+
+  test("logicKey detects a builder-logic change without any constant bump") {
+    // the r11 advice scenario: widening a band (a plan literal) must
+    // yield a fresh key mechanically
+    def bands(width: Int) = graft.queries.TextOps.minhashSlotsPlan(spark, sf())
+      .withColumn("band_id", expr(s"seed DIV $width"))
+      .groupBy(col("doc_id"), col("band_id"))
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",")).as("bh"))
+    assert(SideTables.logicKey(bands(4)) !== SideTables.logicKey(bands(5)))
+    // ...and so must a changed aggregate or output schema
+    val a = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val b = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("n"))
+    assert(SideTables.logicKey(a) !== SideTables.logicKey(b))
+  }
+
+  test("logicKey folds scan paths, so upstream side-table keys propagate") {
+    // same plan shape over two different parquet roots must key apart
+    // (a downstream builder reading an upstream ARTIFACT inherits its
+    // key through the artifact's path)
+    val a = Q.t(spark, sf(), "documents").select(col("doc_id"))
+    val b = Q.t(spark, sf("sf0.01"), "documents").select(col("doc_id"))
+    assert(SideTables.logicKey(a) !== SideTables.logicKey(b))
+  }
+
+  test("keyFor separates datasets and sources") {
+    val build = docs.select(col("doc_id"))
+    val k1 = SideTables.keyFor(spark, sf(), "documents", build)
+    val k2 = SideTables.keyFor(spark, sf("sf0.01"), "documents", build)
+    assert(k1 !== k2)
+  }
+
+  test("getOrBuild publishes through an explicit file:-scheme Hadoop root") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-spec")
+    sys.props("graft.side.dir") = "file://" + tmpRoot.toString
+    try {
+      val before = SideTables.builtThisSession.size
+      val got = SideTables.getOrBuild(spark, sf(), "spec_counts") {
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      }
+      val expected = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+      assert(got.collect().map(_.toSeq).toSet === expected)
+      assert(SideTables.builtThisSession.size === before + 1)
+      // second read is a cache hit: no new build recorded
+      val again = SideTables.getOrBuild(spark, sf(), "spec_counts") {
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      }
+      assert(again.collect().map(_.toSeq).toSet === expected)
+      assert(SideTables.builtThisSession.size === before + 1)
+      // a changed builder under the same name is a MISS (fresh key)
+      val changed = SideTables.getOrBuild(spark, sf(), "spec_counts") {
+        docs.groupBy(col("source")).agg(sum(col("n_chars")).as("n"))
+      }
+      assert(changed.columns.toSeq === Seq("source", "n"))
+      assert(SideTables.builtThisSession.size === before + 2)
+    } finally {
+      sys.props.remove("graft.side.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    }
+  }
+
+  test("publish lost-race reads the winner; true failure surfaces") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-pub")
+    val fs = new Path(tmpRoot.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // winner already published: a complete dir with _SUCCESS
+    val tableDir = new Path(tmpRoot.toString, "k/table")
+    fs.mkdirs(tableDir)
+    fs.create(new Path(tableDir, "_SUCCESS")).close()
+    fs.create(new Path(tableDir, "part-winner")).close()
+    val tmp = new Path(tmpRoot.toString, "k/.table.tmp-spec")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "part-loser")).close()
+    // must not throw, must leave the winner's file in place, and must
+    // leave no loser debris inside the published dir
+    SideTables.publishForTest(fs, tmp, tableDir,
+      new Path(tableDir, "_SUCCESS"))
+    assert(fs.exists(new Path(tableDir, "part-winner")))
+    assert(!fs.exists(new Path(tableDir, ".table.tmp-spec")))
+
+    // rename that cannot succeed with NO winner present: destination
+    // parent exists as a FILE, so the rename fails and no _SUCCESS
+    // can appear — the publish must raise, not swallow
+    val badParent = new Path(tmpRoot.toString, "blocked")
+    fs.create(badParent).close()
+    val tableDir2 = new Path(badParent, "table")
+    val tmp2 = new Path(tmpRoot.toString, ".t2.tmp-spec")
+    fs.mkdirs(tmp2)
+    intercept[java.io.IOException] {
+      SideTables.publishForTest(fs, tmp2, tableDir2,
+        new Path(tableDir2, "_SUCCESS"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+  }
+}
