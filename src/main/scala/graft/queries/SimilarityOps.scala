@@ -1294,7 +1294,57 @@ object SimilarityOps {
            |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, maxsim
            |FROM ($out)
            |ORDER BY rank""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Incremental IVF-index maintenance — the vector-side twin of
+    // q265: the standing coarse index (per-cell vector SUMS, q67's
+    // persisted ivf_sums artifact) absorbs an arriving vector shard
+    // by MERGEABLE-AGGREGATE addition instead of a corpus re-scan.
+    // Long sums are exact and associative, so base ⊕ shard is
+    // bit-identical to rebuilding from all vectors — the oracle
+    // re-derives the full-corpus per-cell sums from scratch, making
+    // the hash match the merged==rebuilt proof. The merged artifact
+    // is published via SideTables (ivf_sums_merged); its builder's
+    // leaves are the BASE artifact's parquet + the shard slice of
+    // embeddings, so per-shard cost is one |shard| scan + a
+    // |cells|-row outer join — the base vectors are never re-read.
+    QueryDef("q267_ivf_delta_refresh",
+      (s, dir) => {
+        val merged = SideTables.getOrBuild(s, dir, "ivf_sums_merged",
+            source = "embeddings") {
+          val bucket = conv(
+            substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100
+          def cellSums(keep: Column) = t(s, dir, "embeddings")
+            .filter(keep)
+            .select(col("label").cast("long").as("label"),
+              quant(col("embedding")).as("v"))
+            .groupBy(col("label")).agg(vecSum(col("v")).as("sv"))
+          val base = SideTables.getOrBuild(s, dir, "ivf_sums_base",
+            source = "embeddings")(cellSums(bucket < 80))
+          val shard = cellSums(bucket >= 80)
+          base.as("b").join(shard.as("sh"), Seq("label"), "full_outer")
+            .select(col("label"),
+              when(col("b.sv").isNull, col("sh.sv"))
+                .when(col("sh.sv").isNull, col("b.sv"))
+                .otherwise(zip_with(col("b.sv"), col("sh.sv"),
+                  (x, y) => x + y)).as("sv"))
+        }
+        merged.select(col("label"),
+            posexplode(col("sv")).as(Seq("dim", "sx")))
+          .select(col("label"), col("dim").cast("long").as("dim"),
+            col("sx"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(i AS BIGINT) AS dim,
+        |  CAST(sum(v[i + 1]) AS BIGINT) AS sx
+        |FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i)
+        |GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin))
   )
 
   /** DuckDB oracle for q111: the 5 Lloyd rounds unrolled into
