@@ -475,17 +475,34 @@ object GraphOps {
             "node")
           .join(broadcast(brandDict(s, dir)), "lbl")
           .select(col("node"), col("code"))
-        // same size gate as the fixpoint form (see lpaRound): decided
-        // once, and the fallback regime pre-partitions the edge view
-        // so both unrolled rounds reuse one co-partitioned layout
-        val bcast = seeds.count() <= lpaBroadcastMaxRows
-        val symL =
-          if (bcast) sym
-          else Ckpt.cutPartitioned(sym.repartition(col("dst")))
-        lpaRound(symL, lpaRound(symL, seeds, bcast), bcast)
-          .localCheckpoint(false)
+        lpaTwoRounds(sym, seeds).localCheckpoint(false)
       })
     }
+
+  /** The 2-round unrolled LPA with the scale-regime gate RE-CHECKED
+    * between rounds: partial seeding grows the label set (round 1
+    * emits a row for every node with a labeled neighbor), so the
+    * seed count alone can admit a round-2 broadcast far above the
+    * ceiling — the driver-OOM case the gate exists to prevent.
+    * Round 1's output is eagerly cut, so the re-check count rides
+    * blocks round 2 needs anyway — one cheap job, exactly the
+    * fixpoint loop's per-round discipline. The fallback regime
+    * pre-partitions the edge view once and round 2 reuses the
+    * round-1 layout when both rounds fall back. */
+  private[graft] def lpaTwoRounds(sym: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val bcast1 = seeds.count() <= lpaBroadcastMaxRows
+    val symL1 =
+      if (bcast1) sym
+      else Ckpt.cutPartitioned(sym.repartition(col("dst")))
+    val r1 = Ckpt.cut(lpaRound(symL1, seeds, bcast1), true)
+    val bcast2 = r1.count() <= lpaBroadcastMaxRows
+    val symL2 =
+      if (bcast2) sym
+      else if (!bcast1) symL1 // reuse the round-1 layout
+      else Ckpt.cutPartitioned(sym.repartition(col("dst")))
+    lpaRound(symL2, r1, bcast2)
+  }
 
   /** labels-row-count ceiling under which [[lpaRound]] broadcasts the
     * label vector. 10M rows ≈ 160 MB serialized — generous for a

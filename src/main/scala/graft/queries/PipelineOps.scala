@@ -291,8 +291,22 @@ object PipelineOps {
         "dst")
       .select(col("ls").as("src"), col("ld").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    val relabel = broadcast(connectedComponentsDoubling(compEdges)
-      .select(col("node").as("old"), col("label").as("merged")))
+    // scale-regime gate (the lpaRound precedent): the relabel map is
+    // |touched components| rows — tiny for a daily shard, but a delta
+    // that bridges most of the standing graph (or a backfill shard)
+    // can push it past broadcastable size, and an unconditional
+    // broadcast would OOM the driver at exactly the moment the merge
+    // matters most. The doubling solve's output is already
+    // checkpointed (its loop discipline), so the gating count is one
+    // cheap job over materialized blocks. Past the ceiling, the
+    // relabel joins fall back to shuffle-hash with the relabel map as
+    // build side — the |standing| table shuffles once on `label`,
+    // which is the data-proportional price of a graph-sized relabel.
+    val relabelT = connectedComponentsDoubling(compEdges)
+      .select(col("node").as("old"), col("label").as("merged"))
+    val relabel =
+      if (relabelT.count() <= relabelBroadcastMaxRows) broadcast(relabelT)
+      else relabelT.hint("shuffle_hash")
     val baseOut = standing
       .join(relabel, col("label") === col("old"), "left")
       .select(col("node"),
@@ -304,6 +318,16 @@ object PipelineOps {
         coalesce(col("merged"), col("lbl")).as("label"))
     baseOut.union(freshOut)
   }
+
+  /** relabel-map row ceiling under which [[mergeDeltaComponents]]
+    * broadcasts it — same default and knob pattern as
+    * [[GraphOps.lpaBroadcastMaxRows]] (env
+    * `GRAFT_RELABEL_BCAST_MAX_ROWS` / sysprop
+    * `graft.relabel.bcast.max.rows`; 0 forces the fallback). */
+  private[graft] def relabelBroadcastMaxRows: Long =
+    sys.env.get("GRAFT_RELABEL_BCAST_MAX_ROWS")
+      .orElse(sys.props.get("graft.relabel.bcast.max.rows"))
+      .map(_.toLong).getOrElse(10000000L)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -183,6 +183,29 @@ class ConvergenceSpec extends SparkSpec {
     assert(demoted._2 == fallback._2)
   }
 
+  test("2-round LPA unroll re-checks the gate before round 2") {
+    // the r11 advice: lpaLabels' unroll decided the regime once from
+    // the SEED count — with partial seeding (1 seed here) round 1
+    // grows the label set past a ceiling the seeds were under, and
+    // round 2 must demote instead of force-broadcasting. All three
+    // regimes (always-broadcast, demoted, always-fallback) must agree.
+    val sym = symOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = Seq((2L, 7L)).toDF("node", "code")
+    val toSet = (df: DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val always = toSet(GraphOps.lpaTwoRounds(sym, seeds))
+    // ceiling 1: seeds (1 row) broadcast, round-1 labels (>1 row)
+    // must demote round 2 to the co-partitioned exchange
+    System.setProperty("graft.lpa.bcast.max.rows", "1")
+    val demoted = try toSet(GraphOps.lpaTwoRounds(sym, seeds))
+      finally System.clearProperty("graft.lpa.bcast.max.rows")
+    System.setProperty("graft.lpa.bcast.max.rows", "0")
+    val fallback = try toSet(GraphOps.lpaTwoRounds(sym, seeds))
+      finally System.clearProperty("graft.lpa.bcast.max.rows")
+    assert(always == demoted && demoted == fallback)
+  }
+
   test("LPA fixpoint fails loudly on a 2-cycling star") {
     // synchronous LPA on a star flips center<->leaves forever; the
     // convergence mode must raise, not return mid-oscillation labels
