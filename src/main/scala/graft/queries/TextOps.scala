@@ -241,7 +241,7 @@ object TextOps {
 
   private val bandCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame =
     bandCache.synchronized {
       bandCache.getOrElseUpdate((s, dir),
         // disk side table (round 10): the band index IS the standing

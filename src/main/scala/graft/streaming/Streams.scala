@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** one multiplexed record of the ingest queue — the
   * `(stream_key, symbol, payload)` triple of `binance-di.py:109,125`,
@@ -86,6 +86,17 @@ case class MinhashBand(doc_id: Long, band_id: Long, bh: String)
   * n_bands (q262). */
 case class BandCandidate(da: Long, db: Long, band_id: Long)
 
+/** one lifecycle event of the live band index (see
+  * [[BandIndexProcessor]]): kind ∈ pair | admit | capped. For
+  * `pair`, (da, db) is the oriented candidate; for `admit`/`capped`,
+  * da is the doc and db = -1. */
+case class BandEvent(kind: String, da: Long, db: Long, band_id: Long,
+  bh: String)
+
+/** initial state for one band bucket — the standing parquet index's
+  * member list, grouped per (band_id, bh). */
+case class BucketSeed(band_id: Long, bh: String, members: Seq[Long])
+
 /** cell-keyed additive counter for the streaming portable CMS — see
   * [[Streams.portableCmsStream]]. */
 /** OR-accumulating mask state for the streaming exact distinct — see
@@ -128,11 +139,37 @@ class BitmapCellProcessor
   * at cap stops admitting members (and so stops emitting pairs) —
   * a near-constant band value carries no discriminative signal and
   * its pair fan-out would be occupancy², so the cap bounds both
-  * state and output. Batch parity holds for buckets under the cap.
+  * state and output. Capped admissions are ARRIVAL-ORDER dependent,
+  * so instead of asserting batch parity only below the cap, the
+  * processor EMITS the lifecycle as data ([[BandEvent]]):
+  *  - `pair` — a candidate collision (the q36 verify input);
+  *  - `admit` — the doc joined the bucket: the admit stream IS the
+  *    incremental append of the standing band index (drain path —
+  *    standing index ∪ admits reconstructs the index parquet, see
+  *    [[Streams.bandIndexFromEvents]]; no checkpoint scraping);
+  *  - `capped` — the doc was refused at cap: the marker makes
+  *    cap-affected buckets mechanically identifiable, so the
+  *    stream-vs-batch parity contract is CHECKABLE at scale
+  *    (uncapped buckets: admits == batch bucket exactly; capped
+  *    buckets: |admits| == cap and admits ∪ capped == batch bucket).
+  *    `capped` markers are a diagnostic channel: unlike pairs/admits
+  *    they are not membership-gated, so an at-least-once replay can
+  *    duplicate them — consumers dedupe by (doc, band, bh).
+  *
+  * LIFECYCLE: the processor can be SEEDED from the standing parquet
+  * band index (`handleInitialState` — the [[StatefulProcessorWithInitialState]]
+  * path, wired by [[Streams.bandIndexStreamFrom]]): seeded members
+  * emit nothing (their pairs were settled when the standing artifact
+  * was built — q171/q265 semantics), and subsequent stream input
+  * probes them exactly like the batch shard merge, so the bootstrap
+  * stream's pair set equals q265's delta legs (IncrementalIndexSpec
+  * / StreamsSpec pin it).
+  *
   * 100 TB shape: buckets hash-partition across executors like any
   * keyed state; per-bucket state is occupancy longs. */
 class BandIndexProcessor(maxBucket: Int)
-    extends StatefulProcessor[(Long, String), MinhashBand, BandCandidate] {
+    extends StatefulProcessorWithInitialState[(Long, String),
+      MinhashBand, BandEvent, BucketSeed] {
 
   @transient private var members: ListState[Long] = _
 
@@ -140,22 +177,34 @@ class BandIndexProcessor(maxBucket: Int)
     members = getHandle.getListState[Long]("members",
       Encoders.scalaLong, TTLConfig.NONE)
 
+  override def handleInitialState(key: (Long, String),
+      initialState: BucketSeed, timerValues: TimerValues): Unit =
+    // seed WITHOUT emitting; deterministic cap rule = smallest ids
+    // (the same order a doc-ordered arrival would have admitted)
+    initialState.members.sorted.take(maxBucket)
+      .foreach(members.appendValue)
+
   override def handleInputRows(key: (Long, String),
       rows: Iterator[MinhashBand],
-      timerValues: TimerValues): Iterator[BandCandidate] = {
+      timerValues: TimerValues): Iterator[BandEvent] = {
     val seen = collection.mutable.LinkedHashSet.empty[Long]
     members.get().foreach(d => seen += d)
-    val out = Seq.newBuilder[BandCandidate]
+    val out = Seq.newBuilder[BandEvent]
     // deterministic within-batch order (smallest id joins first), so
     // a batch's emitted set is chop-independent
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      if (!seen.contains(r.doc_id) && seen.size < maxBucket) {
-        seen.foreach { e =>
-          out += BandCandidate(math.min(e, r.doc_id),
-            math.max(e, r.doc_id), key._1)
+      if (!seen.contains(r.doc_id)) {
+        if (seen.size >= maxBucket)
+          out += BandEvent("capped", r.doc_id, -1L, key._1, key._2)
+        else {
+          seen.foreach { e =>
+            out += BandEvent("pair", math.min(e, r.doc_id),
+              math.max(e, r.doc_id), key._1, key._2)
+          }
+          out += BandEvent("admit", r.doc_id, -1L, key._1, key._2)
+          seen += r.doc_id
+          members.appendValue(r.doc_id)
         }
-        seen += r.doc_id
-        members.appendValue(r.doc_id)
       }
     }
     out.result().iterator
@@ -792,10 +841,55 @@ object Streams {
   def minhashDedupStream(ds: Dataset[MinhashBand],
       maxBucket: Int = 4096): Dataset[BandCandidate] = {
     import ds.sparkSession.implicits._
+    bandIndexStream(ds, maxBucket).filter(_.kind == "pair")
+      .map(e => BandCandidate(e.da, e.db, e.band_id))
+  }
+
+  /** the full lifecycle stream of the live band index — pairs +
+    * admit/capped markers (see [[BandIndexProcessor]]). The admit
+    * channel is the DRAIN path: it is the incremental append of the
+    * standing band-index parquet, so snapshotting stream state needs
+    * no checkpoint scraping (see [[bandIndexFromEvents]]). */
+  def bandIndexStream(ds: Dataset[MinhashBand],
+      maxBucket: Int = 4096): Dataset[BandEvent] = {
+    import ds.sparkSession.implicits._
     ds.groupByKey(b => (b.band_id, b.bh))
       .transformWithState(new BandIndexProcessor(maxBucket),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** [[bandIndexStream]] BOOTSTRAPPED from the standing parquet band
+    * index (doc_id, band_id, bh): the persisted q36/q265 artifact
+    * becomes the processor's initial keyed state, so the stream picks
+    * up exactly where the batch index left off — seeded members emit
+    * nothing (their pairs were settled when the artifact was built),
+    * and arriving docs probe them like the q265 shard merge. At
+    * scale the grouping below is one shuffle of the standing index
+    * keyed by bucket, paid once at query start. */
+  def bandIndexStreamFrom(standing: Dataset[MinhashBand],
+      ds: Dataset[MinhashBand],
+      maxBucket: Int = 4096): Dataset[BandEvent] = {
+    import ds.sparkSession.implicits._
+    val init = standing
+      .groupByKey(b => (b.band_id, b.bh))
+      .mapGroups((k, it) =>
+        BucketSeed(k._1, k._2, it.map(_.doc_id).toSeq.sorted))
+      .groupByKey(s => (s.band_id, s.bh))
+    ds.groupByKey(b => (b.band_id, b.bh))
+      .transformWithState(new BandIndexProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Append(), init)
+  }
+
+  /** batch reconstruction of the standing band index from a drained
+    * event log: standing seed ∪ admit events — the parquet a
+    * deployment publishes back through SideTables to close the
+    * stream→artifact loop (StreamsSpec pins equality with the batch
+    * [[graft.queries.TextOps]] band index on the same corpus). */
+  def bandIndexFromEvents(standing: DataFrame,
+      events: DataFrame): DataFrame =
+    standing.select(col("doc_id"), col("band_id"), col("bh"))
+      .unionByName(events.filter(col("kind") === "admit")
+        .select(col("da").as("doc_id"), col("band_id"), col("bh")))
 
   /** T4 — per-key running counter (the writer-state pattern): emits
     * (key, runningCount) updates per batch. */

@@ -199,6 +199,160 @@ class StreamsSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass", prevProvider)
   }
 
+  test("band-index lifecycle events: capped buckets checkable, drain rebuilds the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BandEvent, MinhashBand}
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // bucket "x": docs 1..4 arrive, cap 2 → admits {1,2}, capped
+      // {3,4}, one pair; bucket "y": docs 5,6 — under cap, full parity
+      val rows = Seq(
+        MinhashBand(1L, 0L, "x"), MinhashBand(2L, 0L, "x"),
+        MinhashBand(3L, 0L, "x"), MinhashBand(4L, 0L, "x"),
+        MinhashBand(5L, 1L, "y"), MinhashBand(6L, 1L, "y"))
+      val in = MemoryStream[MinhashBand]
+      val q = Streams.bandIndexStream(in.toDS(), maxBucket = 2)
+        .writeStream.format("memory").queryName("bandlife")
+        .outputMode("append").start()
+      in.addData(rows: _*)
+      drain(q)
+      def events = spark.table("bandlife").as[BandEvent].collect().toSeq
+      val admits = events.filter(_.kind == "admit")
+        .map(e => (e.da, e.band_id, e.bh)).toSet
+      val cappedDocs = events.filter(_.kind == "capped")
+        .map(e => (e.da, e.band_id, e.bh)).toSet
+      val pairs = events.filter(_.kind == "pair")
+        .map(e => (e.da, e.db, e.band_id)).toSet
+      // the at-scale parity invariants (ADVICE r11): capped bucket —
+      // |admits| == cap, admits ∪ capped == batch bucket, pairs are
+      // exactly the admitted pairs; uncapped bucket — full parity
+      assert(admits == Set((1L, 0L, "x"), (2L, 0L, "x"),
+        (5L, 1L, "y"), (6L, 1L, "y")))
+      assert(cappedDocs == Set((3L, 0L, "x"), (4L, 0L, "x")))
+      assert(pairs == Set((1L, 2L, 0L), (5L, 6L, 1L)))
+      // replay every row: pairs and admits are membership-gated
+      // (exactly-once content); capped markers are diagnostic and
+      // dedupe by key
+      in.addData(rows: _*)
+      drain(q)
+      val replayed = events
+      assert(replayed.filter(_.kind == "admit")
+        .map(e => (e.da, e.band_id, e.bh)).toSet == admits)
+      assert(replayed.count(_.kind == "admit") == admits.size)
+      assert(replayed.count(_.kind == "pair") == pairs.size)
+      assert(replayed.filter(_.kind == "capped")
+        .map(e => (e.da, e.band_id, e.bh)).toSet == cappedDocs)
+      // drain: empty standing ∪ admits rebuilds the capped index —
+      // the smallest-`cap` members per bucket (doc-ordered arrival)
+      val standing0 = Seq.empty[MinhashBand].toDS().toDF()
+      val rebuilt = Streams.bandIndexFromEvents(standing0,
+        spark.table("bandlife"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(rebuilt == admits.map { case (d, b, h) => (d, b, h) })
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
+  test("band-index bootstrap from the standing index probes like the shard merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BandEvent, MinhashBand}
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // standing index: docs 1,2 share bucket (0,"x"); doc 5 alone in
+      // (1,"y"). Arriving shard: doc 3 hits both buckets, doc 4 hits
+      // (0,"x") — expected emissions are exactly the q265 delta legs:
+      // vs_corpus probes + the within-shard pair, nothing standing
+      val standing = Seq(
+        MinhashBand(1L, 0L, "x"), MinhashBand(2L, 0L, "x"),
+        MinhashBand(5L, 1L, "y")).toDS()
+      val shard = Seq(
+        MinhashBand(3L, 0L, "x"), MinhashBand(3L, 1L, "y"),
+        MinhashBand(4L, 0L, "x"))
+      val in = MemoryStream[MinhashBand]
+      val q = Streams.bandIndexStreamFrom(standing, in.toDS())
+        .writeStream.format("memory").queryName("bandboot")
+        .outputMode("append").start()
+      // two batches: doc 3 first, then doc 4 (cross-batch state)
+      in.addData(shard.take(2): _*)
+      q.processAllAvailable()
+      in.addData(shard.drop(2): _*)
+      drain(q)
+      val events = spark.table("bandboot").as[BandEvent].collect().toSeq
+      val pairs = events.filter(_.kind == "pair")
+        .map(e => (e.da, e.db, e.band_id)).toSet
+      assert(pairs == Set(
+        (1L, 3L, 0L), (2L, 3L, 0L), (3L, 5L, 1L), // vs corpus
+        (1L, 4L, 0L), (2L, 4L, 0L),               // vs corpus
+        (3L, 4L, 0L)))                            // within shard
+      // seeded members emitted nothing; only shard docs admit
+      assert(events.filter(_.kind == "admit").map(_.da).toSet ==
+        Set(3L, 4L))
+      // drain closes the loop: standing ∪ admits == the index a
+      // from-scratch batch build over base ∪ shard would produce
+      val rebuilt = Streams.bandIndexFromEvents(standing.toDF(),
+        spark.table("bandboot"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      val fromScratch = (standing.collect() ++ shard)
+        .map(b => (b.doc_id, b.band_id, b.bh)).toSet
+      assert(rebuilt == fromScratch)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
+  test("bootstrap stream over the real corpus emits exactly q265's delta legs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.streaming.{BandEvent, MinhashBand}
+    val prevProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the SAME base/shard split as the batch merge (q265): stream
+      // the shard's band rows into a processor seeded with the base
+      // index — the emitted pair multiset must equal the merged
+      // artifact's vs_corpus + within_shard legs, band-count for
+      // band-count (streaming and batch maintenance agree on real
+      // data, not just fixtures)
+      val bands = graft.queries.TextOps.minhashBands(spark, sf())
+      val isShard = graft.queries.TextOps.docBucket(col("doc_id")) >= 80
+      val standing = bands.filter(!isShard).as[MinhashBand]
+      val shard = bands.filter(isShard).as[MinhashBand].collect().toSeq
+      val in = MemoryStream[MinhashBand]
+      val q = Streams.bandIndexStreamFrom(standing, in.toDS())
+        .writeStream.format("memory").queryName("bandcorpus")
+        .outputMode("append").start()
+      // feed the shard in two arbitrary chops (cross-batch state)
+      val (h1, h2) = shard.splitAt(shard.size / 2)
+      in.addData(h1: _*)
+      q.processAllAvailable()
+      in.addData(h2: _*)
+      drain(q)
+      val streamed = spark.table("bandcorpus").as[BandEvent]
+        .filter(col("kind") === "pair")
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val batchLegs = SparkEntry
+        .queries("q265_incremental_index_merge")(spark, sf())
+        .filter(col("kind") =!= "standing")
+        .select(col("da"), col("db"), col("n_bands"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batchLegs)
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
   test("transformWithState CDC view: latest-wins, stale drops, tombstones") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
