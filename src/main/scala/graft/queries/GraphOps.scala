@@ -424,6 +424,37 @@ object GraphOps {
       .select(col("node"), col("deg").as("residual_deg"))
       .orderBy(col("node"))
 
+  /** k-core with k DERIVED from the data: k = max(2, ⌈E/V⌉) over the
+    * co-purchase graph. The choice closes q258's only blind spot —
+    * a k whose core dissolves at some unprobed dataset makes the
+    * recursive-CTE oracle unsound (an empty fixpoint is
+    * unrepresentable in UNION ALL recursion) — by CONSTRUCTION:
+    * peeling a vertex of degree ≤ k−1 removes ≤ k−1 edges, so
+    * exhausting all V vertices removes ≤ V(k−1) < E edges when
+    * k−1 < E/V — a contradiction, hence the ⌈E/V⌉-core is non-empty
+    * for every graph with E ≥ V. The only unguaranteed case is the
+    * floor at k = 2 on a forest (E < V), where the Spark side fails
+    * LOUDLY instead of comparing against an unsound oracle. k rides
+    * the output (`k_derived`), so the oracle must re-derive the SAME
+    * integer from the same counts for the hash to match. Cost of the
+    * derivation: one hash-agg over the memoized symmetric edge view. */
+  def kcoreAuto(s: SparkSession, dir: String): DataFrame = {
+    val sym = symCoPurchase(s, dir)
+    val st = sym.agg(count(lit(1)).as("m2"),
+      countDistinct(col("u")).as("nv")).head()
+    val e = st.getLong(0) / 2
+    val nv = st.getLong(1)
+    val k = math.max(2L, (e + nv - 1) / nv)
+    val core = kcoreFixpointDegrees(sym, k.toInt)._1
+    require(e >= nv || core.count() > 0,
+      s"derived k=$k core is empty on a forest-shaped graph (E=$e < " +
+        s"V=$nv) — the recursive-CTE oracle cannot represent an empty " +
+        "fixpoint; this dataset needs a different k rule")
+    core.select(col("node"), col("deg").as("residual_deg"),
+        lit(k).as("k_derived"))
+      .orderBy(col("node"))
+  }
+
   private def symCoPurchase(s: SparkSession, dir: String): DataFrame = {
     val canon = coPurchaseEdges(s, dir)
     canon.select(col("u"), col("v"))
@@ -1163,6 +1194,44 @@ object GraphOps {
         |      FROM peel))
         |  WHERE du >= 60 AND dv >= 60 AND n_surv < n_all)
         |SELECT u AS node, count(*) AS residual_deg
+        |FROM peel WHERE r = (SELECT max(r) FROM peel)
+        |GROUP BY u ORDER BY node""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // k-core with k DERIVED from the data (see [[kcoreAuto]]):
+    // k = max(2, ceil(E/V)), non-empty by construction whenever
+    // E ≥ V, so the recursive-CTE oracle's empty-fixpoint blind spot
+    // (q258's k=60 is guarded only at probed SFs) cannot be hit at
+    // an unprobed dataset. k_derived rides the output: the oracle
+    // re-derives the same integer from the same counts, so the hash
+    // match pins the derivation rule, not just the peel.
+    QueryDef("q268_kcore_auto",
+      (s, dir) => kcoreAuto(s, dir),
+      Some(s"""WITH RECURSIVE $edgeSql,
+        |kv AS (
+        |  SELECT greatest(2, (count(*) + nv - 1) // nv) AS k
+        |  FROM e, (SELECT count(DISTINCT node) AS nv FROM
+        |           (SELECT u AS node FROM e UNION ALL SELECT v FROM e))
+        |  GROUP BY nv),
+        |peel AS (
+        |  SELECT u, v, 0 AS r
+        |  FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+        |  UNION ALL
+        |  SELECT u, v, r + 1 FROM (
+        |    SELECT u, v, r, du, dv,
+        |      count(*) OVER () AS n_all,
+        |      sum(CASE WHEN du >= (SELECT k FROM kv)
+        |            AND dv >= (SELECT k FROM kv) THEN 1 ELSE 0 END)
+        |        OVER () AS n_surv
+        |    FROM (
+        |      SELECT u, v, r,
+        |        count(*) OVER (PARTITION BY u) AS du,
+        |        count(*) OVER (PARTITION BY v) AS dv
+        |      FROM peel))
+        |  WHERE du >= (SELECT k FROM kv) AND dv >= (SELECT k FROM kv)
+        |    AND n_surv < n_all)
+        |SELECT u AS node, count(*) AS residual_deg,
+        |  (SELECT k FROM kv) AS k_derived
         |FROM peel WHERE r = (SELECT max(r) FROM peel)
         |GROUP BY u ORDER BY node""".stripMargin)),
 

@@ -106,6 +106,26 @@ class ConvergenceSpec extends SparkSpec {
     }
   }
 
+  test("q268's derived k matches ceil(E/V) and its core is non-empty by construction") {
+    val core = GraphOps.kcoreAuto(spark, sf())
+    val rows = core.collect()
+    assert(rows.nonEmpty)
+    // independent re-derivation of k from the raw co-purchase graph
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val eCnt = e.count()
+    val vCnt = e.select(col("u")).union(e.select(col("v")))
+      .distinct().count()
+    val k = math.max(2L, (eCnt + vCnt - 1) / vCnt)
+    assert(rows.forall(_.getLong(2) == k))
+    // every survivor meets the bar — it IS a k-core
+    assert(rows.forall(_.getLong(1) >= k))
+  }
+
   test("LPA fixpoint equals the 2-round unroll where 2 rounds converge") {
     // two label-homogeneous triangles joined by one bridge edge:
     // every node keeps its majority label, fixpoint after one
