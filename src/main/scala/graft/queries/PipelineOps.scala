@@ -95,11 +95,13 @@ object PipelineOps {
     * and ConvergenceSpec checks it bit-for-bit against an in-driver
     * integer reference on the same graph. */
   private[graft] def pagerankFixpoint(ej: DataFrame, n: Long,
-      epsFp: Long = 1000000L, maxIters: Int = 100): (DataFrame, Int) = {
+      epsFp: Long = 1000000L, maxIters: Int = 100,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
     val unit = 1000000000000L
     val base = 15L * unit / 100L / n
-    var ranks = Ckpt.cut(ej.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(unit / n)), true)
+    var ranks = Ckpt.cut(init.getOrElse(
+      ej.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(unit / n))), true)
     var delta = Long.MaxValue
     var rounds = 0
     while (delta > epsFp && rounds < maxIters) {
@@ -122,6 +124,89 @@ object PipelineOps {
     pagerankFixpoint(ej, n)._1
       .orderBy(col("r").desc, col("node")).limit(100)
       .select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** the STANDING slice of the transaction graph: edges derived from
+    * orders whose md5 bucket < 80 (the same arriving-shard law as
+    * q263/q265/q267 — the other 20% of orders are the delta). UNCUT
+    * declarative plan: consumed once for the artifact key (it embeds
+    * the edge derivation and the shard split) and once, partitioned +
+    * checkpointed, as the base fixpoint's input. */
+  private def baseTxEdgePlan(s: SparkSession, dir: String): DataFrame = {
+    val scb = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+        16, 10).cast("long") % 100 < 80)
+      .select((col("l_suppkey") + 1000000000L).as("src"),
+        col("o_custkey").as("dst"))
+      .distinct()
+    val edges = scb.unionByName(
+      scb.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(deg, "src")
+  }
+
+  private val baseTxGraphCache = collection.mutable.Map
+    .empty[(SparkSession, String), (DataFrame, Long)]
+  private def baseTransactionGraph(s: SparkSession, dir: String)
+      : (DataFrame, Long) =
+    baseTxGraphCache.synchronized {
+      baseTxGraphCache.getOrElseUpdate((s, dir), {
+        val nPart = {
+          val liRows = t(s, dir, "lineitem").count()
+          val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
+          math.max(4, math.min(conf, (liRows / 200000L + 1).toInt))
+        }
+        val ej = Ckpt.cutPartitioned(
+          baseTxEdgePlan(s, dir).repartition(nPart, col("src")))
+        (ej, ej.select(col("src")).distinct().count())
+      })
+    }
+
+  /** the standing rank vector: damped PageRank solved to the 10⁻⁶
+    * fixpoint ON THE BASE GRAPH, persisted as a parquet side table —
+    * the artifact a production ranking pipeline keeps between graph
+    * growth events. An iterative result's own plan is an opaque
+    * checkpoint, so the cache key comes from a REPRESENTATIVE plan
+    * (one [[prRound]] over the uncut base edge derivation: any change
+    * to the graph slice, the round formula, or the fixed-point
+    * constants re-keys the artifact) plus a salt for the driver-loop
+    * pieces (epsilon, init law). */
+  private def standingBaseRanks(s: SparkSession, dir: String): DataFrame = {
+    val (ejb, nb) = baseTransactionGraph(s, dir)
+    val unit = 1000000000000L
+    val raw = baseTxEdgePlan(s, dir)
+    val keyPlan = prRound(raw,
+      raw.select(col("src").as("node")).withColumn("r", lit(unit / nb)),
+      15L * unit / 100L / nb)
+    SideTables.getOrBuildKeyed(s, dir, "pr_ranks_base", "lineitem",
+      keyPlan, "pagerankFixpoint:epsFp=1000000:init=uniform") {
+      pagerankFixpoint(ejb, nb)._1
+    }
+  }
+
+  /** q270's operator: WARM-START PageRank — the merged graph (base +
+    * arriving order shard) solved from the standing base-graph rank
+    * vector instead of from uniform. The fixpoint is a contraction,
+    * so the warm trajectory lands on the same 10⁻⁶-stable state while
+    * paying only the rounds the DELTA needs (measured 4 vs 71 cold at
+    * sf0.001 — the base solve's ~70 rounds are paid once, persisted,
+    * then each graph-growth event costs a handful of rounds). New
+    * nodes (absent from the standing vector) start at the uniform
+    * teleport mass. `warm_rounds` rides along so the oracle hash
+    * pins the TRAJECTORY LENGTH, not just the final ranks — the
+    * incremental claim itself is what's being verified. */
+  def pagerankWarmStart(s: SparkSession, dir: String): DataFrame = {
+    val (ej, n) = transactionGraph(s, dir)
+    val unit = 1000000000000L
+    val init = ej.select(col("src").as("node")).distinct()
+      .join(standingBaseRanks(s, dir).withColumnRenamed("r", "br"),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("br"), lit(unit / n)).as("r"))
+    val (ranks, rounds) = pagerankFixpoint(ej, n, init = Some(init))
+    ranks.orderBy(col("r").desc, col("node")).limit(100)
+      .select(col("node"), col("r").as("rank_fp"),
+        lit(rounds.toLong).as("warm_rounds"))
   }
 
   /** HashMin connected components over an undirected edge list:
@@ -1655,6 +1740,74 @@ object PipelineOps {
         |    9223372036854775807) > 1000000)
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr
         |WHERE it = (SELECT max(it) FROM pr)
+        |ORDER BY r DESC, node LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Warm-start PageRank over the grown graph (q260's incremental
+    // form): the standing base-graph rank vector (a persisted side
+    // table — solved once, ~70 rounds) seeds the merged-graph solve,
+    // which then converges in the handful of rounds the DELTA needs.
+    // The oracle replays BOTH trajectories from scratch — base solve
+    // to its fixpoint, then the warm merged solve seeded from it — in
+    // exact integer arithmetic, so the hash match proves (a) the
+    // standing artifact equals the from-scratch base fixpoint, (b)
+    // the warm solve's final ranks AND round count match bit-for-bit.
+    QueryDef("q270_pagerank_warm",
+      (s, dir) => pagerankWarmStart(s, dir),
+      Some("""WITH RECURSIVE
+        |scb AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 < 80),
+        |eb AS (SELECT src, dst FROM scb UNION ALL SELECT dst, src FROM scb),
+        |degb AS (SELECT src, count(*) AS outdeg FROM eb GROUP BY 1),
+        |ejb AS (SELECT eb.src, eb.dst, degb.outdeg
+        |        FROM eb JOIN degb USING (src)),
+        |nb AS (SELECT count(DISTINCT src) AS n FROM ejb),
+        |prb AS (
+        |  SELECT DISTINCT src AS node,
+        |    1000000000000 // (SELECT n FROM nb) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM ejb
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ejb.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nb)
+        |        + (85 * sum(p.r // ejb.outdeg)) // 100 AS r
+        |    FROM ejb JOIN prb p ON p.node = ejb.src GROUP BY ejb.dst) nx
+        |  JOIN prb o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM prb),
+        |    9223372036854775807) > 1000000),
+        |base_final AS (
+        |  SELECT node, r FROM prb WHERE it = (SELECT max(it) FROM prb)),
+        |sc AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM sc UNION ALL SELECT dst, src FROM sc),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ej AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |nn AS (SELECT count(DISTINCT src) AS n FROM ej),
+        |pr AS (
+        |  SELECT n0.node,
+        |    coalesce(b.r, 1000000000000 // (SELECT n FROM nn)) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM (SELECT DISTINCT src AS node FROM ej) n0
+        |  LEFT JOIN base_final b ON b.node = n0.node
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ej.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nn)
+        |        + (85 * sum(p.r // ej.outdeg)) // 100 AS r
+        |    FROM ej JOIN pr p ON p.node = ej.src GROUP BY ej.dst) nx
+        |  JOIN pr o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM pr),
+        |    9223372036854775807) > 1000000)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp,
+        |  CAST((SELECT max(it) FROM pr) AS BIGINT) AS warm_rounds
+        |FROM pr WHERE it = (SELECT max(it) FROM pr)
         |ORDER BY r DESC, node LIMIT 100""".stripMargin))
   )
 }

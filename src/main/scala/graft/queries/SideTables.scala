@@ -193,12 +193,39 @@ object SideTables {
   def getOrBuild(s: SparkSession, dir: String, name: String,
       source: String = "documents")(build: => DataFrame): DataFrame = {
     val b = build
-    val key = keyFor(s, dir, source, b)
+    getOrBuildWithKey(s, keyFor(s, dir, source, b), name)(b)
+  }
+
+  /** [[getOrBuild]] for ITERATIVE builders, whose result DataFrame is
+    * an opaque checkpoint (`LogicalRDD`) carrying none of the logic
+    * that produced it — keying on it would make every fixpoint
+    * artifact share a key, the stale-index hazard the mechanical key
+    * exists to prevent. The caller supplies a REPRESENTATIVE
+    * declarative plan instead (e.g. one fixpoint round applied to the
+    * un-checkpointed inputs: it embeds the input derivation, the
+    * round formula, and every constant), plus a `salt` for the pieces
+    * that live in the driver loop rather than in any plan (stopping
+    * rule, epsilon). The key is derived from (`dir`, `source`,
+    * keyPlan, salt) exactly as [[getOrBuild]] derives it from the
+    * builder itself. */
+  def getOrBuildKeyed(s: SparkSession, dir: String, name: String,
+      source: String, keyPlan: DataFrame, salt: String)
+      (build: => DataFrame): DataFrame = {
+    val key = keyFor(s, dir, source, keyPlan) +
+      "-" + md5hex(salt).take(8)
+    getOrBuildWithKey(s, key, name)(build)
+  }
+
+  /** shared probe-build-publish cycle under an already-derived key.
+    * `build` is only forced when the artifact is absent. */
+  private def getOrBuildWithKey(s: SparkSession, key: String,
+      name: String)(build: => DataFrame): DataFrame = {
     val rootP = new Path(root)
     val fs = fsFor(s, rootP)
     val tableDir = new Path(rootP, s"$key/$name")
     val successP = new Path(tableDir, "_SUCCESS")
     if (!fs.exists(successP)) {
+      val b = build
       val tmp = new Path(rootP, s"$key/.$name.tmp-" +
         s"${java.lang.ProcessHandle.current.pid}-" +
         s"${Thread.currentThread.getId}")

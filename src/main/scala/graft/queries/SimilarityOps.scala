@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** Embedding similarity search over `embeddings` (64-dim float
@@ -1345,7 +1346,7 @@ object SimilarityOps {
         |FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i)
         |GROUP BY label, i
         |ORDER BY label, dim""".stripMargin))
-  ) :+ annEvalFamiliesQueryDef
+  ) :+ annEvalFamiliesQueryDef :+ pqDeltaQueryDef :+ pqDriftQueryDef
 
   /** q234 extended to EVERY index family (the r11 judge's ask): MRR@5
     * and hits@5 for the LSH (q41), IVF multi-probe (q67) and PQ-ADC
@@ -2017,5 +2018,205 @@ object SimilarityOps {
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cos_fp"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  // --------------------------------------------------------------------
+  // Incremental PQ-index maintenance (q269/q271) — the codes-side twin
+  // of q267's coarse-index merge, under the contract a real PQ
+  // deployment runs: the codebook is TRAINED ONCE on the standing
+  // corpus and FROZEN; an arriving vector shard is encoded under that
+  // frozen codebook and its codes are APPENDED to the standing code
+  // table. Merged == rebuilt therefore means "rebuilt under the same
+  // frozen codebook", which the oracle re-derives from scratch — and
+  // the honest cost of freezing is measured by q271's drift audit
+  // (mean quantization error of shard vs standing codes), the signal
+  // that tells the pipeline when a retrain is actually warranted.
+
+  /** arriving-shard split of the vector corpus: md5-derived bucket of
+    * vec_id, ≥ 80 = the 20% "new" shard (same split law as q267's
+    * coarse-index delta and q265's document shard). */
+  private def vecShard(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100 >= 80
+
+  private def vecShardSql: String =
+    "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 100 >= 80"
+
+  /** (vec_id, is_shard, sp, x): the m=4 16-dim subvector slices of the
+    * quantized corpus, shard-flagged. */
+  private def pqSubvecs(s: SparkSession, dir: String, m: Int, sub: Int)
+      : DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quant(col("embedding")).as("v"),
+        vecShard(col("vec_id")).as("is_shard"))
+      .select(col("vec_id"), col("label"), col("is_shard"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sp"))
+      .withColumn("x", slice(col("v"), col("sp") * sub + 1, lit(sub)))
+      .drop("v")
+
+  /** the FROZEN codebook: per-(label, subspace) mean subvector over
+    * the STANDING (non-shard) corpus only — persisted once via
+    * SideTables exactly like q84's full-corpus codebook, but trained
+    * on the base slice so the shard's arrival cannot silently move
+    * the centroids the standing codes were encoded against. */
+  private def pqBaseCodebook(s: SparkSession, dir: String, m: Int,
+      sub: Int): DataFrame =
+    SideTables.getOrBuild(s, dir, s"pq_codebook_base_m$m",
+      source = "embeddings") {
+      pqSubvecs(s, dir, m, sub).filter(!col("is_shard"))
+        .groupBy(col("label"), col("sp"))
+        .agg(vecSum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cv",
+          transform(col("sx"), e => e.cast("double") / col("n")))
+        .select(col("label"), col("sp"), col("cv"))
+    }
+
+  /** nearest-centroid encode of `rows` under codebook `cb` — min_by
+    * over a (dist, label) struct: a partial-aggregable hash-agg, no
+    * per-group sort (same shape as q84's encoder). */
+  private def pqEncode(s: SparkSession, rows: DataFrame, cb: DataFrame)
+      : DataFrame = {
+    graft.functions.SquaredL2.register(s)
+    rows.select(col("vec_id"), col("sp"), col("x"))
+      .join(broadcast(cb), "sp")
+      .withColumn("dist",
+        floor(expr("sq_l2_dist(x, cv)") * 1000000 + 0.5).cast("long"))
+      .groupBy(col("vec_id"), col("sp"))
+      .agg(min_by(col("label"), struct(col("dist"), col("label")))
+        .as("code"))
+  }
+
+  /** q269: standing PQ code table absorbs the arriving shard. The
+    * base codes are a standing artifact (built once from the base
+    * slice under the frozen base codebook); the merge encodes ONLY
+    * the |shard| subvectors against the broadcast codebook and
+    * appends — the base vectors are never re-read, so per-shard cost
+    * is |shard| × (m encodes) + the standing table append, the same
+    * sub-linear shape as q265/q267. The oracle rebuilds the full code
+    * table from scratch under the base-trained codebook, so the hash
+    * match IS the merged==rebuilt proof (per vector, per subspace,
+    * per provenance kind). */
+  private lazy val pqDeltaQueryDef: QueryDef = {
+    val m = 4; val sub = 16
+    QueryDef("q269_pq_delta_encode",
+      (s, dir) => {
+        val cb = pqBaseCodebook(s, dir, m, sub)
+        val sv = pqSubvecs(s, dir, m, sub)
+        val baseCodes = SideTables.getOrBuild(s, dir,
+          s"pq_codes_base_m$m", source = "embeddings") {
+          pqEncode(s, sv.filter(!col("is_shard")), cb)
+        }
+        val merged = SideTables.getOrBuild(s, dir,
+          s"pq_codes_merged_m$m", source = "embeddings") {
+          baseCodes.unionByName(pqEncode(s, sv.filter(col("is_shard")), cb))
+        }
+        merged
+          .withColumn("kind", when(vecShard(col("vec_id")), lit("shard"))
+            .otherwise(lit("standing")))
+          .select(col("vec_id"), col("sp").cast("long").as("sp"),
+            col("code"), col("kind"))
+          .orderBy(col("vec_id"), col("sp"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v,
+        |    $vecShardSql AS is_shard
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, label, is_shard, sp,
+        |    list_slice(v, sp * $sub + 1, (sp + 1) * $sub) AS x
+        |  FROM qv CROSS JOIN (SELECT unnest(range($m)) AS sp)),
+        |cbx AS (
+        |  SELECT label, sp, dim, CAST(sum(e) AS BIGINT) AS sx,
+        |    count(*) AS n
+        |  FROM (SELECT label, sp, unnest(x) AS e,
+        |          generate_subscripts(x, 1) AS dim
+        |        FROM sv WHERE NOT is_shard)
+        |  GROUP BY label, sp, dim),
+        |cb AS (
+        |  SELECT label, sp, list(sx / n ORDER BY dim) AS cv
+        |  FROM cbx GROUP BY label, sp),
+        |enc AS (
+        |  SELECT vec_id, is_shard, sp, label AS code FROM (
+        |    SELECT s.vec_id, s.is_shard, s.sp, c.label,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sp
+        |        ORDER BY ${pqL2fpSql("s.x", "c.cv", sub)}, c.label) AS rn
+        |    FROM sv s JOIN cb c ON c.sp = s.sp)
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(sp AS BIGINT) AS sp, code,
+        |  CASE WHEN is_shard THEN 'shard' ELSE 'standing' END AS kind
+        |FROM enc ORDER BY vec_id, sp""".stripMargin))
+  }
+
+  /** quantized squared-L2 between int subvector and double centroid in
+    * 1e-6 fixed point — q84's oracle formula, shared by q269/q271. */
+  private def pqL2fpSql(x: String, cv: String, sub: Int): String =
+    s"""CAST(floor(list_sum(list_transform(range($sub),
+       |      j -> ($x[j+1] - $cv[j+1]) * ($x[j+1] - $cv[j+1])))
+       |      * 1000000 + 0.5) AS BIGINT)""".stripMargin
+
+  /** q271: codebook-drift audit — mean quantization error (nearest-
+    * centroid squared-L2, fp) per (subspace, provenance kind) under
+    * the FROZEN base codebook. shard-vs-standing divergence here is
+    * the operational retrain trigger for the q269 contract: a
+    * distribution-shifted shard encodes badly against centroids it
+    * never trained, and this row surfaces it as a hash-checked
+    * catalog fact rather than a buried spec. Sums go through
+    * DECIMAL(38,0) (exact, associative — the dist sum would overflow
+    * a long at ~5M vectors); the mean is an integer DIV, so both
+    * engines agree bit-for-bit. */
+  private lazy val pqDriftQueryDef: QueryDef = {
+    val m = 4; val sub = 16
+    QueryDef("q271_pq_codebook_drift",
+      (s, dir) => {
+        graft.functions.SquaredL2.register(s)
+        val cb = pqBaseCodebook(s, dir, m, sub)
+        pqSubvecs(s, dir, m, sub)
+          .select(col("vec_id"), col("is_shard"), col("sp"), col("x"))
+          .join(broadcast(cb), "sp")
+          .withColumn("dist",
+            floor(expr("sq_l2_dist(x, cv)") * 1000000 + 0.5).cast("long"))
+          .groupBy(col("vec_id"), col("is_shard"), col("sp"))
+          .agg(min(col("dist")).as("dist"))
+          .groupBy(col("sp"), col("is_shard"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("dist").cast(DecimalType(38, 0))).as("sd"))
+          .select(col("sp").cast("long").as("sp"),
+            when(col("is_shard"), lit("shard")).otherwise(lit("standing"))
+              .as("kind"),
+            col("n_vecs"),
+            expr("CAST(sd DIV n_vecs AS BIGINT)").as("mean_err_fp"))
+          .orderBy(col("sp"), col("kind"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v,
+        |    $vecShardSql AS is_shard
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, label, is_shard, sp,
+        |    list_slice(v, sp * $sub + 1, (sp + 1) * $sub) AS x
+        |  FROM qv CROSS JOIN (SELECT unnest(range($m)) AS sp)),
+        |cbx AS (
+        |  SELECT label, sp, dim, CAST(sum(e) AS BIGINT) AS sx,
+        |    count(*) AS n
+        |  FROM (SELECT label, sp, unnest(x) AS e,
+        |          generate_subscripts(x, 1) AS dim
+        |        FROM sv WHERE NOT is_shard)
+        |  GROUP BY label, sp, dim),
+        |cb AS (
+        |  SELECT label, sp, list(sx / n ORDER BY dim) AS cv
+        |  FROM cbx GROUP BY label, sp),
+        |best AS (
+        |  SELECT s.vec_id, s.is_shard, s.sp,
+        |    min(${pqL2fpSql("s.x", "c.cv", sub)}) AS dist
+        |  FROM sv s JOIN cb c ON c.sp = s.sp
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(sp AS BIGINT) AS sp,
+        |  CASE WHEN is_shard THEN 'shard' ELSE 'standing' END AS kind,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(dist) // count(*) AS BIGINT) AS mean_err_fp
+        |FROM best GROUP BY 1, 2
+        |ORDER BY sp, kind""".stripMargin))
   }
 }

@@ -285,4 +285,32 @@ class ConvergenceSpec extends SparkSpec {
     val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ref)
   }
+
+  test("warm-start PageRank: fewer rounds, same fixpoint neighborhood, standing artifact") {
+    val tmpRoot =
+      java.nio.file.Files.createTempDirectory("graft-side-warm").toString
+    sys.props("graft.side.dir") = tmpRoot
+    try {
+      val warm = SparkEntry.queries("q270_pagerank_warm")(spark, sf())
+        .collect()
+      val warmRounds = warm.head.getLong(2)
+      // the standing base-rank vector was built and published
+      assert(graft.queries.SideTables.builtThisSession
+        .map(_.split('@')(0)).contains("pr_ranks_base"))
+      val (ej, n) = PipelineOps.transactionGraph(spark, sf())
+      val (coldRanks, coldRounds) = PipelineOps.pagerankFixpoint(ej, n)
+      // the incremental claim: seeding from the standing vector pays
+      // only the delta's rounds (4 vs 71 at this SF)
+      assert(warmRounds < coldRounds,
+        s"warm $warmRounds rounds, cold $coldRounds")
+      // both stop states sit within eps·d/(1−d) ≈ 5.7e6 fp of the true
+      // fixpoint (contraction bound), so their pointwise gap is ≤ 2×
+      val cold = coldRanks.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val maxGap = warm
+        .map(r => math.abs(r.getLong(1) - cold(r.getLong(0)))).max
+      val bound = 2L * 1000000L * 85L / 15L + 2
+      assert(maxGap <= bound, s"top-100 rank gap $maxGap > $bound")
+    } finally sys.props.remove("graft.side.dir")
+  }
 }

@@ -53,6 +53,60 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
+  test("merged PQ code table equals a from-scratch encode under the frozen codebook") {
+    withFreshRoot {
+      import org.apache.spark.sql.expressions.Window
+      val merged = SparkEntry.queries("q269_pq_delta_encode")(spark, sf())
+      // independent reference: same contract (codebook trained on the
+      // standing slice, frozen; every vector encoded under it) but a
+      // different derivation path — exploded per-dim sums reassembled
+      // into centroid arrays, HOF squared-L2 (FunctionsSpec pins its
+      // parity with the native sq_l2_dist), window-argmin encode
+      val emb = Q.t(spark, sf(), "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("v"),
+          (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100 >= 80).as("is_shard"))
+      val sv = emb
+        .select(col("vec_id"), col("label"), col("is_shard"), col("v"),
+          explode(sequence(lit(0), lit(3))).as("sp"))
+        .withColumn("x", slice(col("v"), col("sp") * 16 + 1, lit(16)))
+        .drop("v")
+      val cbRef = sv.filter(!col("is_shard"))
+        .select(col("label"), col("sp"),
+          posexplode(col("x")).as(Seq("dim", "e")))
+        .groupBy(col("label"), col("sp"), col("dim"))
+        .agg(sum(col("e")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("label"), col("sp"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"),
+          (col("sx").cast("double") / col("n")).as("m")))),
+          t => t.getField("m")).as("cv"))
+        .withColumnRenamed("label", "clabel")
+      val l2fp = floor(aggregate(
+        zip_with(col("x"), col("cv"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0d), (acc, t) => acc + t) * 1000000 + 0.5).cast("long")
+      val w = Window.partitionBy(col("vec_id"), col("sp"))
+        .orderBy(col("dist"), col("clabel"))
+      val ref = sv.join(cbRef, "sp")
+        .withColumn("dist", l2fp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sp").cast("long").as("sp"),
+          col("clabel").as("code"),
+          when(col("is_shard"), "shard").otherwise("standing").as("kind"))
+      assert(merged.collect().map(_.toSeq).toSet ===
+        ref.collect().map(_.toSeq).toSet)
+      // the frozen codebook, the standing codes, and the merged codes
+      // were all published as standing artifacts
+      val builtNames = SideTables.builtThisSession.map(_.split('@')(0))
+      Seq("pq_codebook_base_m4", "pq_codes_base_m4",
+        "pq_codes_merged_m4").foreach(n =>
+        assert(builtNames.contains(n), s"$n not published"))
+    }
+  }
+
   test("merged IVF coarse index equals a full-corpus rebuild") {
     withFreshRoot {
       val merged = SparkEntry

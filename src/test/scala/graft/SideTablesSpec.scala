@@ -94,6 +94,34 @@ class SideTablesSpec extends SparkSpec {
     }
   }
 
+  test("getOrBuildKeyed keys on the representative plan plus salt") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-keyed")
+    sys.props("graft.side.dir") = tmpRoot.toString
+    try {
+      val keyPlan = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val before = SideTables.builtThisSession.size
+      var forced = 0
+      def build = { forced += 1
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n")) }
+      val got = SideTables.getOrBuildKeyed(spark, sf(), "keyed_counts",
+        "documents", keyPlan, "eps=1")(build)
+      assert(got.count() > 0)
+      assert(forced === 1 && SideTables.builtThisSession.size === before + 1)
+      // same (plan, salt): cache hit — the (iterative, expensive)
+      // builder must NOT be forced again
+      SideTables.getOrBuildKeyed(spark, sf(), "keyed_counts",
+        "documents", keyPlan, "eps=1")(build).count()
+      assert(forced === 1 && SideTables.builtThisSession.size === before + 1)
+      // a driver-loop change (salt) re-keys even under an identical plan
+      SideTables.getOrBuildKeyed(spark, sf(), "keyed_counts",
+        "documents", keyPlan, "eps=2")(build).count()
+      assert(forced === 2 && SideTables.builtThisSession.size === before + 2)
+    } finally {
+      sys.props.remove("graft.side.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    }
+  }
+
   test("publish lost-race reads the winner; true failure surfaces") {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-pub")
     val fs = new Path(tmpRoot.toString)
