@@ -238,7 +238,60 @@ object SideTables {
       built.synchronized(built += s"$name@$key")
       publish(fs, tmp, tableDir, successP)
     }
+    touchLastUsed(fs, tableDir)
     s.read.parquet(tableDir.toString)
+  }
+
+  /** last-access marker consulted by [[vacuum]] — written best-effort
+    * on every read (a read-only or permission-restricted root just
+    * degrades to publish-time retention; it must never fail a
+    * query). */
+  private val LastUsed = "_LAST_USED"
+  private def touchLastUsed(fs: FileSystem, tableDir: Path): Unit =
+    try {
+      val m = new Path(tableDir, LastUsed)
+      if (fs.exists(m)) fs.setTimes(m, System.currentTimeMillis, -1)
+      else fs.create(m, true).close()
+    } catch { case _: java.io.IOException => () }
+
+  /** Retention sweep for the side root: deletes every published table
+    * (and abandoned `.tmp-` build debris) not read for `olderThanMs`,
+    * then prunes emptied key directories. The root is SHARED state
+    * that outlives checkouts and branches — without retention, every
+    * regenerated dataset and every builder-logic change strands a
+    * full index generation forever. Deleting is always SAFE for
+    * correctness: an artifact is a pure function of (dataset,
+    * builder), so the next consumer rebuilds it (the one-off cost
+    * `side_built` already surfaces). Returns the deleted paths; the
+    * deployment owns the cadence (e.g. a daily sweep with a
+    * multi-week horizon). */
+  def vacuum(s: SparkSession, olderThanMs: Long,
+      now: Long = System.currentTimeMillis): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    if (!fs.exists(rootP)) return Seq.empty
+    val deleted = collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(rootP).filter(_.isDirectory).foreach { keyDir =>
+      fs.listStatus(keyDir.getPath).filter(_.isDirectory)
+        .foreach { tdir =>
+          val marker = new Path(tdir.getPath, LastUsed)
+          val lastUsed = math.max(tdir.getModificationTime,
+            if (fs.exists(marker)) fs.getFileStatus(marker)
+              .getModificationTime
+            else 0L)
+          // dot-tmp dirs younger than the horizon are in-flight
+          // builds; older ones are crash debris
+          if (now - lastUsed > olderThanMs) {
+            fs.delete(tdir.getPath, true)
+            deleted += tdir.getPath.toString
+          }
+        }
+      if (fs.listStatus(keyDir.getPath).isEmpty) {
+        fs.delete(keyDir.getPath, false)
+        deleted += keyDir.getPath.toString
+      }
+    }
+    deleted.toList
   }
 
   /** one atomic rename, with every failure mode resolved to either

@@ -122,6 +122,50 @@ class SideTablesSpec extends SparkSpec {
     }
   }
 
+  test("vacuum retires unread artifacts and the next consumer rebuilds") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-vac")
+    sys.props("graft.side.dir") = tmpRoot.toString
+    try {
+      val fs = new Path(tmpRoot.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var builds = 0
+      def get() = SideTables.getOrBuild(spark, sf(), "vac_counts") {
+        builds += 1
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      }
+      get().count()
+      assert(builds === 1)
+      val fresh = SideTables.getOrBuild(spark, sf(), "vac_fresh") {
+        docs.select(col("doc_id")).limit(5)
+      }
+      fresh.count()
+      // a young root survives a sweep with a 1-hour horizon
+      assert(SideTables.vacuum(spark, 3600L * 1000).isEmpty)
+      // backdate vac_counts (dir + last-used marker) past the horizon
+      val old = System.currentTimeMillis - 7200L * 1000
+      fs.listStatus(new Path(tmpRoot.toString)).foreach { keyDir =>
+        fs.listStatus(keyDir.getPath)
+          .filter(_.getPath.getName == "vac_counts").foreach { t =>
+            fs.setTimes(new Path(t.getPath, "_LAST_USED"), old, -1)
+            fs.setTimes(t.getPath, old, -1)
+          }
+      }
+      val gone = SideTables.vacuum(spark, 3600L * 1000)
+      assert(gone.exists(_.endsWith("vac_counts")), gone.toString)
+      assert(!gone.exists(_.contains("vac_fresh")))
+      // recently-read table still served from cache...
+      assert(SideTables.getOrBuild(spark, sf(), "vac_fresh") {
+        docs.select(col("doc_id")).limit(5)
+      }.count() === 5)
+      // ...and the vacuumed one transparently rebuilds
+      get().count()
+      assert(builds === 2)
+    } finally {
+      sys.props.remove("graft.side.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    }
+  }
+
   test("publish lost-race reads the winner; true failure surfaces") {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-pub")
     val fs = new Path(tmpRoot.toString)
