@@ -444,6 +444,11 @@ object GraphOps {
       countDistinct(col("u")).as("nv")).head()
     val e = st.getLong(0) / 2
     val nv = st.getLong(1)
+    // loud, not ArithmeticException: an edgeless graph has no core at
+    // ANY k, the same oracle-unrepresentable case as the forest floor
+    require(nv > 0, "derived-k k-core: the co-purchase graph has no " +
+      "edges — every core is empty and the recursive-CTE oracle " +
+      "cannot represent an empty fixpoint")
     val k = math.max(2L, (e + nv - 1) / nv)
     val core = kcoreFixpointDegrees(sym, k.toInt)._1
     require(e >= nv || core.count() > 0,

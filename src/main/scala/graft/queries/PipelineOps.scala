@@ -13,6 +13,62 @@ import Q._
   */
 object PipelineOps {
 
+  /** the (symmetric edges ⋈ out-degrees) plan of the supplier↔
+    * customer transaction graph, optionally restricted to the
+    * STANDING slice (orders with [[Q.hashBucket]] < 80 — the shared
+    * arriving-shard law; the other 20% of orders are q270's delta).
+    * ONE derivation on purpose: q270's warm start is only sound if
+    * the base graph is exactly a slice of the merged graph, so the
+    * two plans differ by nothing but the filter. UNCUT declarative
+    * plan: consumed by the memoized builders below and, for the
+    * standing slice, by q270's artifact key (it embeds the edge
+    * derivation and the shard split). */
+  private def txEdgePlan(s: SparkSession, dir: String,
+      standingOnly: Boolean): DataFrame = {
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val sliced =
+      if (standingOnly) joined.filter(hashBucket(col("o_orderkey")) < 80)
+      else joined
+    val sc = sliced
+      .select((col("l_suppkey") + 1000000000L).as("src"),
+        col("o_custkey").as("dst"))
+      .distinct()
+    val edges = sc.unionByName(
+      sc.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(deg, "src")
+  }
+
+  /** shared materialization of a transaction-graph variant.
+    * Ckpt.cutPartitioned, not a plain checkpoint: under AQE the
+    * checkpoint records UnknownPartitioning and every PageRank
+    * round silently re-exchanges the |E|-row list (round-11 plan
+    * probe) — the whole point of this layout is that rounds
+    * exchange only the |V|-row rank vector.
+    *
+    * Partition count ∝ DATA, decided here: pinning the layout
+    * forfeits AQE's coalescing, so a fixed `shuffle.partitions`
+    * would run every one of PageRank's ~57 rounds at full task
+    * width even when the graph is tiny (measured +27% on q260 at
+    * sf0.1). lineitem's parquet row count is a free (metadata)
+    * upper-bound proxy for |E|: one partition per ~200k fact
+    * rows, clamped to [4, shuffle.partitions] — sf0.1 rounds run
+    * 4-task stages (measured 17.1 s vs 23.7 fixed-width), sf1
+    * lands at ~31 (13 measured 1.5x slower than 32 — the probe
+    * that set this divisor), sf10 keeps full width. */
+  private def buildTxGraph(s: SparkSession, dir: String,
+      standingOnly: Boolean): (DataFrame, Long) = {
+    val nPart = {
+      val liRows = t(s, dir, "lineitem").count()
+      val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(4, math.min(conf, (liRows / 200000L + 1).toInt))
+    }
+    val ej = Ckpt.cutPartitioned(
+      txEdgePlan(s, dir, standingOnly).repartition(nPart, col("src")))
+    (ej, ej.select(col("src")).distinct().count())
+  }
+
   /** The symmetric supplier↔customer transaction graph with
     * out-degrees pre-attached, plus its node count — memoized per
     * (session, dataset) like [[GraphOps.coPurchaseEdges]]: the
@@ -27,42 +83,8 @@ object PipelineOps {
   private[graft] def transactionGraph(s: SparkSession, dir: String)
       : (DataFrame, Long) =
     txGraphCache.synchronized {
-      txGraphCache.getOrElseUpdate((s, dir), {
-        val sc = t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") + 1000000000L).as("src"),
-            col("o_custkey").as("dst"))
-          .distinct()
-        val edges = sc.unionByName(
-            sc.select(col("dst").as("src"), col("src").as("dst")))
-        val deg = edges.groupBy(col("src"))
-          .agg(count(lit(1)).as("outdeg"))
-        // Ckpt.cutPartitioned, not a plain checkpoint: under AQE the
-        // checkpoint records UnknownPartitioning and every PageRank
-        // round silently re-exchanges the |E|-row list (round-11 plan
-        // probe) — the whole point of this layout is that rounds
-        // exchange only the |V|-row rank vector.
-        //
-        // Partition count ∝ DATA, decided here: pinning the layout
-        // forfeits AQE's coalescing, so a fixed `shuffle.partitions`
-        // would run every one of PageRank's ~57 rounds at full task
-        // width even when the graph is tiny (measured +27% on q260 at
-        // sf0.1). lineitem's parquet row count is a free (metadata)
-        // upper-bound proxy for |E|: one partition per ~200k fact
-        // rows, clamped to [4, shuffle.partitions] — sf0.1 rounds run
-        // 4-task stages (measured 17.1 s vs 23.7 fixed-width), sf1
-        // lands at ~31 (13 measured 1.5x slower than 32 — the probe
-        // that set this divisor), sf10 keeps full width.
-        val nPart = {
-          val liRows = t(s, dir, "lineitem").count()
-          val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
-          math.max(4, math.min(conf, (liRows / 200000L + 1).toInt))
-        }
-        val ej = Ckpt.cutPartitioned(
-          edges.join(deg, "src").repartition(nPart, col("src")))
-        (ej, ej.select(col("src")).distinct().count())
-      })
+      txGraphCache.getOrElseUpdate((s, dir),
+        buildTxGraph(s, dir, standingOnly = false))
     }
 
   /** one damped-PageRank round in ×10⁻¹² fixed point: spread each
@@ -126,41 +148,16 @@ object PipelineOps {
       .select(col("node"), col("r").as("rank_fp"))
   }
 
-  /** the STANDING slice of the transaction graph: edges derived from
-    * orders whose md5 bucket < 80 (the same arriving-shard law as
-    * q263/q265/q267 — the other 20% of orders are the delta). UNCUT
-    * declarative plan: consumed once for the artifact key (it embeds
-    * the edge derivation and the shard split) and once, partitioned +
-    * checkpointed, as the base fixpoint's input. */
-  private def baseTxEdgePlan(s: SparkSession, dir: String): DataFrame = {
-    val scb = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
-        16, 10).cast("long") % 100 < 80)
-      .select((col("l_suppkey") + 1000000000L).as("src"),
-        col("o_custkey").as("dst"))
-      .distinct()
-    val edges = scb.unionByName(
-      scb.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    edges.join(deg, "src")
-  }
-
+  /** [[transactionGraph]]'s STANDING slice ([[txEdgePlan]] with the
+    * shard filter on), separately memoized — q270's base fixpoint
+    * input. */
   private val baseTxGraphCache = collection.mutable.Map
     .empty[(SparkSession, String), (DataFrame, Long)]
   private def baseTransactionGraph(s: SparkSession, dir: String)
       : (DataFrame, Long) =
     baseTxGraphCache.synchronized {
-      baseTxGraphCache.getOrElseUpdate((s, dir), {
-        val nPart = {
-          val liRows = t(s, dir, "lineitem").count()
-          val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
-          math.max(4, math.min(conf, (liRows / 200000L + 1).toInt))
-        }
-        val ej = Ckpt.cutPartitioned(
-          baseTxEdgePlan(s, dir).repartition(nPart, col("src")))
-        (ej, ej.select(col("src")).distinct().count())
-      })
+      baseTxGraphCache.getOrElseUpdate((s, dir),
+        buildTxGraph(s, dir, standingOnly = true))
     }
 
   /** the standing rank vector: damped PageRank solved to the 10⁻⁶
@@ -175,7 +172,7 @@ object PipelineOps {
   private def standingBaseRanks(s: SparkSession, dir: String): DataFrame = {
     val (ejb, nb) = baseTransactionGraph(s, dir)
     val unit = 1000000000000L
-    val raw = baseTxEdgePlan(s, dir)
+    val raw = txEdgePlan(s, dir, standingOnly = true)
     val keyPlan = prRound(raw,
       raw.select(col("src").as("node")).withColumn("r", lit(unit / nb)),
       15L * unit / 100L / nb)
@@ -839,13 +836,11 @@ object PipelineOps {
     // incremental merge equals a full re-solve, at every verified SF.
     QueryDef("q263_delta_components",
       (s, dir) => {
-        val bucket = (c: org.apache.spark.sql.Column) =>
-          conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-            .cast("long") % 100
         val pairs = TextOps.minedPairs(s, dir)
           .filter(col("jaccard") >= 0.8)
           .select(col("da").as("src"), col("db").as("dst"))
-        val isBase = bucket(col("src")) < 80 && bucket(col("dst")) < 80
+        val isBase =
+          hashBucket(col("src")) < 80 && hashBucket(col("dst")) < 80
         val standing = connectedComponents(pairs.filter(isBase))
         val merged = mergeDeltaComponents(standing, pairs.filter(!isBase))
         merged
@@ -1038,8 +1033,7 @@ object PipelineOps {
     // and the train side is distinct-collapsed before the join.
     QueryDef("q92_contamination",
       (s, dir) => {
-        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-          16, 10).cast("long") % 100
+        val bucket = hashBucket(col("doc_id"))
         val sh = TextOps.shingleTable(s, dir).withColumn("bucket", bucket)
         val trainShingles = sh.filter(col("bucket") < 80)
           .select(col("s")).distinct()
@@ -1296,8 +1290,7 @@ object PipelineOps {
     QueryDef("q118_bloom_decontam",
       (s, dir) => {
         graft.functions.MightContain.register(s)
-        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-          16, 10).cast("long") % 100
+        val bucket = hashBucket(col("doc_id"))
         val sh = TextOps.shingleTable(s, dir).withColumn("bucket", bucket)
         val evalSh = sh.filter(col("bucket") >= 90)
           .select(col("s")).distinct()

@@ -58,6 +58,19 @@ object Q {
     * balances, event values in the testdata are all 4-decimal). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** THE arrival-model hash bucket shared by every incremental-
+    * maintenance row (q106/q171/q263/q265/q267/q269/q270): md5-hash
+    * an id into 0..99; `< 80` is the standing base slice, `>= 80`
+    * the arriving shard. One definition on purpose — the
+    * merged==rebuilt equality proofs depend on the base/shard slices
+    * agreeing EXACTLY across modules (documents, vectors, orders),
+    * so the law lives here and call sites only choose the threshold.
+    * (Each query's DuckDB oracle necessarily repeats the formula as
+    * SQL text — those stay inline by the oracle contract.) */
+  def hashBucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+
   /** money column sized so products with two `frac` factors stay
     * within Spark's 38-digit cap without rounding:
     * (14,4)*(6,4) -> (21,8); *(6,4) -> (28,12); sum -> (38,12). */

@@ -105,19 +105,26 @@ object SideTables {
     md5hex(parts.mkString("|")).take(16)
   }
 
-  /** Mechanical builder-logic key — see the object scaladoc. The
-    * canonicalized plan normalizes expression ids; `@hex` JVM object
-    * identities (udaf instances print as `Class@hashcode`) and any
-    * residual `#id` tokens are regex-stripped so the string is
-    * stable across JVMs. File-scan root paths are folded in
-    * separately because the canonical form elides relation detail.
-    * Exposed private[graft] so SideTablesSpec can pin
-    * change-detection without publishing anything. */
+  /** Mechanical builder-logic key — see the object scaladoc.
+    * Canonicalization already normalizes expression ids to
+    * plan-positional ordinals, and those ordinals are KEPT: they
+    * carry which-operand identity (`a.id < b.id` vs `b.id < a.id`
+    * differ only by ordinal — stripping `#\d+` would collapse the
+    * two plans to one key and serve a stale artifact). Only `@hex`
+    * JVM object identities (udaf instances print as
+    * `Class@hashcode`) vary per process and are regex-stripped.
+    * Alias NAMES canonicalize away, so the builder's output schema
+    * rides along separately — renaming a result column re-keys.
+    * File-scan root paths are folded in too because the canonical
+    * form elides relation detail. Cross-JVM stability of the whole
+    * construction is pinned by SideTablesSpec's twice-run
+    * SideKeyProbe (second JVM must build 0 artifacts). Exposed
+    * private[graft] so SideTablesSpec can pin change-detection
+    * without publishing anything. */
   private[graft] def logicKey(df: DataFrame): String = {
     val plan = df.queryExecution.analyzed
     val canon = plan.canonicalized.toString
       .replaceAll("@[0-9a-fA-F]+", "@")
-      .replaceAll("#\\d+", "#")
     val scanPaths = plan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
@@ -125,7 +132,8 @@ object SideTables {
         case other => other.getClass.getName
       }
     }.mkString(";")
-    md5hex(canon + "|" + scanPaths + "|" + fnClassesKey).take(12)
+    md5hex(canon + "|" + df.schema.catalogString + "|" + scanPaths +
+      "|" + fnClassesKey).take(12)
   }
 
   /** content hash of the compiled `graft.functions` bytecode — the
@@ -176,10 +184,17 @@ object SideTables {
   }
 
   /** the full cache key for (`dir`, `source`, builder plan) —
-    * factored out so specs can assert key behavior without I/O. */
+    * factored out so specs can assert key behavior without I/O.
+    * The dataset dir is canonicalized SCHEME-AWARE: qualified
+    * against its own FileSystem (`file:/abs/...` locally,
+    * `hdfs://nn/...` remotely) with `..` segments collapsed —
+    * `java.io.File` would mangle a remote URI into `<cwd>/hdfs:/...`,
+    * making its fingerprint permanently "absent" and regeneration
+    * invisible. */
   private[graft] def keyFor(s: SparkSession, dir: String, source: String,
       build: DataFrame): String = {
-    val canon = new java.io.File(dir).getAbsolutePath
+    val p = new Path(dir)
+    val canon = fsFor(s, p).makeQualified(p).toUri.normalize.toString
     md5hex(canon).take(12) + "-" + fingerprint(s, canon, source) + "-" +
       logicKey(build)
   }
@@ -236,6 +251,16 @@ object SideTables {
       // construction inside ITS timed queries, and side_built exists
       // to flag exactly that contamination
       built.synchronized(built += s"$name@$key")
+      // a tableDir existing WITHOUT _SUCCESS is debris (crashed
+      // build, partial delete): Hadoop rename would move tmp INSIDE
+      // it and the publish would fail the same way forever, each
+      // attempt refreshing the dir's mtime past the vacuum horizon.
+      // A real publish always carries _SUCCESS (the tmp dir is
+      // renamed whole), so deleting the partial is safe; losing the
+      // tiny probe-to-rename race to a concurrent publisher just
+      // lands in publish()'s winner-exists branch.
+      if (fs.exists(tableDir) && !fs.exists(successP))
+        fs.delete(tableDir, true)
       publish(fs, tmp, tableDir, successP)
     }
     touchLastUsed(fs, tableDir)
@@ -252,7 +277,12 @@ object SideTables {
       val m = new Path(tableDir, LastUsed)
       if (fs.exists(m)) fs.setTimes(m, System.currentTimeMillis, -1)
       else fs.create(m, true).close()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // NonFatal, not just IOException: object-store connectors throw
+      // UnsupportedOperationException from setTimes, and the marker
+      // must never fail a read
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** Retention sweep for the side root: deletes every published table
     * (and abandoned `.tmp-` build debris) not read for `olderThanMs`,
@@ -281,15 +311,18 @@ object SideTables {
             else 0L)
           // dot-tmp dirs younger than the horizon are in-flight
           // builds; older ones are crash debris
-          if (now - lastUsed > olderThanMs) {
-            fs.delete(tdir.getPath, true)
+          if (now - lastUsed > olderThanMs &&
+              fs.delete(tdir.getPath, true)) // only report REAL deletes
             deleted += tdir.getPath.toString
-          }
         }
-      if (fs.listStatus(keyDir.getPath).isEmpty) {
-        fs.delete(keyDir.getPath, false)
-        deleted += keyDir.getPath.toString
-      }
+      // non-recursive prune can race a concurrent builder's mkdirs
+      // between the emptiness probe and the delete — that keyDir is
+      // simply live again, not a sweep failure
+      try {
+        if (fs.listStatus(keyDir.getPath).isEmpty &&
+            fs.delete(keyDir.getPath, false))
+          deleted += keyDir.getPath.toString
+      } catch { case _: java.io.IOException => () }
     }
     deleted.toList
   }

@@ -564,18 +564,15 @@ object SimilarityOps {
         import org.apache.spark.sql.expressions.Window
         val all = vecs(s, dir)
         val planes = adaptivePlanes(all.count(), 256)
-        val hvC = (c: Column) =>
-          conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-            .cast("long") % 100
         val buckets = lshBuckets(all, 8, planes)
-          .withColumn("hv", hvC(col("vec_id")))
+          .withColumn("hv", hashBucket(col("vec_id")))
         val tb = buckets.filter(col("hv") < 80)
           .select(col("vec_id").as("tid"), col("tbl"), col("b"))
         val eb = buckets.filter(col("hv") >= 90)
           .select(col("vec_id").as("eid"), col("tbl"), col("b"))
         val cand = tb.join(broadcast(eb), Seq("tbl", "b"))
           .select(col("eid"), col("tid")).distinct()
-        val withHv = all.withColumn("hv", hvC(col("vec_id")))
+        val withHv = all.withColumn("hv", hashBucket(col("vec_id")))
         val scored = cand
           .join(withHv.filter(col("hv") >= 90)
             .select(col("vec_id").as("eid"), col("v").as("av")), "eid")
@@ -1314,9 +1311,7 @@ object SimilarityOps {
       (s, dir) => {
         val merged = SideTables.getOrBuild(s, dir, "ivf_sums_merged",
             source = "embeddings") {
-          val bucket = conv(
-            substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-            .cast("long") % 100
+          val bucket = hashBucket(col("vec_id"))
           def cellSums(keep: Column) = t(s, dir, "embeddings")
             .filter(keep)
             .select(col("label").cast("long").as("label"),
@@ -2035,9 +2030,7 @@ object SimilarityOps {
   /** arriving-shard split of the vector corpus: md5-derived bucket of
     * vec_id, ≥ 80 = the 20% "new" shard (same split law as q267's
     * coarse-index delta and q265's document shard). */
-  private def vecShard(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100 >= 80
+  private def vecShard(c: Column): Column = hashBucket(c) >= 80
 
   private def vecShardSql: String =
     "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) " +

@@ -285,9 +285,7 @@ object TextOps {
   /** the q171/q263 arrival-model bucket: md5-hash a doc id into
     * 0..99; < 80 is the standing base corpus, ≥ 80 the arriving
     * shard. */
-  private[graft] def docBucket(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+  private[graft] def docBucket(c: Column): Column = hashBucket(c)
 
   /** Merge an arriving shard's band rows into the STANDING
     * band-collision index WITHOUT re-running the corpus self-join —
@@ -937,8 +935,7 @@ object TextOps {
   private lazy val incrementalMinhashQueryDef = QueryDef(
     "q171_incremental_minhash",
     (s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long") % 100
+      val bucket = docBucket(col("doc_id"))
       val ex = shingleTable(s, dir)
       val flags = t(s, dir, "documents")
         .select(col("doc_id"), (bucket >= 80).as("is_batch"))
@@ -2506,8 +2503,7 @@ object TextOps {
   // lazy: declared below `defs`, which references it at object init
   private lazy val splitQueryDef = QueryDef("q73_hash_split",
     (s, dir) => {
-      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long") % 100).as("bucket")
+      val bucket = docBucket(col("doc_id")).as("bucket")
       t(s, dir, "documents")
         .select(col("doc_id"), size(toks(col("text"))).cast("long")
           .as("n_tokens"), bucket)

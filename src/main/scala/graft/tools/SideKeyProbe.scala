@@ -26,9 +26,14 @@ object SideKeyProbe {
       .config("spark.ui.enabled", "false")
       .appName("side-key-probe")
       .getOrCreate()
-    // every catalog query that reads a persisted artifact
+    // every catalog query that reads a persisted artifact — including
+    // the incremental-maintenance rows (merged band/IVF/PQ tables and
+    // the getOrBuildKeyed standing rank vector)
     val touching = Seq("q262_band_collisions", "q36_minhash_lsh",
-      "q67_knn_ivf_probe", "q84_knn_pq")
+      "q67_knn_ivf_probe", "q84_knn_pq",
+      "q265_incremental_index_merge", "q267_ivf_delta_refresh",
+      "q269_pq_delta_encode", "q270_pagerank_warm",
+      "q271_pq_codebook_drift")
     touching.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       println(s"$q rows=$n")

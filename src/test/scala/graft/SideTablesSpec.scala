@@ -48,6 +48,37 @@ class SideTablesSpec extends SparkSpec {
     assert(SideTables.logicKey(a) !== SideTables.logicKey(b))
   }
 
+  test("logicKey keeps operand identity and output names") {
+    // canonicalized exprIds are plan-positional ordinals and must be
+    // KEPT: these two self-join conditions differ ONLY by which
+    // operand is on which side — stripping the ordinals would
+    // collapse them to one key and serve a stale artifact with the
+    // opposite pair orientation
+    val lt = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val gt = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    assert(SideTables.logicKey(lt) !== SideTables.logicKey(gt))
+    // alias names canonicalize away, so the output schema must carry
+    // them: a renamed result column is a different artifact
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val m = docs.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    assert(SideTables.logicKey(n) !== SideTables.logicKey(m))
+  }
+
+  test("keyFor canonicalizes the dataset dir scheme-aware") {
+    val build = docs.select(col("doc_id"))
+    val plain = sf()
+    // ../ collapsed: the same dataset spelled two ways is ONE key
+    val dotted = new java.io.File(plain).getParent +
+      "/../" + new java.io.File(new java.io.File(plain).getParent).getName +
+      "/" + new java.io.File(plain).getName
+    assert(SideTables.keyFor(spark, plain, "documents", build) ===
+      SideTables.keyFor(spark, dotted, "documents", build))
+  }
+
   test("logicKey folds scan paths, so upstream side-table keys propagate") {
     // same plan shape over two different parquet roots must key apart
     // (a downstream builder reading an upstream ARTIFACT inherits its
@@ -159,6 +190,43 @@ class SideTablesSpec extends SparkSpec {
       }.count() === 5)
       // ...and the vacuumed one transparently rebuilds
       get().count()
+      assert(builds === 2)
+    } finally {
+      sys.props.remove("graft.side.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    }
+  }
+
+  test("a tableDir without _SUCCESS is debris: the next build recovers") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-deb")
+    sys.props("graft.side.dir") = tmpRoot.toString
+    try {
+      val fs = new Path(tmpRoot.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // count PUBLISHES, not calls: getOrBuild forces the block once
+      // per call for its key plan, so a call-counter would tick on
+      // cache hits too
+      def builds = SideTables.builtThisSession
+        .count(_.startsWith("deb_counts@"))
+      def get() = SideTables.getOrBuild(spark, sf(), "deb_counts") {
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      }
+      val expected = get().collect().map(_.toSeq).toSet
+      assert(builds === 1)
+      // simulate a crashed build / partial delete: the published dir
+      // exists but its _SUCCESS is gone. Without the pre-rename
+      // cleanup, the retry's rename nests its tmp INSIDE the debris
+      // and every subsequent attempt fails forever.
+      fs.listStatus(new Path(tmpRoot.toString)).foreach { keyDir =>
+        fs.listStatus(keyDir.getPath)
+          .filter(_.getPath.getName == "deb_counts")
+          .foreach(t => fs.delete(new Path(t.getPath, "_SUCCESS"), false))
+      }
+      assert(get().collect().map(_.toSeq).toSet === expected)
+      assert(builds === 2)
+      // and the recovered dir is a clean publish (readable again, no
+      // third build)
+      assert(get().collect().map(_.toSeq).toSet === expected)
       assert(builds === 2)
     } finally {
       sys.props.remove("graft.side.dir")
