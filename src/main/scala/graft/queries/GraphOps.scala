@@ -283,6 +283,162 @@ object GraphOps {
       .orderBy(col("triangles").desc, col("node")).limit(100)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental triangle maintenance (q272) — the triangle-family
+  // member of the standing-pipeline story (CC: q263, PageRank: q270).
+
+  /** per-node triangle counts over an arbitrary canonical (u < v)
+    * undirected edge list — the from-scratch counterpart the
+    * incremental path maintains. Self-contained (orients by the edge
+    * set's OWN degrees, like [[trianglesSampled]]) and deliberately
+    * checkpoint-free: the plan stays a pure tree so it can serve as
+    * a SideTables BUILDER (the mechanical cache key reads the
+    * derivation off the plan). Callers register sorted_common. */
+  private[graft] def triCorners(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val o = withDeg.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    adj
+      .select(col("src").as("a"), col("nb").as("nbu"),
+        explode(col("nb")).as("b"))
+      .join(adj.hint("shuffle_hash")
+          .select(col("src").as("b"), col("nb").as("nbv")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        expr("sorted_common(nbu, nbv)").as("common"))
+      .select(col("a"), col("b"), explode(col("common")).as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+  }
+
+  /** builder-transparent basket plan (no memoized-checkpoint leaves,
+    * unlike [[basketItems]]) — SideTables keys the standing triangle
+    * artifacts off this derivation. */
+  private def basketItemsPlan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** canonical (u < v) distinct co-purchase edges of a basket slice. */
+  private def coEdgesOf(items: DataFrame): DataFrame =
+    items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+
+  /** Incremental triangle-count maintenance — merge an arriving
+    * ORDER shard into standing per-node triangle counts without
+    * recounting the base graph. The arrival unit of a transactional
+    * co-purchase graph is a basket ([[Q.hashBucket]] on the order
+    * key: < 80 standing, ≥ 80 arriving); the standing artifacts a
+    * production pipeline persists are the symmetric base adjacency
+    * (`tri_adj_base`) and the per-node base triangle counts
+    * (`tri_counts_base`), both published via SideTables.
+    *
+    * The merge decomposes every NEW triangle by how many of its
+    * three edges the shard contributed — disjoint and exhaustive, so
+    * each is counted exactly once:
+    *  - 1 delta edge (u,v): its base-common neighborhood
+    *    |Nb(u) ∩ Nb(v)| (one probe of the standing adjacency per
+    *    delta edge, merge-scanned by sorted_common);
+    *  - 2 delta edges: they necessarily share an apex, so the pair
+    *    is a wedge of the shard's own adjacency, closed by a base
+    *    edge (one array-membership probe of the standing adjacency
+    *    per shard wedge);
+    *  - 3 delta edges: a from-scratch count of the shard-only graph
+    *    ([[triCorners]] on the delta edge set).
+    * Delta edges themselves are the shard's co-purchase edges minus
+    * edges the standing graph already has (membership-checked
+    * against the adjacency artifact, then materialized as
+    * `tri_delta_edges` — the per-shard table the two count legs and
+    * the within-shard count read). Per-shard cost is |shard| scans
+    * and |delta|-bounded probes of standing artifacts — base
+    * lineitem is NEVER re-read by the merge (the merged builder's
+    * only leaves are the three artifact parquets).
+    *
+    * The published `tri_counts_merged` equals a from-scratch count
+    * over base ∪ delta per node — q272's oracle recounts exactly
+    * that in SQL, so the hash match IS the merged==rebuilt proof
+    * (IncrementalIndexSpec additionally pins equality against the
+    * engine's own [[triCorners]] on the full edge set). */
+  private[queries] def trianglesIncremental(s: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.SortedIntersect.register(s)
+    val baseAdj = SideTables.getOrBuild(s, dir, "tri_adj_base",
+      "lineitem") {
+      val be = coEdgesOf(
+        basketItemsPlan(s, dir).filter(hashBucket(col("ok")) < 80))
+      be.select(col("u").as("node"), col("v").as("nb0"))
+        .unionAll(be.select(col("v").as("node"), col("u").as("nb0")))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(col("nb0"))).as("nb"))
+    }
+    val baseTri = SideTables.getOrBuild(s, dir, "tri_counts_base",
+      "lineitem") {
+      triCorners(coEdgesOf(
+        basketItemsPlan(s, dir).filter(hashBucket(col("ok")) < 80)))
+    }
+    val delta = SideTables.getOrBuild(s, dir, "tri_delta_edges",
+      "lineitem") {
+      // shard co-purchase edges the standing graph doesn't have:
+      // membership via one left join + array probe of the adjacency
+      // artifact (no |2E| edge-list explode)
+      coEdgesOf(basketItemsPlan(s, dir)
+          .filter(hashBucket(col("ok")) >= 80))
+        .join(baseAdj.select(col("node").as("u"), col("nb")),
+          Seq("u"), "left")
+        .filter(col("nb").isNull || !array_contains(col("nb"), col("v")))
+        .select(col("u"), col("v"))
+    }
+    val merged = SideTables.getOrBuild(s, dir, "tri_counts_merged",
+      "lineitem") {
+      val leg1 = delta
+        .join(baseAdj.select(col("node").as("u"), col("nb").as("nbu")),
+          Seq("u"), "left")
+        .join(baseAdj.select(col("node").as("v"), col("nb").as("nbv")),
+          Seq("v"), "left")
+        .select(col("u"), col("v"),
+          expr("""sorted_common(
+            coalesce(nbu, CAST(array() AS ARRAY<BIGINT>)),
+            coalesce(nbv, CAST(array() AS ARRAY<BIGINT>)))""")
+            .as("common"))
+        .select(col("u"), col("v"), explode(col("common")).as("w"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      val dSym = delta.select(col("u").as("node"), col("v").as("x"))
+        .unionAll(delta.select(col("v").as("node"), col("u").as("x")))
+      val leg2 = dSym.as("p").join(dSym.as("q"),
+          col("p.node") === col("q.node") && col("p.x") < col("q.x"))
+        .select(col("p.node").as("apex"), col("p.x").as("wv"),
+          col("q.x").as("ww"))
+        .join(baseAdj.select(col("node").as("wv"), col("nb")), "wv")
+        .filter(array_contains(col("nb"), col("ww")))
+        .select(explode(array(col("apex"), col("wv"), col("ww")))
+          .as("node"))
+      val incr = leg1.unionAll(leg2)
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+        .unionByName(triCorners(delta))
+        .groupBy(col("node")).agg(sum(col("tri")).as("tri_added"))
+      baseTri.withColumnRenamed("tri", "tri_base")
+        .join(incr, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("tri_base"), lit(0L)).as("tri_base"),
+          coalesce(col("tri_added"), lit(0L)).as("tri_added"),
+          (coalesce(col("tri_base"), lit(0L)) +
+            coalesce(col("tri_added"), lit(0L))).as("tri_merged"))
+    }
+    merged.orderBy(col("tri_merged").desc, col("node")).limit(100)
+  }
+
   /** one k-core peel round: recompute degrees on the surviving
     * subgraph, drop nodes below k, keep edges with both endpoints
     * alive. The semi joins are ordered v-then-u so the round's OUTPUT
@@ -1373,6 +1529,51 @@ object GraphOps {
         |  (SELECT count(*) FROM se) AS n_edges_sampled,
         |  tri_sampled,
         |  tri_sampled * 1000000 // 15625 AS est_triangles
-        |FROM tri""".stripMargin))
+        |FROM tri""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Incremental triangle maintenance (see [[trianglesIncremental]])
+    // — standing per-node counts + an arriving order shard, merged by
+    // the 1/2/3-delta-edge decomposition without recounting the base
+    // graph. The ORACLE recounts base and merged graphs from scratch,
+    // so the hash match is the merged==rebuilt proof per node.
+    QueryDef("q272_triangles_incremental",
+      (s, dir) => trianglesIncremental(s, dir),
+      Some(s"""WITH $edgeSql,
+        |bli AS (
+        |  SELECT ok, pk FROM li
+        |  WHERE CAST(('0x' || substring(md5(CAST(ok AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 80),
+        |be AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM bli a JOIN bli b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |btri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM be e1
+        |  JOIN be e2 ON e2.u = e1.v
+        |  JOIN be e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |btn AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM btri
+        |    UNION ALL SELECT b FROM btri
+        |    UNION ALL SELECT c FROM btri)
+        |  GROUP BY node)
+        |SELECT tn.node,
+        |  CAST(coalesce(btn.tri, 0) AS BIGINT) AS tri_base,
+        |  CAST(tn.tri - coalesce(btn.tri, 0) AS BIGINT) AS tri_added,
+        |  CAST(tn.tri AS BIGINT) AS tri_merged
+        |FROM tn LEFT JOIN btn ON btn.node = tn.node
+        |ORDER BY tri_merged DESC, tn.node LIMIT 100""".stripMargin))
   )
 }

@@ -127,4 +127,45 @@ class IncrementalIndexSpec extends SparkSpec {
         assert(builtNames.contains(n), s"$n not published"))
     }
   }
+
+  test("merged triangle counts equal a from-scratch recount of base ∪ delta") {
+    withFreshRoot {
+      graft.functions.SortedIntersect.register(spark)
+      val merged = SparkEntry
+        .queries("q272_triangles_incremental")(spark, sf())
+        .collect()
+      // independent from-scratch recount over the FULL co-purchase
+      // graph (the spec derives base/full edges itself, so a drift in
+      // the engine's shard law or edge build would surface here)
+      val li = Q.t(spark, sf(), "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      def edgesOf(items: org.apache.spark.sql.DataFrame) =
+        items.as("a").join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+      val fullTri = graft.queries.GraphOps
+        .triCorners(edgesOf(li)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val baseTri = graft.queries.GraphOps
+        .triCorners(edgesOf(li.filter(Q.hashBucket(col("ok")) < 80)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the query is the top-100 by (tri_merged desc, node); check the
+      // slice matches the recount's identical slice, column by column
+      val refTop = fullTri.toSeq.sortBy { case (n, t) => (-t, n) }.take(100)
+      assert(merged.map(r => r.getLong(0) -> r.getLong(3)).toSeq === refTop)
+      merged.foreach { r =>
+        assert(r.getLong(1) === baseTri.getOrElse(r.getLong(0), 0L),
+          s"tri_base mismatch at node ${r.getLong(0)}")
+        assert(r.getLong(1) + r.getLong(2) === r.getLong(3),
+          s"tri_base + tri_added != tri_merged at node ${r.getLong(0)}")
+      }
+      // all four standing artifacts were published under the fresh root
+      val builtNames = SideTables.builtThisSession.map(_.split('@')(0))
+      Seq("tri_adj_base", "tri_counts_base", "tri_delta_edges",
+        "tri_counts_merged").foreach(n =>
+        assert(builtNames.contains(n), s"$n not published"))
+    }
+  }
 }
