@@ -475,6 +475,78 @@ object SketchOps {
          |FROM allr ORDER BY pair""".stripMargin
     })
 
+  // ------------------------------------------------------------------
+  // q273 — STANDING HLL registers absorbing an arriving order shard:
+  // the sketch-side member of the incremental-maintenance family
+  // (bands q265, IVF q267, PQ q269, CC q263, PageRank q270, triangles
+  // q272). Register max is associative and order-free, so the merge —
+  // standing registers ⊕ shard registers, max per (grp, bucket) — is
+  // BIT-identical to rebuilding the registers over base ∪ shard from
+  // scratch, which is exactly what the oracle does: the hash match is
+  // the merged==rebuilt proof, estimator branches included. Standing
+  // and merged registers persist via SideTables (`hll_regs_base`,
+  // `hll_regs_merged`); per-shard cost is one |shard| scan + a
+  // ≤(groups × 16)-row register union — the base corpus is never
+  // re-read (the merged builder's leaves are the base-register
+  // parquet + the shard slice). The exact merged distinct rides along
+  // for the oracle; at production scale you'd drop it — that's the
+  // point of the sketch.
+  // ------------------------------------------------------------------
+  private val hllAbsorbDef = QueryDef("q273_hll_absorb",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_orderkey").as("ok"),
+          md5(col("l_partkey").cast("string")).as("h"))
+      val baseRegs = SideTables.getOrBuild(s, dir, "hll_regs_base",
+        "lineitem") {
+        hllRho(li.filter(hashBucket(col("ok")) < 80))
+          .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("m"))
+      }
+      val mergedRegs = SideTables.getOrBuild(s, dir, "hll_regs_merged",
+        "lineitem") {
+        val shardRegs = hllRho(li.filter(hashBucket(col("ok")) >= 80))
+          .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("m"))
+        baseRegs.unionByName(shardRegs)
+          .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+      }
+      val estB = hllEstimate(baseRegs, Seq("grp"))
+        .select(col("grp"), col("s_fp").as("s_fp_base"),
+          col("est_fp").as("est_fp_base"))
+      val estM = hllEstimate(mergedRegs, Seq("grp"))
+        .select(col("grp"), col("s_fp").as("s_fp_merged"),
+          col("est_fp").as("est_fp_merged"))
+      val exact = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact_merged"))
+      estB.join(estM, Seq("grp")).join(exact, Seq("grp"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH src AS (SELECT l_returnflag AS grp,
+      |    (CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100 < 80) AS is_base,
+      |    md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+      |${hllRhoSql("grp, is_base")},
+      |base_regs AS (SELECT grp, bucket, max(rho) AS m FROM rh
+      |  WHERE is_base GROUP BY grp, bucket),
+      |merged_regs AS (SELECT grp, bucket, max(rho) AS m FROM rh
+      |  GROUP BY grp, bucket),
+      |regs AS (SELECT grp, 'base' AS kind, bucket, m FROM base_regs
+      |  UNION ALL SELECT grp, 'merged', bucket, m FROM merged_regs),
+      |${hllEstimateSql("grp, kind")},
+      |ex AS (SELECT l_returnflag AS grp,
+      |    count(DISTINCT l_partkey) AS n_exact_merged
+      |  FROM lineitem GROUP BY 1)
+      |SELECT b.grp,
+      |  CAST(b.s_fp AS BIGINT) AS s_fp_base,
+      |  CAST(b.est_fp AS BIGINT) AS est_fp_base,
+      |  CAST(m.s_fp AS BIGINT) AS s_fp_merged,
+      |  CAST(m.est_fp AS BIGINT) AS est_fp_merged,
+      |  ex.n_exact_merged
+      |FROM est b JOIN est m ON m.grp = b.grp
+      |  AND b.kind = 'base' AND m.kind = 'merged'
+      |JOIN ex ON ex.grp = b.grp
+      |ORDER BY b.grp""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef, kmvJoinDef)
+    Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef, kmvJoinDef, hllAbsorbDef)
 }

@@ -168,4 +168,31 @@ class IncrementalIndexSpec extends SparkSpec {
         assert(builtNames.contains(n), s"$n not published"))
     }
   }
+
+  test("absorbed HLL registers equal q176's from-scratch full-corpus sketch") {
+    withFreshRoot {
+      val absorbed = SparkEntry.queries("q273_hll_absorb")(spark, sf())
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+      // q176 builds its registers over the FULL corpus in one pass —
+      // an independent derivation of exactly what base ⊕ shard must
+      // equal, register-sum and estimator branch included
+      val full = SparkEntry.queries("q176_hll_portable")(spark, sf())
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(absorbed.keySet === full.keySet)
+      absorbed.foreach { case (grp, (sfpB, _, sfpM, estM, nExact)) =>
+        val (sfpFull, estFull, nExactFull) = full(grp)
+        assert(sfpM === sfpFull, s"merged register sum drifted at $grp")
+        assert(estM === estFull, s"merged estimate drifted at $grp")
+        assert(nExact === nExactFull)
+        // absorbing data only pushes registers UP (s_fp down)
+        assert(sfpM <= sfpB, s"register sum grew on absorb at $grp")
+      }
+      val builtNames = SideTables.builtThisSession.map(_.split('@')(0))
+      Seq("hll_regs_base", "hll_regs_merged").foreach(n =>
+        assert(builtNames.contains(n), s"$n not published"))
+    }
+  }
 }
