@@ -371,17 +371,68 @@ object GraphOps {
     * that in SQL, so the hash match IS the merged==rebuilt proof
     * (IncrementalIndexSpec additionally pins equality against the
     * engine's own [[triCorners]] on the full edge set). */
+  /** symmetric sorted-array adjacency of a canonical (u < v) edge
+    * list — the standing artifact shape both incremental triangle
+    * paths (absorb q272, retract q275) probe. Plan-pure so it can
+    * serve inside SideTables builders. */
+  private def symAdjOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"), col("v").as("nb0"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nb0")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nb0"))).as("nb"))
+
+  /** THE 1/2/3-delta-edge triangle decomposition, shared by absorb
+    * (q272: base = standing graph, delta = arriving shard, counts
+    * triangles GAINED) and retract (q275: base = retained graph,
+    * delta = forgotten edges, counts triangles LOST). `adj` is the
+    * symmetric sorted adjacency of the base side, `delta` the
+    * canonical (u < v) delta edge set, disjoint from base. Triangles
+    * of base ∪ delta touching ≥ 1 delta edge, per corner node:
+    *  - 1 delta edge (u,v): base-common neighborhood
+    *    |Nb(u) ∩ Nb(v)| (one sorted_common probe per delta edge);
+    *  - 2 delta edges: a shard wedge closed by a base edge (one
+    *    array-membership probe per wedge);
+    *  - 3 delta edges: [[triCorners]] on the delta set alone.
+    * Disjoint and exhaustive, so each triangle is counted exactly
+    * once — which is why the same function proves both
+    * merged == rebuilt (q272) and retracted == rebuilt (q275). */
+  private def deltaTriCorners(adj: DataFrame, delta: DataFrame,
+      alias: String): DataFrame = {
+    val leg1 = delta
+      .join(adj.select(col("node").as("u"), col("nb").as("nbu")),
+        Seq("u"), "left")
+      .join(adj.select(col("node").as("v"), col("nb").as("nbv")),
+        Seq("v"), "left")
+      .select(col("u"), col("v"),
+        expr("""sorted_common(
+          coalesce(nbu, CAST(array() AS ARRAY<BIGINT>)),
+          coalesce(nbv, CAST(array() AS ARRAY<BIGINT>)))""")
+          .as("common"))
+      .select(col("u"), col("v"), explode(col("common")).as("w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+    val dSym = delta.select(col("u").as("node"), col("v").as("x"))
+      .unionAll(delta.select(col("v").as("node"), col("u").as("x")))
+    val leg2 = dSym.as("p").join(dSym.as("q"),
+        col("p.node") === col("q.node") && col("p.x") < col("q.x"))
+      .select(col("p.node").as("apex"), col("p.x").as("wv"),
+        col("q.x").as("ww"))
+      .join(adj.select(col("node").as("wv"), col("nb")), "wv")
+      .filter(array_contains(col("nb"), col("ww")))
+      .select(explode(array(col("apex"), col("wv"), col("ww")))
+        .as("node"))
+    leg1.unionAll(leg2)
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      .unionByName(triCorners(delta))
+      .groupBy(col("node")).agg(sum(col("tri")).as(alias))
+  }
+
   private[queries] def trianglesIncremental(s: SparkSession,
       dir: String): DataFrame = {
     graft.functions.SortedIntersect.register(s)
     val baseAdj = SideTables.getOrBuild(s, dir, "tri_adj_base",
       "lineitem") {
-      val be = coEdgesOf(
-        basketItemsPlan(s, dir).filter(hashBucket(col("ok")) < 80))
-      be.select(col("u").as("node"), col("v").as("nb0"))
-        .unionAll(be.select(col("v").as("node"), col("u").as("nb0")))
-        .groupBy(col("node"))
-        .agg(sort_array(collect_list(col("nb0"))).as("nb"))
+      symAdjOf(coEdgesOf(
+        basketItemsPlan(s, dir).filter(hashBucket(col("ok")) < 80)))
     }
     val baseTri = SideTables.getOrBuild(s, dir, "tri_counts_base",
       "lineitem") {
@@ -402,32 +453,7 @@ object GraphOps {
     }
     val merged = SideTables.getOrBuild(s, dir, "tri_counts_merged",
       "lineitem") {
-      val leg1 = delta
-        .join(baseAdj.select(col("node").as("u"), col("nb").as("nbu")),
-          Seq("u"), "left")
-        .join(baseAdj.select(col("node").as("v"), col("nb").as("nbv")),
-          Seq("v"), "left")
-        .select(col("u"), col("v"),
-          expr("""sorted_common(
-            coalesce(nbu, CAST(array() AS ARRAY<BIGINT>)),
-            coalesce(nbv, CAST(array() AS ARRAY<BIGINT>)))""")
-            .as("common"))
-        .select(col("u"), col("v"), explode(col("common")).as("w"))
-        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      val dSym = delta.select(col("u").as("node"), col("v").as("x"))
-        .unionAll(delta.select(col("v").as("node"), col("u").as("x")))
-      val leg2 = dSym.as("p").join(dSym.as("q"),
-          col("p.node") === col("q.node") && col("p.x") < col("q.x"))
-        .select(col("p.node").as("apex"), col("p.x").as("wv"),
-          col("q.x").as("ww"))
-        .join(baseAdj.select(col("node").as("wv"), col("nb")), "wv")
-        .filter(array_contains(col("nb"), col("ww")))
-        .select(explode(array(col("apex"), col("wv"), col("ww")))
-          .as("node"))
-      val incr = leg1.unionAll(leg2)
-        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-        .unionByName(triCorners(delta))
-        .groupBy(col("node")).agg(sum(col("tri")).as("tri_added"))
+      val incr = deltaTriCorners(baseAdj, delta, "tri_added")
       baseTri.withColumnRenamed("tri", "tri_base")
         .join(incr, Seq("node"), "full_outer")
         .select(col("node"),
@@ -437,6 +463,72 @@ object GraphOps {
             coalesce(col("tri_added"), lit(0L))).as("tri_merged"))
     }
     merged.orderBy(col("tri_merged").desc, col("node")).limit(100)
+  }
+
+  /** deterministic per-EDGE retraction coin — md5 of the canonical
+    * "u:v" pair into 0..99, the same formula [[trianglesSampled]]
+    * samples with (and its oracle repeats in SQL), so both engines
+    * forget the identical edge set. ≥ `pct` is the forgotten slice. */
+  private def edgeCoin: Column =
+    conv(substring(md5(concat_ws(":", col("u"), col("v"))),
+      1, 15), 16, 10).cast("long") % 100
+
+  /** Triangle-count maintenance under EDGE RETRACTION — the forget
+    * half of q272's absorb: standing per-node counts over the full
+    * graph minus the triangles lost when an edge set is deleted
+    * (a GDPR purge, an upstream retraction feed, an expiring epoch),
+    * WITHOUT recounting the surviving graph. Runs [[deltaTriCorners]]
+    * in reverse: full = retained ∪ deleted, so the triangles touching
+    * ≥ 1 deleted edge — counted against the RETAINED adjacency — are
+    * exactly the per-node decrement, and
+    * retained = standing − decrement is bit-equal to a from-scratch
+    * count over the surviving edges (q275's oracle recounts exactly
+    * that in SQL; RetractionSpec pins it against the engine's own
+    * [[triCorners]]).
+    *
+    * The retained adjacency is itself maintained, not rebuilt: only
+    * nodes incident to a deleted edge have their (sorted) neighbor
+    * arrays trimmed — an array_except over |touched nodes| rows; all
+    * other adjacency rows pass through untouched. Per-retraction cost
+    * is |deleted|-bounded probes + the touched-row trim; full
+    * lineitem is never re-read once the standing artifacts exist.
+    * At 100 TB the deleted set is a shard-sized feed and the standing
+    * artifacts are the same parquet the absorb path maintains. */
+  private[queries] def trianglesRetract(s: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.SortedIntersect.register(s)
+    val fullAdj = SideTables.getOrBuild(s, dir, "tri_adj_full",
+      "lineitem") {
+      symAdjOf(coEdgesOf(basketItemsPlan(s, dir)))
+    }
+    val fullTri = SideTables.getOrBuild(s, dir, "tri_counts_full",
+      "lineitem") {
+      triCorners(coEdgesOf(basketItemsPlan(s, dir)))
+    }
+    val retracted = SideTables.getOrBuild(s, dir,
+      "tri_counts_retracted", "lineitem") {
+      val del = coEdgesOf(basketItemsPlan(s, dir))
+        .filter(edgeCoin >= 90)
+      // trim deleted neighbors out of the touched adjacency rows only
+      // (array_except keeps first-array order, so sortedness — which
+      // sorted_common relies on — survives the trim)
+      val delNb = del.select(col("u").as("node"), col("v").as("x"))
+        .unionAll(del.select(col("v").as("node"), col("u").as("x")))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(col("x"))).as("dnb"))
+      val retAdj = fullAdj.join(delNb, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dnb").isNull, col("nb"))
+            .otherwise(array_except(col("nb"), col("dnb"))).as("nb"))
+      val lost = deltaTriCorners(retAdj, del, "tri_removed")
+      fullTri.withColumnRenamed("tri", "tri_full")
+        .join(lost, Seq("node"), "left")
+        .select(col("node"), col("tri_full"),
+          coalesce(col("tri_removed"), lit(0L)).as("tri_removed"),
+          (col("tri_full") - coalesce(col("tri_removed"), lit(0L)))
+            .as("tri_retained"))
+    }
+    retracted.orderBy(col("tri_retained").desc, col("node")).limit(100)
   }
 
   /** one k-core peel round: recompute degrees on the surviving
@@ -1574,6 +1666,49 @@ object GraphOps {
         |  CAST(tn.tri - coalesce(btn.tri, 0) AS BIGINT) AS tri_added,
         |  CAST(tn.tri AS BIGINT) AS tri_merged
         |FROM tn LEFT JOIN btn ON btn.node = tn.node
-        |ORDER BY tri_merged DESC, tn.node LIMIT 100""".stripMargin))
+        |ORDER BY tri_merged DESC, tn.node LIMIT 100""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Triangle maintenance under EDGE RETRACTION (see
+    // [[trianglesRetract]]) — the forget half of q272's absorb: the
+    // standing counts are DECREMENTED by the delta decomposition run
+    // against the retained adjacency, never recounted. The oracle
+    // recounts full and retained graphs from scratch, so the hash
+    // match is the retracted==rebuilt proof per node.
+    QueryDef("q275_triangles_retract",
+      (s, dir) => trianglesRetract(s, dir),
+      Some(s"""WITH $edgeSql,
+        |ret AS (
+        |  SELECT u, v FROM e
+        |  WHERE CAST(('0x' || substring(md5(u::VARCHAR || ':' ||
+        |    v::VARCHAR), 1, 15)) AS BIGINT) % 100 < 90),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |rtri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ret e1
+        |  JOIN ret e2 ON e2.u = e1.v
+        |  JOIN ret e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |rtn AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT a AS node FROM rtri
+        |    UNION ALL SELECT b FROM rtri
+        |    UNION ALL SELECT c FROM rtri)
+        |  GROUP BY node)
+        |SELECT tn.node,
+        |  CAST(tn.tri AS BIGINT) AS tri_full,
+        |  CAST(tn.tri - coalesce(rtn.tri, 0) AS BIGINT) AS tri_removed,
+        |  CAST(coalesce(rtn.tri, 0) AS BIGINT) AS tri_retained
+        |FROM tn LEFT JOIN rtn ON rtn.node = tn.node
+        |ORDER BY tri_retained DESC, tn.node LIMIT 100""".stripMargin))
   )
 }

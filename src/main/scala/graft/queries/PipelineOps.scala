@@ -401,6 +401,70 @@ object PipelineOps {
     baseOut.union(freshOut)
   }
 
+  /** Connected components under NODE RETRACTION — the forget half of
+    * [[mergeDeltaComponents]]'s absorb, and the graph-side shape of a
+    * GDPR purge: documents leave the corpus, every edge incident to
+    * them disappears, and the standing (node, label) table must
+    * become what a from-scratch solve over the surviving graph would
+    * produce — components can SPLIT, so unlike the absorb this needs
+    * the surviving edges of the affected components, but ONLY those.
+    *
+    * Touched = components that contain a deleted node (edges never
+    * cross components, so every removed edge lives inside one).
+    * Untouched standing rows pass through byte-identical — their
+    * subgraphs did not change, and labels are min reachable ids, so
+    * a from-scratch solve reproduces them. For touched components the
+    * surviving induced edge set is re-solved with pointer doubling
+    * (splits can be deep chains, so O(log d) rounds, not HashMin) and
+    * survivors that lost ALL edges label themselves — exactly the
+    * from-scratch contract for isolated nodes. The touched-label set
+    * rides the [[relabelBroadcastMaxRows]] gate: broadcast below the
+    * ceiling, shuffle-hash semi/anti joins above it (a purge that
+    * touches most components degrades to one data-proportional
+    * shuffle instead of a driver OOM).
+    *
+    * 100 TB shape: the only full-width scans are one pass over the
+    * standing LABELS (split into pass-through vs re-solve) and one
+    * pass over the edge table to carve the touched induced subgraph —
+    * and a production deployment partitions the persisted edge table
+    * BY standing label (the layout q263's scaladoc already calls
+    * for), so that pass prunes to the touched partitions and the
+    * retraction cost is |touched subgraph| + |forget set|, never
+    * |graph|. q274's oracle re-solves the SURVIVING graph from
+    * scratch in SQL, so the hash match is the retracted==rebuilt
+    * proof; RetractionSpec pins the split/min-relabel/isolation edge
+    * cases and both gate regimes. */
+  def retractNodesComponents(standing: DataFrame, edges: DataFrame,
+      deleted: DataFrame): DataFrame = {
+    val touchedT = Ckpt.cut(
+      standing.join(deleted.select(col("node")), Seq("node"), "left_semi")
+        .select(col("label")).distinct(), true)
+    val touched =
+      if (touchedT.count() <= relabelBroadcastMaxRows) broadcast(touchedT)
+      else touchedT.hint("shuffle_hash")
+    val untouched = standing.join(touched, Seq("label"), "left_anti")
+      .select(col("node"), col("label"))
+    val survivors = standing.join(touched, Seq("label"), "left_semi")
+      .join(deleted.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"))
+    // surviving induced edges of touched components: membership via
+    // ONE endpoint's standing label (edges are intra-component), both
+    // endpoints must survive the purge
+    val inducedEdges = edges
+      .join(standing.select(col("node").as("src"),
+        col("label").as("slbl")), Seq("src"))
+      .join(touched.select(col("label").as("slbl")), Seq("slbl"),
+        "left_semi")
+      .join(deleted.select(col("node").as("src")), Seq("src"), "left_anti")
+      .join(deleted.select(col("node").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    val solved = Ckpt.cut(connectedComponentsDoubling(inducedEdges), true)
+    val isolated = survivors
+      .join(solved.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    untouched.unionByName(solved).unionByName(isolated)
+  }
+
   /** relabel-map row ceiling under which [[mergeDeltaComponents]]
     * broadcasts it — same default and knob pattern as
     * [[GraphOps.lpaBroadcastMaxRows]] (env
@@ -894,6 +958,75 @@ object PipelineOps {
         |SELECT f.node AS doc_id, f.label AS canonical_id,
         |  f.label <> coalesce(s.label, f.node) AS was_merged
         |FROM full_cc f LEFT JOIN standing s ON s.node = f.node
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Connected components under NODE RETRACTION (see
+    // [[retractNodesComponents]]) — the GDPR half of q263's absorb:
+    // documents are forgotten, their edges vanish, components can
+    // SPLIT, and only the touched components are re-solved. The
+    // oracle solves the SURVIVING graph from scratch (and the full
+    // graph, for the was_relabeled provenance), so the hash match IS
+    // the retracted==rebuilt proof per node.
+    QueryDef("q274_cc_retract",
+      (s, dir) => {
+        val pairs = TextOps.minedPairs(s, dir)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da").as("src"), col("db").as("dst"))
+        val standing = connectedComponents(pairs)
+        val deleted = standing.filter(hashBucket(col("node")) >= 90)
+          .select(col("node"))
+        retractNodesComponents(standing, pairs, deleted)
+          .join(standing.select(col("node"),
+            col("label").as("standing_label")), Seq("node"))
+          .select(col("node").as("doc_id"),
+            col("label").as("canonical_id"),
+            (col("label") =!= col("standing_label")).as("was_relabeled"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${TextOps.shingleSql},
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= ${TextOps.JaccardMaxDf}),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT da, db FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |edges AS (
+        |  SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |kept AS (
+        |  SELECT DISTINCT n AS node FROM (
+        |    SELECT da AS n FROM pairs UNION ALL SELECT db FROM pairs)
+        |  WHERE CAST(('0x' || substring(md5(CAST(n AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 100 < 90),
+        |ret_edges AS (
+        |  SELECT src, dst FROM edges
+        |  WHERE CAST(('0x' || substring(md5(CAST(src AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 90
+        |    AND CAST(('0x' || substring(md5(CAST(dst AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 < 90),
+        |walk(node, reach) AS (
+        |  SELECT node, node FROM kept
+        |  UNION
+        |  SELECT w.node, e.dst
+        |  FROM walk w JOIN ret_edges e ON w.reach = e.src),
+        |walk_full(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.node, e.dst
+        |  FROM walk_full w JOIN edges e ON w.reach = e.src),
+        |cc AS (SELECT node, min(reach) AS label FROM walk GROUP BY node),
+        |standing AS (
+        |  SELECT node, min(reach) AS label FROM walk_full GROUP BY node)
+        |SELECT c.node AS doc_id, c.label AS canonical_id,
+        |  c.label <> s.label AS was_relabeled
+        |FROM cc c JOIN standing s ON s.node = c.node
         |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
