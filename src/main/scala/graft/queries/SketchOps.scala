@@ -547,6 +547,83 @@ object SketchOps {
       |JOIN ex ON ex.grp = b.grp
       |ORDER BY b.grp""".stripMargin))
 
+  /** HLL under RETRACTION — the sketch-side forget story, stated
+    * honestly: an HLL register CANNOT delete an element (max() has no
+    * inverse), so the production answer is EPOCH-PARTITIONED
+    * registers — keep one register set per arrival epoch (here: the
+    * order-hash decile, the same shard law as everywhere else), merge
+    * at query time, and retraction = DROPPING an epoch's partition
+    * from the standing artifact. Partition-drop is exact for
+    * max-merge: max over the surviving epochs' registers equals
+    * registers built from the surviving rows, bit-for-bit — which is
+    * why the whole row (registers AND estimates) hash-matches the
+    * oracle's from-scratch derivation, with the exact retained
+    * distinct count alongside as the honesty column. The standing
+    * `hll_regs_epochs` artifact is 10 epochs × 16 registers per
+    * group — a few KB that makes a 100 TB corpus's distinct counts
+    * maintainable under both absorb (append an epoch) and forget
+    * (drop one), without ever re-reading surviving data. */
+  private val hllRetractDef = QueryDef("q277_hll_partitioned_retract",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_orderkey").as("ok"),
+          md5(col("l_partkey").cast("string")).as("h"))
+      val epochRegs = SideTables.getOrBuild(s, dir, "hll_regs_epochs",
+        "lineitem") {
+        hllRho(li.withColumn("part",
+            floor(hashBucket(col("ok")) / 10).cast("long")))
+          .groupBy(col("grp"), col("part"), col("bucket"))
+          .agg(max(col("rho")).as("m"))
+      }
+      val fullRegs = epochRegs
+        .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+      val retRegs = epochRegs.filter(col("part") < 9)
+        .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+      val estF = hllEstimate(fullRegs, Seq("grp"))
+        .select(col("grp"), col("s_fp").as("s_fp_full"),
+          col("est_fp").as("est_fp_full"))
+      val estR = hllEstimate(retRegs, Seq("grp"))
+        .select(col("grp"), col("s_fp").as("s_fp_retained"),
+          col("est_fp").as("est_fp_retained"))
+      val exact = t(s, dir, "lineitem")
+        .filter(hashBucket(col("l_orderkey")) < 90)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact_retained"))
+      estF.join(estR, Seq("grp")).join(exact, Seq("grp"))
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH src AS (SELECT l_returnflag AS grp,
+      |    (CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100) // 10 AS part,
+      |    md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+      |${hllRhoSql("grp, part")},
+      |epoch_regs AS (SELECT grp, part, bucket, max(rho) AS m FROM rh
+      |  GROUP BY grp, part, bucket),
+      |full_regs AS (SELECT grp, bucket, max(m) AS m FROM epoch_regs
+      |  GROUP BY grp, bucket),
+      |ret_regs AS (SELECT grp, bucket, max(m) AS m FROM epoch_regs
+      |  WHERE part < 9 GROUP BY grp, bucket),
+      |regs AS (SELECT grp, 'full' AS kind, bucket, m FROM full_regs
+      |  UNION ALL SELECT grp, 'retained', bucket, m FROM ret_regs),
+      |${hllEstimateSql("grp, kind")},
+      |ex AS (SELECT l_returnflag AS grp,
+      |    count(DISTINCT l_partkey) AS n_exact_retained
+      |  FROM lineitem
+      |  WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+      |    1, 15)) AS BIGINT) % 100 < 90
+      |  GROUP BY 1)
+      |SELECT f.grp,
+      |  CAST(f.s_fp AS BIGINT) AS s_fp_full,
+      |  CAST(f.est_fp AS BIGINT) AS est_fp_full,
+      |  CAST(r.s_fp AS BIGINT) AS s_fp_retained,
+      |  CAST(r.est_fp AS BIGINT) AS est_fp_retained,
+      |  ex.n_exact_retained
+      |FROM est f JOIN est r ON r.grp = f.grp
+      |  AND f.kind = 'full' AND r.kind = 'retained'
+      |JOIN ex ON ex.grp = f.grp
+      |ORDER BY f.grp""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef, kmvJoinDef, hllAbsorbDef)
+    Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef, kmvJoinDef, hllAbsorbDef,
+      hllRetractDef)
 }

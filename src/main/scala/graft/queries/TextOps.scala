@@ -132,24 +132,31 @@ object TextOps {
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[queries] def bandCollisions(s: SparkSession, dir: String): DataFrame =
     collCache.synchronized {
-      collCache.getOrElseUpdate((s, dir), {
+      collCache.getOrElseUpdate((s, dir),
         // persisted via SideTables (not just session-memoized): this
         // IS the candidate-pair table a production dedup run writes
         // between its index and verify phases, so after one build
         // every session reads the parquet instead of re-running the
         // self-join (the same cross-run cut minhash_bands got in r10)
-        SideTables.getOrBuild(s, dir, "band_collisions") {
-          val bands = minhashBands(s, dir)
-          bands.as("a")
-            .join(bands.as("b"),
-              col("a.band_id") === col("b.band_id") &&
-                col("a.bh") === col("b.bh") &&
-                col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-            .groupBy(col("da"), col("db"))
-            .agg(count(lit(1)).as("n_bands"))
-        }.localCheckpoint(false)
-      })
+        standingCollisionsTable(s, dir).localCheckpoint(false))
+    }
+
+  /** the standing collision side table as a raw parquet read — no
+    * localCheckpoint leaf, so downstream SideTables BUILDERS (q276's
+    * retracted artifact) can consume it while keeping their own
+    * derivation visible to the mechanical cache key. */
+  private def standingCollisionsTable(s: SparkSession,
+      dir: String): DataFrame =
+    SideTables.getOrBuild(s, dir, "band_collisions") {
+      val bands = minhashBands(s, dir)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_bands"))
     }
 
   /** q36's MinHash-LSH candidate pairs (da < db sharing ≥1 band
@@ -855,7 +862,8 @@ object TextOps {
     minhashErrQueryDef,
     ngramUdtfQueryDef, sourceTermsQueryDef, lengthHistogramQueryDef,
     dupLeakageQueryDef, incrementalMinhashQueryDef,
-    bandCollisionsQueryDef, indexMergeQueryDef, bpeMergeQueryDef,
+    bandCollisionsQueryDef, indexMergeQueryDef, bandRetractQueryDef,
+    bpeMergeQueryDef,
     repeatTrimQueryDef, boilerplateQueryDef, noveltyQueryDef,
     crossSourceOverlapQueryDef, sourceMinhashQueryDef, diversityQueryDef,
     rarityQueryDef, trigramSearchQueryDef, dupDistanceQueryDef,
@@ -1098,6 +1106,86 @@ object TextOps {
       |       WHEN sa OR sb THEN 'vs_corpus'
       |       ELSE 'standing' END AS kind
       |FROM flagged
+      |ORDER BY da, db""".stripMargin))
+
+  /** Standing dedup index under DOCUMENT RETRACTION — the forget half
+    * of q265's absorb, and the index-side shape of a GDPR purge:
+    * when documents leave the corpus, the maintained collision table
+    * is the standing artifact FILTERED by the forget set (two
+    * hash-anti passes over the |pairs|-sized table — the corpus is
+    * never re-signatured, no self-join re-runs), published back
+    * through SideTables as `band_collisions_retracted`. That filter
+    * IS a rebuild because per-doc band digests depend only on the
+    * doc's own text and collisions are pairwise — and the oracle
+    * PROVES the engine implements it: the `retained` leg is
+    * re-derived from scratch over the retained corpus only
+    * (signature build, banding, self-join — none of which the engine
+    * runs), so the hash match is the purged==rebuilt proof. The
+    * `purged` leg keeps the dropped pairs visible for the audit
+    * trail a deletion pipeline must emit. */
+  private lazy val bandRetractQueryDef = QueryDef(
+    "q276_band_retract",
+    (s, dir) => {
+      val retained = SideTables.getOrBuild(s, dir,
+        "band_collisions_retracted") {
+        standingCollisionsTable(s, dir)
+          .filter(docBucket(col("da")) < 90 && docBucket(col("db")) < 90)
+      }
+      val purged = bandCollisions(s, dir)
+        .filter(docBucket(col("da")) >= 90 || docBucket(col("db")) >= 90)
+      retained.withColumn("kind", lit("retained"))
+        .unionByName(purged.withColumn("kind", lit("purged")))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shingleSql,
+      |rbase AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+      |        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+      |          1, 15)) AS BIGINT) % 100 < 90)),
+      |rhashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM rbase CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |rbands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM rhashed GROUP BY doc_id, seed // 4),
+      |retained AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+      |  FROM rbands a JOIN rbands b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |hashed AS (
+      |  SELECT doc_id, seed,
+      |    min(((2*seed + 1) * h + 7919*seed) % 2147483647) AS mh
+      |  FROM base CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |    md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bh
+      |  FROM hashed GROUP BY doc_id, seed // 4),
+      |coll AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_bands
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |purged AS (
+      |  SELECT da, db, n_bands FROM coll
+      |  WHERE CAST(('0x' || substring(md5(CAST(da AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100 >= 90
+      |    OR CAST(('0x' || substring(md5(CAST(db AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100 >= 90)
+      |SELECT da, db, n_bands, kind FROM (
+      |  SELECT da, db, n_bands, 'retained' AS kind FROM retained
+      |  UNION ALL
+      |  SELECT da, db, n_bands, 'purged' FROM purged)
       |ORDER BY da, db""".stripMargin))
 
   /** Cross-source duplicate-leakage matrix — WHERE the near-dups come
