@@ -1341,7 +1341,73 @@ object SimilarityOps {
         |FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i)
         |GROUP BY label, i
         |ORDER BY label, dim""".stripMargin))
-  ) :+ annEvalFamiliesQueryDef :+ pqDeltaQueryDef :+ pqDriftQueryDef
+  ) :+ annEvalFamiliesQueryDef :+ pqDeltaQueryDef :+ pqDriftQueryDef :+
+    ivfRetractQueryDef
+
+  /** IVF coarse index under VECTOR RETRACTION — the ANN-side forget
+    * story, completing the family (graph q274/q275, dedup index
+    * q276, sketches q277): deleted vectors are SUBTRACTED from the
+    * standing per-cell sums. The sums are quantized-integer longs
+    * (exact, associative — the same property q267's absorb leans
+    * on), so full − deleted is bit-identical to rebuilding from the
+    * surviving vectors, with one subtlety the absorb path never
+    * meets: a cell whose every vector was deleted must DROP from the
+    * index, not linger as a zero vector — which is why the standing
+    * artifact carries per-cell counts (`ivf_stats_full`) and the
+    * retraction drops cells at n_retained = 0. The oracle re-derives
+    * the per-cell sums from scratch over the retained vectors only,
+    * so the hash match is the retracted==rebuilt proof. Per-purge
+    * cost: one |deleted| scan + a |cells|-row join; surviving
+    * vectors are never re-read. */
+  /** full − deleted per-cell (sv, n), dropping cells whose every
+    * vector was deleted (n_retained = 0) — they must vanish from the
+    * index exactly as a from-scratch rebuild would omit them, never
+    * linger as zero vectors. Exposed for RetractionSpec, which pins
+    * the drop branch the SF-swept oracle can't reach (the testdata's
+    * cells never fully empty). */
+  private[graft] def subtractCellStats(full: DataFrame,
+      del: DataFrame): DataFrame =
+    full.as("f").join(del.as("d"), Seq("label"), "left_outer")
+      .filter(col("d.n").isNull || col("f.n") > col("d.n"))
+      .select(col("label"),
+        when(col("d.sv").isNull, col("f.sv"))
+          .otherwise(zip_with(col("f.sv"), col("d.sv"),
+            (x, y) => x - y)).as("sv"),
+        (col("f.n") - coalesce(col("d.n"), lit(0L))).as("n"))
+
+  private lazy val ivfRetractQueryDef = QueryDef(
+    "q278_ivf_retract",
+    (s, dir) => {
+      val retracted = SideTables.getOrBuild(s, dir, "ivf_sums_retracted",
+          source = "embeddings") {
+        val bucket = hashBucket(col("vec_id"))
+        def cellStats(keep: Column) = t(s, dir, "embeddings")
+          .filter(keep)
+          .select(col("label").cast("long").as("label"),
+            quant(col("embedding")).as("v"))
+          .groupBy(col("label"))
+          .agg(vecSum(col("v")).as("sv"), count(lit(1)).as("n"))
+        val full = SideTables.getOrBuild(s, dir, "ivf_stats_full",
+          source = "embeddings")(cellStats(lit(true)))
+        subtractCellStats(full, cellStats(bucket >= 90))
+      }
+      retracted.select(col("label"), col("n"),
+          posexplode(col("sv")).as(Seq("dim", "sx")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("sx"), col("n").as("n_retained"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some(s"""WITH qv AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v
+      |  FROM embeddings
+      |  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 100 < 90)
+      |SELECT label, CAST(i AS BIGINT) AS dim,
+      |  CAST(sum(v[i + 1]) AS BIGINT) AS sx,
+      |  count(*) AS n_retained
+      |FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i)
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin))
 
   /** q234 extended to EVERY index family (the r11 judge's ask): MRR@5
     * and hits@5 for the LSH (q41), IVF multi-probe (q67) and PQ-ADC

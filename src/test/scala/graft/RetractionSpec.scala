@@ -132,4 +132,24 @@ class RetractionSpec extends SparkSpec {
     assert(joined.exists(r => r.getLong(1) != r.getLong(2)),
       "no node lost a triangle — the coin removed nothing")
   }
+
+  test("IVF cell subtraction drops fully-emptied cells, keeps exact sums") {
+    // the branch the q278 oracle can't reach at the tested SFs: a
+    // cell whose every vector is deleted must VANISH (a from-scratch
+    // rebuild emits no row for it), not linger as a zero vector
+    val full = Seq(
+      (1L, Seq(10L, 20L), 3L),  // partially purged
+      (2L, Seq(5L, 5L), 2L),    // fully purged -> must drop
+      (3L, Seq(7L, 9L), 1L)     // untouched
+    ).toDF("label", "sv", "n")
+    val del = Seq(
+      (1L, Seq(4L, 6L), 2L),
+      (2L, Seq(5L, 5L), 2L)
+    ).toDF("label", "sv", "n")
+    val got = graft.queries.SimilarityOps.subtractCellStats(full, del)
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(got == Set(
+      (1L, Seq(6L, 14L), 1L),
+      (3L, Seq(7L, 9L), 1L)))
+  }
 }
