@@ -1030,6 +1030,60 @@ object PipelineOps {
         |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // CHAINED shard absorption (see [[mergeDeltaComponents]]) — the
+    // composition proof the single-shard row (q263) can't give: a
+    // standing labeling absorbs TWO successive shards, each merge
+    // reading only the previous labels + its own shard, and the
+    // result must equal a from-scratch solve over the full union.
+    // This is the property a standing pipeline actually relies on —
+    // shards arrive forever, not once — and it holds because
+    // mergeDeltaComponents preserves the min-reachable-id label
+    // contract its own input assumes (the output is a valid
+    // `standing` for the next merge). Shards partition the pair set
+    // by the max endpoint bucket (< 80 base, < 90 first shard, rest
+    // second), so the slices are disjoint and exhaustive. The oracle
+    // solves the full graph from scratch; the hash match is the
+    // absorb-law-composes proof.
+    QueryDef("q279_cc_chained_absorb",
+      (s, dir) => {
+        val pairs = TextOps.minedPairs(s, dir)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da").as("src"), col("db").as("dst"))
+        val mx = greatest(hashBucket(col("src")), hashBucket(col("dst")))
+        val standing0 = connectedComponents(pairs.filter(mx < 80))
+        val after1 = Ckpt.cut(
+          mergeDeltaComponents(standing0,
+            pairs.filter(mx >= 80 && mx < 90)), true)
+        val after2 = mergeDeltaComponents(after1, pairs.filter(mx >= 90))
+        after2.select(col("node").as("doc_id"),
+            col("label").as("canonical_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${TextOps.shingleSql},
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= ${TextOps.JaccardMaxDf}),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT da, db FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |edges AS (
+        |  SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |walk(node, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+        |SELECT node AS doc_id, min(reach) AS canonical_id
+        |FROM walk GROUP BY node
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Keep-BEST dedup resolution — q80's duplicate clusters resolved
     // to the representative production pipelines actually keep: the
     // LONGEST document (n_chars, ties → smallest doc_id), not the

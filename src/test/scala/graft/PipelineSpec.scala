@@ -77,6 +77,28 @@ class PipelineSpec extends SparkSpec {
       && got(40L) == 40L)
   }
 
+  test("chained absorbs equal from-scratch: the merge law composes") {
+    // two successive shards where the SECOND bridges components the
+    // FIRST created or relabeled — the interaction a single-shard
+    // equality test can't see. Shard 1 bridges comp(1) with comp(10)
+    // and plants a fresh component {100,101}; shard 2 then bridges
+    // the FRESH component into the MERGED one and chains comp(20) in
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L), (40L, 41L))
+      .toDF("src", "dst")
+    val shard1 = Seq((2L, 10L), (100L, 101L)).toDF("src", "dst")
+    val shard2 = Seq((101L, 11L), (21L, 100L)).toDF("src", "dst")
+    val after1 = PipelineOps.mergeDeltaComponents(
+      PipelineOps.connectedComponents(base), shard1)
+    val after2 = PipelineOps.mergeDeltaComponents(
+      after1.localCheckpoint(false), shard2)
+    val got = after2.as[(Long, Long)].collect().toMap
+    val scratch = PipelineOps.connectedComponents(
+        base.union(shard1).union(shard2))
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch)
+    assert(got(21L) == 1L && got(100L) == 1L && got(40L) == 40L)
+  }
+
   test("mergeDeltaComponents relabel regimes: broadcast gated, fallback agrees") {
     // the r11-judge item: the relabel map must not broadcast
     // unconditionally — past the ceiling the relabel joins fall back
