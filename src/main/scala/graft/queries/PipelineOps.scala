@@ -1084,6 +1084,89 @@ object PipelineOps {
         |ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // INTERLEAVED absorb → retract → absorb — the closure proof for
+    // the standing-pipeline algebra. q279 proved absorbs compose and
+    // q274 proved a retraction equals a from-scratch solve; a real
+    // standing pipeline INTERLEAVES them (shards arrive, purges land,
+    // more shards arrive), so this row drives one labeling through
+    // the full cycle: absorb shard 1, purge a node band (tombstoning
+    // it), absorb shard 2 with tombstone-incident edges dropped at
+    // the door (q108's delete-propagation discipline — a purged doc
+    // must not resurrect via a later shard), and the result must
+    // equal a from-scratch solve over exactly the surviving corpus.
+    // It holds because each step both ASSUMES and RE-ESTABLISHES the
+    // min-reachable-id standing contract, so any absorb/retract word
+    // is valid — the oracle solves the end state from scratch and the
+    // hash match is the proof for this word; PipelineSpec pins the
+    // adversarial shape (a purge that splits a component a later
+    // shard re-bridges) synthetically.
+    QueryDef("q280_cc_absorb_retract",
+      (s, dir) => {
+        val pairs = TextOps.minedPairs(s, dir)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da").as("src"), col("db").as("dst"))
+        val mx = greatest(hashBucket(col("src")), hashBucket(col("dst")))
+        def inDelBand(c: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          hashBucket(c) >= 40 && hashBucket(c) < 50
+        val standing0 = connectedComponents(pairs.filter(mx < 80))
+        val after1 = Ckpt.cut(
+          mergeDeltaComponents(standing0,
+            pairs.filter(mx >= 80 && mx < 90)), true)
+        val deleted = after1.filter(inDelBand(col("node")))
+          .select(col("node"))
+        val afterR = Ckpt.cut(
+          retractNodesComponents(after1, pairs.filter(mx < 90), deleted),
+          true)
+        val shard2 = pairs.filter(mx >= 90)
+          .filter(!inDelBand(col("src")) && !inDelBand(col("dst")))
+        mergeDeltaComponents(afterR, shard2)
+          .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${TextOps.shingleSql},
+        |ex0 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, sz, s FROM (
+        |  SELECT doc_id, sz, s, count(*) OVER (PARTITION BY s) AS df FROM ex0)
+        |  WHERE df <= ${TextOps.JaccardMaxDf}),
+        |cnt AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+        |    count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT da, db,
+        |    CAST(('0x' || substring(md5(CAST(da AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS ba,
+        |    CAST(('0x' || substring(md5(CAST(db AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS bb
+        |  FROM cnt
+        |  WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        |surviving AS (
+        |  SELECT da, db, ba, bb, greatest(ba, bb) AS mx FROM pairs
+        |  WHERE ba NOT BETWEEN 40 AND 49 AND bb NOT BETWEEN 40 AND 49),
+        |kept AS (
+        |  SELECT DISTINCT n AS node FROM (
+        |    SELECT da AS n, ba AS b FROM pairs WHERE greatest(ba, bb) < 90
+        |    UNION ALL
+        |    SELECT db, bb FROM pairs WHERE greatest(ba, bb) < 90
+        |    UNION ALL
+        |    SELECT da, ba FROM surviving WHERE mx >= 90
+        |    UNION ALL
+        |    SELECT db, bb FROM surviving WHERE mx >= 90)
+        |  WHERE b NOT BETWEEN 40 AND 49),
+        |edges AS (
+        |  SELECT da AS src, db AS dst FROM surviving
+        |  UNION ALL SELECT db, da FROM surviving),
+        |walk(node, reach) AS (
+        |  SELECT node, node FROM kept
+        |  UNION
+        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+        |SELECT node AS doc_id, min(reach) AS canonical_id
+        |FROM walk GROUP BY node
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Keep-BEST dedup resolution — q80's duplicate clusters resolved
     // to the representative production pipelines actually keep: the
     // LONGEST document (n_chars, ties → smallest doc_id), not the

@@ -623,7 +623,84 @@ object SketchOps {
       |JOIN ex ON ex.grp = f.grp
       |ORDER BY f.grp""".stripMargin))
 
+  /** EPOCH COMPACTION for the partitioned HLL registers — the
+    * operational complement of q277's epoch-partitioned retraction.
+    * Epoch partitioning buys the ability to forget, but a standing
+    * pipeline that appends an epoch per arriving shard grows its
+    * artifact forever; once epochs age past the retention horizon
+    * (no purge can target them anymore), a compaction sweep max-folds
+    * them into one BASE partition and the artifact stops growing:
+    * |registers| = (1 + live epochs) × groups × 16 rows, bounded
+    * regardless of how many shards ever arrived. Compaction is EXACT
+    * for max-merge registers — max is associative and idempotent, so
+    * (base ⊕ e₀ ⊕ … ⊕ eₖ) ⊕ live == full — and this row proves it
+    * end-to-end: register-content fingerprints and estimates from the
+    * compacted artifact must hash-match the oracle's from-scratch
+    * derivation over ALL rows, with the row-count shrink
+    * (rows_before → rows_after) alongside as the bound the sweep
+    * exists to enforce. The grain trade is stated by construction:
+    * compacted epochs can no longer be individually retracted —
+    * that's what "past the retention horizon" means. */
+  private val hllCompactDef = QueryDef("q281_hll_compact",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"), col("l_orderkey").as("ok"),
+          md5(col("l_partkey").cast("string")).as("h"))
+      val epochRegs = SideTables.getOrBuild(s, dir, "hll_regs_epochs",
+        "lineitem") {
+        hllRho(li.withColumn("part",
+            floor(hashBucket(col("ok")) / 10).cast("long")))
+          .groupBy(col("grp"), col("part"), col("bucket"))
+          .agg(max(col("rho")).as("m"))
+      }
+      // the sweep: epochs 0..4 are past the horizon → one base
+      // partition (part = -1); epochs 5..9 stay individually
+      // retractable. Published as its own standing artifact.
+      val compacted = SideTables.getOrBuild(s, dir, "hll_regs_compacted",
+        "lineitem") {
+        epochRegs.withColumn("part",
+            when(col("part") < 5, lit(-1L)).otherwise(col("part")))
+          .groupBy(col("grp"), col("part"), col("bucket"))
+          .agg(max(col("m")).as("m"))
+      }
+      val fullFromCompact = compacted
+        .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+      val est = hllEstimate(fullFromCompact, Seq("grp"))
+        .select(col("grp"), col("s_fp"), col("est_fp"))
+      val shrink = epochRegs.groupBy(col("grp"))
+        .agg(count(lit(1)).as("rows_before"))
+        .join(compacted.groupBy(col("grp"))
+          .agg(count(lit(1)).as("rows_after")), Seq("grp"))
+      est.join(shrink, Seq("grp")).orderBy(col("grp"))
+    },
+    Some(s"""WITH src AS (SELECT l_returnflag AS grp,
+      |    (CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 100) // 10 AS part,
+      |    md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+      |${hllRhoSql("grp, part")},
+      |epoch_regs AS (SELECT grp, part, bucket, max(rho) AS m FROM rh
+      |  GROUP BY grp, part, bucket),
+      |compacted AS (SELECT grp,
+      |    CASE WHEN part < 5 THEN -1 ELSE part END AS part,
+      |    bucket, max(m) AS m
+      |  FROM epoch_regs GROUP BY 1, 2, 3),
+      |regs AS (SELECT grp, bucket, max(m) AS m FROM compacted
+      |  GROUP BY grp, bucket),
+      |${hllEstimateSql("grp")},
+      |shrink AS (
+      |  SELECT b.grp, b.rows_before, a.rows_after FROM
+      |    (SELECT grp, count(*) AS rows_before FROM epoch_regs
+      |      GROUP BY grp) b
+      |    JOIN (SELECT grp, count(*) AS rows_after FROM compacted
+      |      GROUP BY grp) a ON a.grp = b.grp)
+      |SELECT e.grp,
+      |  CAST(e.s_fp AS BIGINT) AS s_fp,
+      |  CAST(e.est_fp AS BIGINT) AS est_fp,
+      |  s.rows_before, s.rows_after
+      |FROM est e JOIN shrink s ON s.grp = e.grp
+      |ORDER BY e.grp""".stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(cmsDef, hllDef, kmvDef, rollDef, pctDef, kmvJoinDef, hllAbsorbDef,
-      hllRetractDef)
+      hllRetractDef, hllCompactDef)
 }

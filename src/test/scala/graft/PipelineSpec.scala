@@ -99,6 +99,35 @@ class PipelineSpec extends SparkSpec {
     assert(got(21L) == 1L && got(100L) == 1L && got(40L) == 40L)
   }
 
+  test("absorb-retract-absorb interleave equals from-scratch on the surviving corpus") {
+    // the q280 word, with the adversarial shape chosen on purpose:
+    // shard 1 extends the base path; the purge then deletes a CUT
+    // vertex of the absorbed component (splitting it); shard 2
+    // RE-BRIDGES one split half into a different standing component
+    // while an edge incident to the tombstoned node arrives in the
+    // same shard and must be dropped at the door (no resurrection)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val shard1 = Seq((3L, 4L), (11L, 12L)).toDF("src", "dst")
+    val deleted = Seq(2L).toDF("node")
+    val shard2 = Seq((4L, 10L), (1L, 2L), (50L, 51L)).toDF("src", "dst")
+    val after1 = PipelineOps.mergeDeltaComponents(
+      PipelineOps.connectedComponents(base), shard1)
+      .localCheckpoint(false)
+    val afterR = PipelineOps.retractNodesComponents(
+      after1, base.union(shard1), deleted).localCheckpoint(false)
+    val tomb = Set(2L)
+    val shard2Kept = shard2.as[(Long, Long)].collect()
+      .filter { case (a, b) => !tomb(a) && !tomb(b) }.toSeq
+    val after2 = PipelineOps.mergeDeltaComponents(
+      afterR, shard2Kept.toDF("src", "dst"))
+    val got = after2.as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L,                                              // split half
+      3L -> 3L, 4L -> 3L, 10L -> 3L, 11L -> 3L, 12L -> 3L,   // re-bridged
+      50L -> 50L, 51L -> 50L))                               // fresh comp
+    assert(!got.contains(2L)) // the tombstoned node stays forgotten
+  }
+
   test("mergeDeltaComponents relabel regimes: broadcast gated, fallback agrees") {
     // the r11-judge item: the relabel map must not broadcast
     // unconditionally — past the ceiling the relabel joins fall back
