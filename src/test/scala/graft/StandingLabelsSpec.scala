@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.queries.PipelineOps
+import graft.streaming.StandingLabels
+
+/** The foreachBatch maintenance loop for standing component labels:
+  * stream-maintained state must equal a from-scratch solve over every
+  * edge that ever arrived (the q263/q279 law, driven by micro-batches
+  * instead of explicit shards), batch re-runs must be idempotent (the
+  * at-least-once contract of foreachBatch), a batch-built labeling
+  * must hand off into the loop, and old versions must be pruned.
+  */
+class StandingLabelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def labels(root: String): Map[Long, Long] =
+    StandingLabels.readLatest(spark, root).as[(Long, Long)]
+      .collect().toMap
+
+  test("stream-maintained labels equal from-scratch CC over all arrived edges") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sl-state")
+    val in = MemoryStream[(Long, Long)]
+    val q = StandingLabels.maintainComponentsStream(
+      in.toDF().toDF("src", "dst"), root, tmp("sl-ckpt"))
+    try {
+      // batch 1: two components; batch 2 BRIDGES them and plants a
+      // fresh one; batch 3 chains the fresh one in — the cross-batch
+      // interactions a single-batch test can't see
+      in.addData((1L, 2L), (10L, 11L)); q.processAllAvailable()
+      in.addData((2L, 10L), (100L, 101L)); q.processAllAvailable()
+      assert(labels(root) ==
+        Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+          100L -> 100L, 101L -> 100L))
+      in.addData((101L, 11L)); q.processAllAvailable()
+    } finally q.stop()
+    val all = Seq((1L, 2L), (10L, 11L), (2L, 10L), (100L, 101L),
+      (101L, 11L)).toDF("src", "dst")
+    val scratch = PipelineOps.connectedComponents(all)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(root) == scratch)
+  }
+
+  test("absorbBatch re-run is idempotent and never merges its own failed write") {
+    val root = tmp("sl-replay")
+    StandingLabels.absorbBatch(
+      Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"), 0L, root)
+    StandingLabels.absorbBatch(
+      Seq((2L, 10L)).toDF("src", "dst"), 1L, root)
+    val after = labels(root)
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // crash-replay: batch 1 runs AGAIN with the same id. The absorb
+    // must read v=0 (not the v=1 its failed attempt left behind) and
+    // produce identical state — proven by replaying with an EXTRA
+    // edge: were v=1 consulted, 20/21 would join component 1 only,
+    // but the result must equal merge(v0, batch1') exactly
+    StandingLabels.absorbBatch(
+      Seq((2L, 10L), (20L, 21L)).toDF("src", "dst"), 1L, root)
+    assert(labels(root) ==
+      after ++ Map(20L -> 20L, 21L -> 20L))
+    // and a byte-for-byte replay changes nothing
+    StandingLabels.absorbBatch(
+      Seq((2L, 10L), (20L, 21L)).toDF("src", "dst"), 1L, root)
+    assert(labels(root) == after ++ Map(20L -> 20L, 21L -> 20L))
+    assert(StandingLabels.committedVersions(spark, root) == Seq(0L, 1L))
+  }
+
+  test("bootstrap hands a batch-built labeling into the loop; refuses a live root") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sl-boot")
+    val base = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    StandingLabels.bootstrap(PipelineOps.connectedComponents(base), root)
+    val in = MemoryStream[(Long, Long)]
+    val q = StandingLabels.maintainComponentsStream(
+      in.toDF().toDF("src", "dst"), root, tmp("sl-boot-ckpt"))
+    try {
+      in.addData((2L, 10L)); q.processAllAvailable()
+    } finally q.stop()
+    val scratch = PipelineOps.connectedComponents(
+        base.union(Seq((2L, 10L)).toDF("src", "dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(root) == scratch)
+    intercept[IllegalArgumentException] {
+      StandingLabels.bootstrap(
+        PipelineOps.connectedComponents(base), root)
+    }
+  }
+
+  test("old versions are pruned to the keep window, newest state intact") {
+    val root = tmp("sl-prune")
+    (0L until 6L).foreach { i =>
+      StandingLabels.absorbBatch(
+        Seq((i * 10, i * 10 + 1)).toDF("src", "dst"), i, root)
+    }
+    val vs = StandingLabels.committedVersions(spark, root)
+    assert(vs == Seq(3L, 4L, 5L), vs.toString)
+    assert(labels(root).size == 12) // all 6 shards' nodes survive
+  }
+}
