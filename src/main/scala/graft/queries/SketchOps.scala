@@ -165,7 +165,7 @@ object SketchOps {
   /** Spark: estimator columns from registers `regs(keys..., bucket, m)`
     * — fixed-point sum, zero-register count, and the branch-exact
     * estimate (raw divide on one shared literal, or the LC lookup). */
-  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val lcCase = LC_FP.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, (fp, i)) => when(col("v_zero") === (i + 1), lit(fp)).otherwise(acc)
     }
