@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.queries.PipelineOps
+import graft.streaming.StandingGraph
+
+/** The CDC graph loop: a changelog of edge adds and node deletes,
+  * absorbed batch-by-batch into a standing (edges, labels) artifact,
+  * must track what a from-scratch solve over the surviving graph
+  * would say at every step — deletes before adds within a batch,
+  * same-batch re-introduction legal, replays idempotent against the
+  * multi-table commit marker.
+  */
+class StandingGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def labels(root: String): Map[Long, Long] =
+    StandingGraph.readLatest(spark, root)("labels")
+      .as[(Long, Long)].collect().toMap
+
+  private def edges(root: String): Set[(Long, Long)] =
+    StandingGraph.readLatest(spark, root)("edges")
+      .as[(Long, Long)].collect().toSet
+
+  test("CDC stream: deletes split, adds re-bridge and resurrect, state tracks truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sg-state")
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StandingGraph.maintainStream(
+      in.toDF().toDF("kind", "src", "dst"), root, tmp("sg-ckpt"))
+    try {
+      in.addData(("add", 1L, 2L), ("add", 2L, 3L), ("add", 10L, 11L))
+      q.processAllAvailable()
+      assert(labels(root) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // delete the cut vertex 2 (splits {1,2,3}; 1 and 3 survive
+      // isolated) and add (3,4) in the SAME batch — the delete
+      // applies first, so 4 chains onto the isolated 3
+      in.addData(("del", 2L, -1L), ("add", 3L, 4L))
+      q.processAllAvailable()
+      assert(labels(root) ==
+        Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+      assert(edges(root) == Set((3L, 4L), (10L, 11L)))
+      // resurrection: a later add re-introduces node 2; another add
+      // bridges the split half into the other standing component
+      in.addData(("add", 1L, 2L), ("add", 4L, 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(labels(root) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 3L, 11L -> 3L))
+    // the final labels equal a from-scratch solve over the final edges
+    val scratch = PipelineOps.connectedComponents(
+        edges(root).toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(root) == scratch)
+  }
+
+  test("multi-table replay: stale commit marker dropped, predecessor consulted") {
+    val root = tmp("sg-replay")
+    StandingGraph.absorbBatch(
+      Seq(("add", 1L, 2L), ("add", 10L, 11L)).toDF("kind", "src", "dst"),
+      0L, root)
+    StandingGraph.absorbBatch(
+      Seq(("del", 2L, -1L)).toDF("kind", "src", "dst"), 1L, root)
+    assert(labels(root) == Map(1L -> 1L, 10L -> 10L, 11L -> 10L))
+    // crash-replay of batch 1 with different content: must read v=0
+    // (where node 2 and edge (1,2) still exist), not its own v=1
+    StandingGraph.absorbBatch(
+      Seq(("del", 11L, -1L)).toDF("kind", "src", "dst"), 1L, root)
+    assert(labels(root) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L))
+    assert(edges(root) == Set((1L, 2L)))
+    assert(StandingGraph.committedVersions(spark, root) == Seq(0L, 1L))
+  }
+
+  test("bootstrap seeds the loop from a batch-built graph") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sg-boot")
+    val base = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    StandingGraph.bootstrap(base,
+      PipelineOps.connectedComponents(base), root)
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StandingGraph.maintainStream(
+      in.toDF().toDF("kind", "src", "dst"), root, tmp("sg-boot-ckpt"))
+    try {
+      // the delete needs the BOOTSTRAPPED edges to know 11 survives
+      in.addData(("del", 10L, -1L), ("add", 2L, 11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(labels(root) == Map(1L -> 1L, 2L -> 1L, 11L -> 1L))
+    assert(edges(root) == Set((1L, 2L), (2L, 11L)))
+  }
+}
