@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.queries.TextOps
+
+/** The dedup-index instance of the [[VersionedArtifact]] loop —
+  * completing the family symmetry (components [[StandingLabels]],
+  * sketches [[StandingHllRegisters]], CDC graph [[StandingGraph]]):
+  * each micro-batch of arriving documents' BAND ROWS
+  * (doc_id, band_id, bh — the per-doc MinHash band digests, which are
+  * slice-independent, so any upstream signature stage can feed the
+  * stream) absorbs into a standing (bands, collisions) artifact by
+  * q265's proven three-leg merge ([[TextOps.mergeBandCollisions]]
+  * minus the proof-only provenance column): standing pairs pass
+  * through untouched, the shard probes the standing band index
+  * asymmetrically (|shard bands| × bucket occupancy, never |corpus|²),
+  * and the shard self-joins within itself. Multi-table state because
+  * the collision table alone cannot absorb the NEXT shard — the probe
+  * needs the band index, exactly the reason [[StandingGraph]] carries
+  * its edge list.
+  *
+  * Versus [[graft.streaming.Streams.bandIndexStream]] (keyed
+  * `transformWithState`, per-bucket occupancy caps, per-row emission):
+  * that is the LOW-LATENCY form — candidates surface mid-batch,
+  * state lives in the query's RocksDB checkpoint, and the parquet
+  * artifact is reconstructed by draining admit events. This loop is
+  * the ARTIFACT-FIRST form: the standing parquet IS the state,
+  * readable by the whole cluster between batches, exactly-once by
+  * batch-id versioning, bootstrap-able from the batch-built
+  * SideTables index — the form a downstream batch dedup pass
+  * consumes. A deployment picks per stream, or runs both off one
+  * signature stage.
+  */
+object StandingBandIndex {
+
+  private val BandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band_id", LongType),
+    StructField("bh", StringType)))
+  private[graft] val Schemas: Map[String, StructType] = Map(
+    "bands" -> BandSchema,
+    "collisions" -> StructType(Seq(
+      StructField("da", LongType), StructField("db", LongType),
+      StructField("n_bands", LongType))))
+
+  private val absorb: (Map[String, DataFrame], DataFrame, Long)
+      => Map[String, DataFrame] =
+    (state, batch, _) => {
+      val shardBands = batch
+        .select(col("doc_id").cast("long"), col("band_id").cast("long"),
+          col("bh").cast("string"))
+      val merged = TextOps.mergeBandCollisions(
+          state("bands"), state("collisions"), shardBands)
+        .select(col("da"), col("db"), col("n_bands"))
+      Map("bands" -> state("bands").unionByName(shardBands),
+        "collisions" -> merged)
+    }
+
+  private[graft] def committedVersions(s: SparkSession,
+      root: String): Seq[Long] =
+    VersionedArtifact.committedTableVersions(s, root)
+
+  /** the current (bands, collisions) tables. */
+  def readLatest(s: SparkSession, root: String): Map[String, DataFrame] =
+    VersionedArtifact.readLatestTables(s, root, Schemas)
+
+  /** seed from the batch-built standing index (version -1) — e.g. the
+    * SideTables `band_index_base` / `band_collisions_base` pair. */
+  def bootstrap(bands: DataFrame, collisions: DataFrame,
+      root: String): Unit =
+    VersionedArtifact.bootstrapTables(Map(
+      "bands" -> bands.select(col("doc_id").cast("long"),
+        col("band_id").cast("long"), col("bh").cast("string")),
+      "collisions" -> collisions.select(col("da").cast("long"),
+        col("db").cast("long"), col("n_bands").cast("long"))), root)
+
+  /** one absorb step — the foreachBatch body, callable directly for
+    * deterministic-replay tests. */
+  def absorbBatch(bands: DataFrame, batchId: Long, root: String): Unit =
+    VersionedArtifact.absorbBatchTables(bands, batchId, root, Schemas)(
+      absorb)
+
+  /** start the loop over a (doc_id, band_id, bh) band-row stream. */
+  def maintainStream(bands: DataFrame, root: String,
+      checkpoint: String): StreamingQuery = {
+    require(BandSchema.fieldNames.toSet
+        .subsetOf(bands.schema.fieldNames.toSet),
+      s"band stream must have columns (doc_id, band_id, bh), got " +
+        bands.schema.fieldNames.mkString(","))
+    VersionedArtifact.maintainTables(bands, root, checkpoint, Schemas)(
+      absorb)
+  }
+}

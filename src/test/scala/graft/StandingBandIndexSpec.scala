@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StandingBandIndex
+
+/** The dedup-index maintenance loop: a band-row stream absorbed
+  * batch-by-batch must converge to exactly the from-scratch band
+  * self-join over every row that ever arrived (q265's law driven by
+  * micro-batches), including CROSS-batch collisions only the standing
+  * probe can see; replays must be idempotent; the batch-built index
+  * must hand off via bootstrap.
+  */
+class StandingBandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def collisions(root: String): Set[(Long, Long, Long)] =
+    StandingBandIndex.readLatest(spark, root)("collisions")
+      .as[(Long, Long, Long)].collect().toSet
+
+  /** from-scratch ground truth: the band self-join over `bands`. */
+  private def scratch(bands: DataFrame): Set[(Long, Long, Long)] =
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_bands"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  // (doc_id, band_id, bh) fixtures: h1 is shared across all three
+  // batches in band 0, so cross-batch collisions need the standing
+  // probe; h9 collides only within batch 2
+  private val b0 = Seq((1L, 0L, "h1"), (1L, 1L, "h2"), (2L, 0L, "h1"))
+  private val b1 = Seq((3L, 0L, "h1"), (3L, 1L, "h2"))
+  private val b2 = Seq((4L, 0L, "h1"), (4L, 2L, "h9"), (5L, 2L, "h9"))
+
+  test("stream-maintained collisions equal the from-scratch self-join") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sbi-state")
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StandingBandIndex.maintainStream(
+      in.toDF().toDF("doc_id", "band_id", "bh"), root, tmp("sbi-ckpt"))
+    try {
+      in.addData(b0); q.processAllAvailable()
+      assert(collisions(root) == Set((1L, 2L, 1L)))
+      in.addData(b1); q.processAllAvailable()
+      // doc 3 collides with BOTH standing docs on two legs (band 0 via
+      // h1, band 1 via h2 with doc 1)
+      assert(collisions(root) ==
+        Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val all = (b0 ++ b1 ++ b2).toDF("doc_id", "band_id", "bh")
+    assert(collisions(root) == scratch(all))
+    assert(StandingBandIndex.readLatest(spark, root)("bands")
+      .count() == (b0 ++ b1 ++ b2).size)
+  }
+
+  test("replay reads its predecessor, never its own failed write") {
+    val root = tmp("sbi-replay")
+    StandingBandIndex.absorbBatch(b0.toDF("doc_id", "band_id", "bh"),
+      0L, root)
+    StandingBandIndex.absorbBatch(b1.toDF("doc_id", "band_id", "bh"),
+      1L, root)
+    // crash-replay of batch 1 with different content: doc 3's rows
+    // from the failed attempt must vanish from bands AND collisions
+    val b1r = Seq((6L, 0L, "h1"))
+    StandingBandIndex.absorbBatch(b1r.toDF("doc_id", "band_id", "bh"),
+      1L, root)
+    assert(collisions(root) ==
+      scratch((b0 ++ b1r).toDF("doc_id", "band_id", "bh")))
+    assert(StandingBandIndex.readLatest(spark, root)("bands")
+      .as[(Long, Long, String)].collect().toSet == (b0 ++ b1r).toSet)
+  }
+
+  test("on the real corpus: bootstrap + shard absorb equals the full self-join") {
+    // the q265 arrival law driven through the LOOP on real sf0.001
+    // band rows: seed with the base slice's index, absorb the shard
+    // slice as one batch, compare against the full-corpus self-join
+    import graft.queries.TextOps
+    val root = tmp("sbi-real")
+    val bands = TextOps.minhashBands(spark, sf())
+      .select(col("doc_id").cast("long"), col("band_id").cast("long"),
+        col("bh"))
+    val baseBands = bands.filter(TextOps.docBucket(col("doc_id")) < 80)
+    StandingBandIndex.bootstrap(baseBands, scratch(baseBands).toSeq
+      .toDF("da", "db", "n_bands"), root)
+    StandingBandIndex.absorbBatch(
+      bands.filter(TextOps.docBucket(col("doc_id")) >= 80), 0L, root)
+    assert(collisions(root) == scratch(bands))
+  }
+
+  test("bootstrap hands the batch-built index into the loop") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sbi-boot")
+    val baseBands = b0.toDF("doc_id", "band_id", "bh")
+    StandingBandIndex.bootstrap(baseBands,
+      scratch(baseBands).toSeq.toDF("da", "db", "n_bands"), root)
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StandingBandIndex.maintainStream(
+      in.toDF().toDF("doc_id", "band_id", "bh"), root,
+      tmp("sbi-boot-ckpt"))
+    try {
+      in.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    assert(collisions(root) ==
+      scratch((b0 ++ b1).toDF("doc_id", "band_id", "bh")))
+  }
+}
