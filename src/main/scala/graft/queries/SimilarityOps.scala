@@ -1342,7 +1342,7 @@ object SimilarityOps {
         |GROUP BY label, i
         |ORDER BY label, dim""".stripMargin))
   ) :+ annEvalFamiliesQueryDef :+ pqDeltaQueryDef :+ pqDriftQueryDef :+
-    ivfRetractQueryDef
+    ivfRetractQueryDef :+ pqRetractQueryDef
 
   /** IVF coarse index under VECTOR RETRACTION — the ANN-side forget
     * story, completing the family (graph q274/q275, dedup index
@@ -2277,5 +2277,81 @@ object SimilarityOps {
         |  CAST(sum(dist) // count(*) AS BIGINT) AS mean_err_fp
         |FROM best GROUP BY 1, 2
         |ORDER BY sp, kind""".stripMargin))
+  }
+
+  /** q282: PQ codes under RETRACTION — the last artifact family's
+    * forget half (CC q274, triangles q275, bands q276, HLL q277,
+    * IVF q278). Codes are per-vector rows encoded under the FROZEN
+    * base codebook, so deleting vectors is a PURE ROW FILTER of the
+    * standing code table — no re-encoding, no neighbor effects — and
+    * that is precisely what needs proving: the codebook stays frozen
+    * even though deleted BASE vectors helped train it (the deletion
+    * band [40,50) cuts through base and shard alike), because
+    * retraining on the survivors would silently re-code the ENTIRE
+    * corpus — a retrain is q271's drift-triggered DECISION, never a
+    * retraction side effect. The oracle trains the codebook on the
+    * full base slice (deleted vectors included — the frozen
+    * contract) and encodes ONLY survivors from scratch, so the hash
+    * match proves filter == rebuilt-for-survivors-under-frozen-
+    * codebook, per vector, per subspace. The retained table publishes
+    * via SideTables (`pq_codes_retained_m4`, keyed through the merged
+    * artifact's path); per-purge cost is one |codes| filter scan —
+    * vectors are never re-read. */
+  private lazy val pqRetractQueryDef: QueryDef = {
+    val m = 4; val sub = 16
+    QueryDef("q282_pq_retract",
+      (s, dir) => {
+        val cb = pqBaseCodebook(s, dir, m, sub)
+        val sv = pqSubvecs(s, dir, m, sub)
+        val baseCodes = SideTables.getOrBuild(s, dir,
+          s"pq_codes_base_m$m", source = "embeddings") {
+          pqEncode(s, sv.filter(!col("is_shard")), cb)
+        }
+        val merged = SideTables.getOrBuild(s, dir,
+          s"pq_codes_merged_m$m", source = "embeddings") {
+          baseCodes.unionByName(pqEncode(s, sv.filter(col("is_shard")), cb))
+        }
+        val retained = SideTables.getOrBuild(s, dir,
+          s"pq_codes_retained_m$m", source = "embeddings") {
+          val b = hashBucket(col("vec_id"))
+          merged.filter(!(b >= 40 && b < 50))
+        }
+        retained
+          .withColumn("kind", when(vecShard(col("vec_id")), lit("shard"))
+            .otherwise(lit("standing")))
+          .select(col("vec_id"), col("sp").cast("long").as("sp"),
+            col("code"), col("kind"))
+          .orderBy(col("vec_id"), col("sp"))
+      },
+      Some(s"""WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, $quantSql AS v,
+        |    $vecShardSql AS is_shard
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, label, is_shard, sp,
+        |    list_slice(v, sp * $sub + 1, (sp + 1) * $sub) AS x
+        |  FROM qv CROSS JOIN (SELECT unnest(range($m)) AS sp)),
+        |cbx AS (
+        |  SELECT label, sp, dim, CAST(sum(e) AS BIGINT) AS sx,
+        |    count(*) AS n
+        |  FROM (SELECT label, sp, unnest(x) AS e,
+        |          generate_subscripts(x, 1) AS dim
+        |        FROM sv WHERE NOT is_shard)
+        |  GROUP BY label, sp, dim),
+        |cb AS (
+        |  SELECT label, sp, list(sx / n ORDER BY dim) AS cv
+        |  FROM cbx GROUP BY label, sp),
+        |enc AS (
+        |  SELECT vec_id, is_shard, sp, label AS code FROM (
+        |    SELECT s.vec_id, s.is_shard, s.sp, c.label,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.sp
+        |        ORDER BY ${pqL2fpSql("s.x", "c.cv", sub)}, c.label) AS rn
+        |    FROM sv s JOIN cb c ON c.sp = s.sp
+        |    WHERE CAST(('0x' || substring(md5(CAST(s.vec_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 100 NOT BETWEEN 40 AND 49)
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(sp AS BIGINT) AS sp, code,
+        |  CASE WHEN is_shard THEN 'shard' ELSE 'standing' END AS kind
+        |FROM enc ORDER BY vec_id, sp""".stripMargin))
   }
 }
