@@ -49,9 +49,19 @@ object StandingBandIndex {
   private val absorb: (Map[String, DataFrame], DataFrame, Long)
       => Map[String, DataFrame] =
     (state, batch, _) => {
+      // FIRST-WRITE-WINS on doc_id: the three-leg merge's disjointness
+      // assumes base/shard doc sets don't overlap, but an
+      // at-least-once UPSTREAM can re-deliver a doc's band rows in a
+      // LATER batch (different batch id — the versioned-replay guard
+      // can't see it). Without the gate, the cross leg would join the
+      // doc against its own standing rows (da == db self-pairs) and
+      // re-emit its true pairs as duplicates. Same policy as
+      // BandIndexProcessor: membership gates insertion.
       val shardBands = batch
         .select(col("doc_id").cast("long"), col("band_id").cast("long"),
           col("bh").cast("string"))
+        .join(state("bands").select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
       val merged = TextOps.mergeBandCollisions(
           state("bands"), state("collisions"), shardBands)
         .select(col("da"), col("db"), col("n_bands"))

@@ -58,19 +58,31 @@ object StandingGraph {
         .select(col("src").cast("long"), col("dst").cast("long"))
       val edges0 = state("edges")
       val labels0 = state("labels")
+      // fast paths decided on the MICRO-BATCH (one tiny job each):
+      // an add-dominated stream must not pay the retraction
+      // machinery's standing-state jobs for every delete-free batch,
+      // nor the merge's for a delete-only one
+      val hasDels = !dels.isEmpty
+      val hasAdds = !adds.isEmpty
       // deletes against the predecessor state...
-      val edges1 = edges0
-        .join(dels.select(col("node").as("src")), Seq("src"), "left_anti")
-        .join(dels.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"))
-      val labels1 = PipelineOps.retractNodesComponents(
-        labels0, edges0, dels)
+      val edges1 =
+        if (!hasDels) edges0
+        else edges0
+          .join(dels.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(dels.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+      val labels1 =
+        if (!hasDels) labels0
+        else PipelineOps.retractNodesComponents(labels0, edges0, dels)
       // ...then adds on top (same-batch re-introduction is legal CDC)
-      val labels2 = PipelineOps.mergeDeltaComponents(labels1, adds)
+      val labels2 =
+        if (!hasAdds) labels1
+        else PipelineOps.mergeDeltaComponents(labels1, adds)
       // distinct: a re-added edge must not accrete duplicates across
       // delete/re-add cycles (labels are dup-insensitive; the edge
       // artifact should stay a set)
-      val edges2 = edges1.unionByName(adds).distinct()
+      val edges2 =
+        if (!hasAdds) edges1 else edges1.unionByName(adds).distinct()
       Map("edges" -> edges2, "labels" -> labels2)
     }
 

@@ -17,8 +17,9 @@ import graft.queries.SketchOps
   * for max-merge), and epochs that age past the retention horizon are
   * compacted into the `part = -1` base inside the absorb itself
   * (q281's sweep), so the standing artifact is BOUNDED at
-  * (1 + horizon) × |groups| × 16 rows no matter how many batches ever
-  * arrived — the property that lets a 100 TB deployment keep
+  * (2 + horizonEpochs) × |groups| × 16 rows — the base partition plus
+  * the horizonEpochs + 1 live epochs — no matter how many batches
+  * ever arrived — the property that lets a 100 TB deployment keep
   * per-group distinct counts fresh for the price of one scan of each
   * arriving shard.
   *

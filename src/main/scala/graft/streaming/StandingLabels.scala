@@ -68,7 +68,8 @@ object StandingLabels {
     * absorbed into the standing labels at `root`. */
   def maintainComponentsStream(edges: DataFrame, root: String,
       checkpoint: String): StreamingQuery = {
-    require(edges.schema.fieldNames.toSet == EdgeSchema.fieldNames.toSet,
+    require(EdgeSchema.fieldNames.toSet
+        .subsetOf(edges.schema.fieldNames.toSet),
       s"edge stream must have columns (src, dst), got " +
         edges.schema.fieldNames.mkString(","))
     VersionedArtifact.maintain(edges, root, checkpoint, LabelSchema)(absorb)

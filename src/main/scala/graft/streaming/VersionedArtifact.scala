@@ -15,12 +15,16 @@ import org.apache.spark.sql.types.StructType
   * The contract, shared by every instance:
   *  - a version is COMMITTED iff parquet's `_SUCCESS` marker exists
   *    (an aborted write is invisible);
-  *  - an absorb for batch N reads the newest committed version
-  *    STRICTLY BELOW N — its own failed attempt's `v=N` is never
-  *    consulted, so a replay merges against the same predecessor and
-  *    overwrites `v=N` byte-identically (absorb must be a
-  *    deterministic function of (predecessor state, batch rows,
-  *    batch id) — every caller here is);
+  *  - a replayed batch whose version is already COMMITTED is a
+  *    reader-safe NO-OP (the id's offset range was pinned before
+  *    processing, so the rows are the same and the deterministic
+  *    absorb would rewrite identical bytes — but the rewrite would
+  *    transiently delete files a concurrent reader may be scanning);
+  *  - an absorb whose version is absent or UNCOMMITTED crash debris
+  *    reads the newest committed version STRICTLY BELOW its id —
+  *    never its own failed attempt — and overwrites `v=N` whole
+  *    (absorb must be a deterministic function of (predecessor
+  *    state, batch rows, batch id) — every caller here is);
   *  - pruning keeps the newest [[keepBehind]]+1 versions at or below
   *    the batch just written, never state ahead of a replayed batch;
   *  - `v=-1` is the bootstrap slot: a batch-built artifact handed
@@ -75,19 +79,33 @@ object VersionedArtifact {
   /** one absorb step — the foreachBatch body. `absorb` must be a
     * deterministic function of its arguments (see object scaladoc);
     * it receives the predecessor state (zero rows of `schema` on cold
-    * start), the batch rows, and the batch id. */
+    * start), the batch rows, and the batch id.
+    *
+    * Replay discipline, two cases:
+    *  - `v=<batchId>` is already COMMITTED → no-op. Structured
+    *    Streaming pins a batch id's offset range in the WAL before
+    *    processing, so a replayed batch carries the same rows and the
+    *    deterministic absorb would rewrite identical bytes — but the
+    *    rewrite would first DELETE files a concurrent reader of the
+    *    committed version may be mid-scan over. Skipping is both
+    *    faster and the only reader-safe choice.
+    *  - `v=<batchId>` exists UNCOMMITTED (crash mid-write) → nothing
+    *    can have read it (no marker), so recompute from the
+    *    predecessor and overwrite whole. */
   def absorbBatch(batch: DataFrame, batchId: Long, root: String,
       schema: StructType)
       (absorb: (DataFrame, DataFrame, Long) => DataFrame): Unit = {
     val s = batch.sparkSession
-    val standing = committedVersions(s, root).filter(_ < batchId)
-      .lastOption match {
+    val committed = committedVersions(s, root)
+    if (!committed.contains(batchId)) {
+      val standing = committed.filter(_ < batchId).lastOption match {
         case Some(v) => s.read.parquet(s"$root/v=$v")
         case None => s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
-    absorb(standing, batch, batchId)
-      .write.mode("overwrite").parquet(s"$root/v=$batchId")
+      absorb(standing, batch, batchId)
+        .write.mode("overwrite").parquet(s"$root/v=$batchId")
+    }
     // prune: only versions at or below the batch just written — a
     // replayed batch must never delete state AHEAD of itself
     val live = committedVersions(s, root).filter(_ <= batchId)
@@ -119,9 +137,9 @@ object VersionedArtifact {
   // `root/v=<id>/<table>/` parquet per table, plus an explicit
   // `root/v=<id>/_COMMIT` marker written AFTER every table — parquet's
   // own per-table `_SUCCESS` can't express "all tables landed", so
-  // the version-level marker is the commit point. A replay deletes
-  // the stale marker FIRST, so a crash mid-overwrite leaves the
-  // version invisible, never half-new.
+  // the version-level marker is the commit point. A committed version
+  // is immutable (replays no-op on it, see absorbBatch); only
+  // marker-less crash debris is ever overwritten.
   // ------------------------------------------------------------------
 
   private def commitMarker(root: String, v: Long) =
@@ -171,27 +189,28 @@ object VersionedArtifact {
   }
 
   /** one multi-table absorb step — same replay contract as
-    * [[absorbBatch]]; `absorb` must return every table in `schemas`. */
+    * [[absorbBatch]] (committed version → reader-safe no-op;
+    * uncommitted debris → recompute from the predecessor); `absorb`
+    * must return every table in `schemas`. */
   def absorbBatchTables(batch: DataFrame, batchId: Long, root: String,
       schemas: Map[String, StructType])
       (absorb: (Map[String, DataFrame], DataFrame, Long)
         => Map[String, DataFrame]): Unit = {
     val s = batch.sparkSession
-    val standing = committedTableVersions(s, root).filter(_ < batchId)
-      .lastOption match {
+    val committed = committedTableVersions(s, root)
+    val fs = fsFor(s, new Path(root))
+    if (!committed.contains(batchId)) {
+      val standing = committed.filter(_ < batchId).lastOption match {
         case Some(v) => readTables(s, root, v, schemas)
         case None => emptyTables(s, schemas)
       }
-    val out = absorb(standing, batch, batchId)
-    require(out.keySet == schemas.keySet,
-      s"absorb returned tables ${out.keySet}, expected ${schemas.keySet}")
-    val fs = fsFor(s, new Path(root))
-    // stale marker from a completed-but-uncommitted attempt: drop it
-    // before touching the tables so readers never see half-new state
-    fs.delete(commitMarker(root, batchId), false)
-    out.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$root/v=$batchId/$n") }
-    fs.create(commitMarker(root, batchId), true).close()
+      val out = absorb(standing, batch, batchId)
+      require(out.keySet == schemas.keySet,
+        s"absorb returned tables ${out.keySet}, expected ${schemas.keySet}")
+      out.foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$root/v=$batchId/$n") }
+      fs.create(commitMarker(root, batchId), true).close()
+    }
     val live = committedTableVersions(s, root).filter(_ <= batchId)
     live.dropRight(keepBehind + 1)
       .foreach(v => fs.delete(new Path(root, s"v=$v"), true))

@@ -62,21 +62,47 @@ class StandingBandIndexSpec extends SparkSpec {
       .count() == (b0 ++ b1 ++ b2).size)
   }
 
-  test("replay reads its predecessor, never its own failed write") {
+  test("replay: committed version no-ops, crash debris recomputes") {
     val root = tmp("sbi-replay")
     StandingBandIndex.absorbBatch(b0.toDF("doc_id", "band_id", "bh"),
       0L, root)
     StandingBandIndex.absorbBatch(b1.toDF("doc_id", "band_id", "bh"),
       1L, root)
-    // crash-replay of batch 1 with different content: doc 3's rows
-    // from the failed attempt must vanish from bands AND collisions
+    val committed = collisions(root)
+    // committed version → reader-safe no-op even with new content
     val b1r = Seq((6L, 0L, "h1"))
+    StandingBandIndex.absorbBatch(b1r.toDF("doc_id", "band_id", "bh"),
+      1L, root)
+    assert(collisions(root) == committed)
+    // crash mid-write (no _COMMIT): doc 3's rows from the failed
+    // attempt must vanish from bands AND collisions
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=1", "_COMMIT"))
     StandingBandIndex.absorbBatch(b1r.toDF("doc_id", "band_id", "bh"),
       1L, root)
     assert(collisions(root) ==
       scratch((b0 ++ b1r).toDF("doc_id", "band_id", "bh")))
     assert(StandingBandIndex.readLatest(spark, root)("bands")
       .as[(Long, Long, String)].collect().toSet == (b0 ++ b1r).toSet)
+  }
+
+  test("re-delivered doc rows in a later batch are dropped: first write wins") {
+    // an at-least-once UPSTREAM re-sends doc 1's band rows under a
+    // NEW batch id (the versioned-replay guard can't see it) — the
+    // membership gate must drop them: no (1,1) self-pairs, no
+    // duplicated (1,2) pair, no inflated n_bands, bands stored once
+    val root = tmp("sbi-redeliver")
+    StandingBandIndex.absorbBatch(b0.toDF("doc_id", "band_id", "bh"),
+      0L, root)
+    val redelivered = b0.filter(_._1 == 1L) ++ Seq((7L, 0L, "h1"))
+    StandingBandIndex.absorbBatch(
+      redelivered.toDF("doc_id", "band_id", "bh"), 1L, root)
+    val expected = (b0 ++ Seq((7L, 0L, "h1")))
+      .toDF("doc_id", "band_id", "bh")
+    assert(collisions(root) == scratch(expected))
+    assert(StandingBandIndex.readLatest(spark, root)("bands")
+      .as[(Long, Long, String)].collect().toSet ==
+      (b0 ++ Seq((7L, 0L, "h1"))).toSet)
   }
 
   test("on the real corpus: bootstrap + shard absorb equals the full self-join") {

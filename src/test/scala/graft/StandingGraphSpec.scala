@@ -49,9 +49,15 @@ class StandingGraphSpec extends SparkSpec {
       // bridges the split half into the other standing component
       in.addData(("add", 1L, 2L), ("add", 4L, 10L))
       q.processAllAvailable()
+      assert(labels(root) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 3L,
+          11L -> 3L))
+      // a DELETE-ONLY batch (the adds fast path must not skip it)
+      in.addData(("del", 11L, -1L))
+      q.processAllAvailable()
     } finally q.stop()
     assert(labels(root) ==
-      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 3L, 11L -> 3L))
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 3L))
     // the final labels equal a from-scratch solve over the final edges
     val scratch = PipelineOps.connectedComponents(
         edges(root).toSeq.toDF("src", "dst"))
@@ -59,7 +65,7 @@ class StandingGraphSpec extends SparkSpec {
     assert(labels(root) == scratch)
   }
 
-  test("multi-table replay: stale commit marker dropped, predecessor consulted") {
+  test("multi-table replay: committed version no-ops, crash debris recomputes") {
     val root = tmp("sg-replay")
     StandingGraph.absorbBatch(
       Seq(("add", 1L, 2L), ("add", 10L, 11L)).toDF("kind", "src", "dst"),
@@ -67,8 +73,15 @@ class StandingGraphSpec extends SparkSpec {
     StandingGraph.absorbBatch(
       Seq(("del", 2L, -1L)).toDF("kind", "src", "dst"), 1L, root)
     assert(labels(root) == Map(1L -> 1L, 10L -> 10L, 11L -> 10L))
-    // crash-replay of batch 1 with different content: must read v=0
-    // (where node 2 and edge (1,2) still exist), not its own v=1
+    // committed version → reader-safe no-op even with new content
+    StandingGraph.absorbBatch(
+      Seq(("del", 11L, -1L)).toDF("kind", "src", "dst"), 1L, root)
+    assert(labels(root) == Map(1L -> 1L, 10L -> 10L, 11L -> 10L))
+    // crash mid-write (tables landed, _COMMIT didn't): the replay
+    // must read v=0 — where node 2 and edge (1,2) still exist — and
+    // overwrite the debris whole
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=1", "_COMMIT"))
     StandingGraph.absorbBatch(
       Seq(("del", 11L, -1L)).toDF("kind", "src", "dst"), 1L, root)
     assert(labels(root) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L))

@@ -61,13 +61,20 @@ class StandingHllRegistersSpec extends SparkSpec {
       regSet(expected))
   }
 
-  test("replay reads its predecessor, never its own failed write") {
+  test("replay: committed epoch no-ops; crash debris recomputes from the predecessor") {
     val root = tmp("hll-replay")
     StandingHllRegisters.absorbBatch(obs("a", Seq("x1", "x2")), 0L, root)
     StandingHllRegisters.absorbBatch(obs("a", Seq("y1")), 1L, root)
-    // crash-replay of batch 1 with DIFFERENT content: were the failed
-    // v=1 consulted, y1's register contribution would survive; the
-    // law demands exactly merge(v0, replayed batch)
+    val committed = regSet(StandingHllRegisters.readLatest(spark, root))
+    // committed version → no-op, even with different content
+    StandingHllRegisters.absorbBatch(obs("a", Seq("w1")), 1L, root)
+    assert(regSet(StandingHllRegisters.readLatest(spark, root)) ==
+      committed)
+    // crash mid-write (no _SUCCESS): the replay must read v=0 — were
+    // the debris consulted, y1's register contribution would survive;
+    // the law demands exactly merge(v0, replayed batch)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=1", "_SUCCESS"))
     StandingHllRegisters.absorbBatch(obs("a", Seq("z1", "z2")), 1L, root)
     val expected = epochRegs(obs("a", Seq("x1", "x2")), 0L)
       .union(epochRegs(obs("a", Seq("z1", "z2")), 1L))

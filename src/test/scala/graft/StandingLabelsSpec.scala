@@ -47,7 +47,7 @@ class StandingLabelsSpec extends SparkSpec {
     assert(labels(root) == scratch)
   }
 
-  test("absorbBatch re-run is idempotent and never merges its own failed write") {
+  test("replay: committed version is a reader-safe no-op; crash debris recomputes from the predecessor") {
     val root = tmp("sl-replay")
     StandingLabels.absorbBatch(
       Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"), 0L, root)
@@ -55,16 +55,17 @@ class StandingLabelsSpec extends SparkSpec {
       Seq((2L, 10L)).toDF("src", "dst"), 1L, root)
     val after = labels(root)
     assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
-    // crash-replay: batch 1 runs AGAIN with the same id. The absorb
-    // must read v=0 (not the v=1 its failed attempt left behind) and
-    // produce identical state — proven by replaying with an EXTRA
-    // edge: were v=1 consulted, 20/21 would join component 1 only,
-    // but the result must equal merge(v0, batch1') exactly
+    // replay of a COMMITTED batch must not touch the version — even
+    // with (impossible in Structured Streaming) different content:
+    // a concurrent reader may be mid-scan over v=1's files
     StandingLabels.absorbBatch(
       Seq((2L, 10L), (20L, 21L)).toDF("src", "dst"), 1L, root)
-    assert(labels(root) ==
-      after ++ Map(20L -> 20L, 21L -> 20L))
-    // and a byte-for-byte replay changes nothing
+    assert(labels(root) == after)
+    // crash mid-write: v=1 exists but its _SUCCESS never landed —
+    // nothing can have read it, so the replay must recompute from
+    // v=0 (never consult the debris) and overwrite whole
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=1", "_SUCCESS"))
     StandingLabels.absorbBatch(
       Seq((2L, 10L), (20L, 21L)).toDF("src", "dst"), 1L, root)
     assert(labels(root) == after ++ Map(20L -> 20L, 21L -> 20L))
