@@ -192,8 +192,7 @@ object GraphOps {
     * truncate identically, and for p ∈ {25, 50} the factor is exact. */
   def trianglesSampled(s: SparkSession, dir: String, pPct: Int): DataFrame = {
     val e = coPurchaseEdges(s, dir)
-    val keep = conv(substring(md5(concat_ws(":", col("u"), col("v"))),
-      1, 15), 16, 10).cast("long") % 100 < pPct
+    val keep = edgeCoin < pPct
     val sampled = e.filter(keep).localCheckpoint(false)
     val deg = sampled.select(col("u").as("node"))
       .unionAll(sampled.select(col("v").as("node")))
@@ -465,13 +464,14 @@ object GraphOps {
     merged.orderBy(col("tri_merged").desc, col("node")).limit(100)
   }
 
-  /** deterministic per-EDGE retraction coin — md5 of the canonical
-    * "u:v" pair into 0..99, the same formula [[trianglesSampled]]
-    * samples with (and its oracle repeats in SQL), so both engines
-    * forget the identical edge set. ≥ `pct` is the forgotten slice. */
+  /** deterministic per-EDGE retraction coin — [[Q.hashBucket]] over
+    * the canonical "u:v" pair (the ONE bucketing law; hashBucket's
+    * string cast is a no-op on the concat), the same formula
+    * [[trianglesSampled]] samples with (and its oracle repeats in
+    * SQL), so both engines forget the identical edge set. ≥ `pct` is
+    * the forgotten slice. */
   private def edgeCoin: Column =
-    conv(substring(md5(concat_ws(":", col("u"), col("v"))),
-      1, 15), 16, 10).cast("long") % 100
+    hashBucket(concat_ws(":", col("u"), col("v")))
 
   /** Triangle-count maintenance under EDGE RETRACTION — the forget
     * half of q272's absorb: standing per-node counts over the full
@@ -507,7 +507,17 @@ object GraphOps {
     }
     val retracted = SideTables.getOrBuild(s, dir,
       "tri_counts_retracted", "lineitem") {
-      val del = coEdgesOf(basketItemsPlan(s, dir))
+      // the deleted slice is enumerated from the STANDING adjacency,
+      // not a fresh co-edge self-join: exploding nb with node < nb
+      // reproduces coEdgesOf's canonical distinct (u < v) edge set
+      // exactly (symAdjOf built nb from it), so this builder's only
+      // leaves are the two standing artifacts — the "full lineitem is
+      // never re-read" contract the scaladoc states, now true of the
+      // plan (and enforced by the logic key, which embeds the
+      // artifact paths instead of the corpus derivation)
+      val del = fullAdj
+        .select(col("node").as("u"), explode(col("nb")).as("v"))
+        .filter(col("u") < col("v"))
         .filter(edgeCoin >= 90)
       // trim deleted neighbors out of the touched adjacency rows only
       // (array_except keeps first-array order, so sortedness — which

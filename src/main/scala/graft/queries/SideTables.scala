@@ -61,8 +61,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object SideTables {
 
-  private def root: String = sys.env.get("GRAFT_SIDE_DIR")
-    .orElse(sys.props.get("graft.side.dir"))
+  // sysprop BEFORE env: the sysprop is the per-process override
+  // (specs, SideKeyProbe's explicit root argument) and must win on a
+  // host where the deployment exported GRAFT_SIDE_DIR — otherwise a
+  // probe pointed at a fresh root silently reads/pollutes the shared
+  // production cache and its key-stability check false-passes
+  private def root: String = sys.props.get("graft.side.dir")
+    .orElse(sys.env.get("GRAFT_SIDE_DIR"))
     .getOrElse(sys.props("java.io.tmpdir") + "/graft_side")
 
   private def fsFor(s: SparkSession, p: Path): FileSystem =
@@ -123,8 +128,18 @@ object SideTables {
     * without publishing anything. */
   private[graft] def logicKey(df: DataFrame): String = {
     val plan = df.queryExecution.analyzed
-    val canon = plan.canonicalized.toString
-      .replaceAll("@[0-9a-fA-F]+", "@")
+    // rendered with UNBOUNDED maxFields: the default toString elides
+    // expression 26+ per node as "... N more fields"
+    // (spark.sql.debug.maxToStringFields), which would let a logic
+    // change in an elided field keep the old key — the stale-artifact
+    // hazard this key exists to prevent. The @hex strip is ANCHORED
+    // to an identifier + >=6 hex digits (the Class@hashcode shape JVM
+    // object identities print as): a bare "@[0-9a-f]+" would also
+    // swallow hex-looking text inside LITERALS ("svc@ca11"), merging
+    // genuinely different builders onto one key.
+    val canon = plan.canonicalized
+      .treeString(true, false, Int.MaxValue, false, false)
+      .replaceAll("([A-Za-z_$][A-Za-z0-9_$]*)@[0-9a-fA-F]{6,}", "$1@")
     val scanPaths = plan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
@@ -302,7 +317,11 @@ object SideTables {
     if (!fs.exists(rootP)) return Seq.empty
     val deleted = collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(rootP).filter(_.isDirectory).foreach { keyDir =>
-      fs.listStatus(keyDir.getPath).filter(_.isDirectory)
+      // a CONCURRENT sweep (or publisher) can delete this keyDir or a
+      // table between the root listing and these probes — that's the
+      // other host doing our work, not a failure; the sweep must move
+      // on to the remaining keyDirs instead of aborting partway
+      try fs.listStatus(keyDir.getPath).filter(_.isDirectory)
         .foreach { tdir =>
           val marker = new Path(tdir.getPath, LastUsed)
           val lastUsed = math.max(tdir.getModificationTime,
@@ -315,6 +334,7 @@ object SideTables {
               fs.delete(tdir.getPath, true)) // only report REAL deletes
             deleted += tdir.getPath.toString
         }
+      catch { case _: java.io.FileNotFoundException => () }
       // non-recursive prune can race a concurrent builder's mkdirs
       // between the emptiness probe and the delete — that keyDir is
       // simply live again, not a sweep failure

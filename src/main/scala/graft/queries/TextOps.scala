@@ -148,16 +148,25 @@ object TextOps {
   private def standingCollisionsTable(s: SparkSession,
       dir: String): DataFrame =
     SideTables.getOrBuild(s, dir, "band_collisions") {
-      val bands = minhashBands(s, dir)
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .groupBy(col("da"), col("db"))
-        .agg(count(lit(1)).as("n_bands"))
+      collisionsOf(minhashBands(s, dir))
     }
+
+  /** THE band-collision pair law — self-join on (band_id, bh) with
+    * doc_id ordering, shared-band count as n_bands. ONE definition
+    * (like [[bandsOf]]) consumed by the standing index, the base
+    * slice of the incremental merge, and the within-shard leg of
+    * [[mergeBandCollisions]], so a change to the pair law (a count
+    * tweak, a threshold) cannot desynchronize the standing artifact
+    * from the merge legs whose merged==rebuilt proof depends on it. */
+  private def collisionsOf(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_bands"))
 
   /** q36's MinHash-LSH candidate pairs (da < db sharing ≥1 band
     * bucket, no verification) — a free projection over the memoized
@@ -324,12 +333,7 @@ object TextOps {
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_bands"))
       .withColumn("kind", lit("vs_corpus"))
-    val within = shardBands.as("a").join(shardBands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_bands"))
+    val within = collisionsOf(shardBands)
       .withColumn("kind", lit("within_shard"))
     standingColl.select(col("da"), col("db"), col("n_bands"))
       .withColumn("kind", lit("standing"))
@@ -349,14 +353,7 @@ object TextOps {
         bandsOf(slotsPlanWhere(s, dir, docBucket(col("doc_id")) < 80))
       }
       val baseColl = SideTables.getOrBuild(s, dir, "band_collisions_base") {
-        baseBands.as("a")
-          .join(baseBands.as("b"),
-            col("a.band_id") === col("b.band_id") &&
-              col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .groupBy(col("da"), col("db"))
-          .agg(count(lit(1)).as("n_bands"))
+        collisionsOf(baseBands)
       }
       mergeBandCollisions(baseBands, baseColl,
         bandsOf(slotsPlanWhere(s, dir, docBucket(col("doc_id")) >= 80)))
