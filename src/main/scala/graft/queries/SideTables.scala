@@ -132,14 +132,20 @@ object SideTables {
     // expression 26+ per node as "... N more fields"
     // (spark.sql.debug.maxToStringFields), which would let a logic
     // change in an elided field keep the old key — the stale-artifact
-    // hazard this key exists to prevent. The @hex strip is ANCHORED
-    // to an identifier + >=6 hex digits (the Class@hashcode shape JVM
-    // object identities print as): a bare "@[0-9a-f]+" would also
-    // swallow hex-looking text inside LITERALS ("svc@ca11"), merging
-    // genuinely different builders onto one key.
+    // hazard this key exists to prevent. The @hex strip covers the
+    // full Class@hashCode shape (Integer.toHexString is unpadded, so
+    // identities print 1-8 hex digits — a {6,} floor would let a
+    // short hashcode ride into the key ~1/2048 of the time and churn
+    // it per JVM). The strip CAN also swallow hex-looking text inside
+    // string literals ("svc@ca11"); literals are therefore folded in
+    // through their own channel below, exact and strip-proof, so two
+    // builders differing only in such a literal still key apart.
     val canon = plan.canonicalized
       .treeString(true, false, Int.MaxValue, false, false)
-      .replaceAll("([A-Za-z_$][A-Za-z0-9_$]*)@[0-9a-fA-F]{6,}", "$1@")
+      .replaceAll("([A-Za-z_$][A-Za-z0-9_$]*)@[0-9a-fA-F]{1,8}\\b", "$1@")
+    val litKey = plan.flatMap(_.expressions).flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l.sql
+    }).mkString("")
     val scanPaths = plan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
@@ -147,8 +153,8 @@ object SideTables {
         case other => other.getClass.getName
       }
     }.mkString(";")
-    md5hex(canon + "|" + df.schema.catalogString + "|" + scanPaths +
-      "|" + fnClassesKey).take(12)
+    md5hex(canon + "|" + litKey + "|" + df.schema.catalogString + "|" +
+      scanPaths + "|" + fnClassesKey).take(12)
   }
 
   /** content hash of the compiled `graft.functions` bytecode — the

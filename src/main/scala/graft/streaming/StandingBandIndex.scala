@@ -49,22 +49,34 @@ object StandingBandIndex {
   private val absorb: (Map[String, DataFrame], DataFrame, Long)
       => Map[String, DataFrame] =
     (state, batch, _) => {
-      // FIRST-WRITE-WINS on doc_id: the three-leg merge's disjointness
-      // assumes base/shard doc sets don't overlap, but an
-      // at-least-once UPSTREAM can re-deliver a doc's band rows in a
-      // LATER batch (different batch id — the versioned-replay guard
-      // can't see it). Without the gate, the cross leg would join the
-      // doc against its own standing rows (da == db self-pairs) and
-      // re-emit its true pairs as duplicates. Same policy as
-      // BandIndexProcessor: membership gates insertion.
-      val shardBands = batch
+      val shardRaw = batch
         .select(col("doc_id").cast("long"), col("band_id").cast("long"),
           col("bh").cast("string"))
-        .join(state("bands").select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+      // FIRST-WRITE-WINS per (doc_id, band_id): an at-least-once
+      // UPSTREAM can re-deliver band rows in a LATER batch (different
+      // batch id — the versioned-replay guard can't see it), and
+      // without the gate the cross leg would join a row against its
+      // own standing copy (da == db self-pairs, duplicated true
+      // pairs). The grain is the ROW, not the doc: a doc whose 16
+      // band rows straddle a batch boundary on FIRST delivery must
+      // have its remainder inserted, not dropped. Plan shape: both
+      // probes broadcast the SHARD side (the dup set is
+      // |shard|-bounded by construction), so the standing table is
+      // scanned, never shuffled — the same asymmetry as the cross
+      // leg's probe.
+      val dup = state("bands").select(col("doc_id"), col("band_id"))
+        .join(broadcast(shardRaw.select(col("doc_id"), col("band_id"))),
+          Seq("doc_id", "band_id"), "left_semi")
+      val shardBands = shardRaw
+        .join(broadcast(dup), Seq("doc_id", "band_id"), "left_anti")
+      // contributions to one (da, db) pair can arrive across batches
+      // (the straddling doc's later rows add shared bands), so the
+      // legs' outputs are SUMMED per pair — exact, because the legs
+      // partition the band-pair contributions disjointly
       val merged = TextOps.mergeBandCollisions(
           state("bands"), state("collisions"), shardBands)
-        .select(col("da"), col("db"), col("n_bands"))
+        .groupBy(col("da"), col("db"))
+        .agg(sum(col("n_bands")).as("n_bands"))
       Map("bands" -> state("bands").unionByName(shardBands),
         "collisions" -> merged)
     }

@@ -99,8 +99,12 @@ object StandingGraph {
   def bootstrap(edges: DataFrame, labels: DataFrame,
       root: String): Unit =
     VersionedArtifact.bootstrapTables(Map(
+      // distinct at ingress: the absorb maintains the edge-set
+      // invariant inductively (its add path dedupes), so the seed
+      // must establish it — a duplicated seed row would otherwise
+      // survive delete-only batches
       "edges" -> edges.select(col("src").cast("long"),
-        col("dst").cast("long")),
+        col("dst").cast("long")).distinct(),
       "labels" -> labels.select(col("node").cast("long"),
         col("label").cast("long"))), root)
 

@@ -44,6 +44,27 @@ object VersionedArtifact {
   private def fsFor(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** A FRESH stream (batch id 0) over a root that already has
+    * committed post-bootstrap history is a checkpoint/root mismatch —
+    * the operator reset or relocated the offset checkpoint but kept
+    * the artifact root. Under the committed-version no-op rule every
+    * replayed-looking batch up to the old high-water mark would be
+    * SILENTLY SKIPPED (arriving rows discarded with no error), so the
+    * mismatch must fail loudly at the first batch instead. Batch ids
+    * only advance after the previous offset commit, so a legitimate
+    * batch-0 replay can coexist with at most version 0 (plus the
+    * bootstrap's -1) — anything newer proves the WAL and the root
+    * disagree. */
+  private def guardCheckpointReset(batchId: Long,
+      committed: Seq[Long], root: String): Unit =
+    if (batchId == 0L && committed.exists(_ > 0L))
+      throw new IllegalStateException(
+        s"versioned-artifact root $root has committed versions up to " +
+          s"${committed.max} but the stream is starting at batch 0 — " +
+          "its checkpoint was reset or points elsewhere. Reprocessing " +
+          "into this root needs a fresh (or deliberately emptied) root; " +
+          "resuming needs the original checkpointLocation.")
+
   /** committed (`_SUCCESS`-marked) version ids under `root`,
     * ascending. */
   private[graft] def committedVersions(s: SparkSession,
@@ -97,6 +118,7 @@ object VersionedArtifact {
       (absorb: (DataFrame, DataFrame, Long) => DataFrame): Unit = {
     val s = batch.sparkSession
     val committed = committedVersions(s, root)
+    guardCheckpointReset(batchId, committed, root)
     if (!committed.contains(batchId)) {
       val standing = committed.filter(_ < batchId).lastOption match {
         case Some(v) => s.read.parquet(s"$root/v=$v")
@@ -198,6 +220,7 @@ object VersionedArtifact {
         => Map[String, DataFrame]): Unit = {
     val s = batch.sparkSession
     val committed = committedTableVersions(s, root)
+    guardCheckpointReset(batchId, committed, root)
     val fs = fsFor(s, new Path(root))
     if (!committed.contains(batchId)) {
       val standing = committed.filter(_ < batchId).lastOption match {

@@ -48,6 +48,16 @@ class SideTablesSpec extends SparkSpec {
     assert(SideTables.logicKey(a) !== SideTables.logicKey(b))
   }
 
+  test("logicKey distinguishes builders differing only in a hex-looking literal") {
+    // the @hex strip (JVM object identities print Class@hashcode)
+    // can swallow identifier@hex text inside STRING LITERALS too —
+    // the exact-literal channel must keep such builders apart
+    def f(owner: String) = docs.filter(col("source") === owner)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(SideTables.logicKey(f("svc@ca11ab")) !==
+      SideTables.logicKey(f("svc@beef00")))
+  }
+
   test("logicKey keeps operand identity and output names") {
     // canonicalized exprIds are plan-positional ordinals and must be
     // KEPT: these two self-join conditions differ ONLY by which

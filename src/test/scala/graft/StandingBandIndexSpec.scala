@@ -86,6 +86,26 @@ class StandingBandIndexSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet == (b0 ++ b1r).toSet)
   }
 
+  test("a doc whose band rows straddle a batch boundary still indexes completely") {
+    // FIRST delivery of doc 1 split across two batches (a row-granular
+    // source chops wherever its trigger cap lands): the remainder must
+    // insert — the re-delivery gate is per (doc_id, band_id), not per
+    // doc — and the pair contributions that arrive in different
+    // batches must SUM into one (da, db) row
+    val root = tmp("sbi-straddle")
+    StandingBandIndex.absorbBatch(
+      Seq((1L, 0L, "h1"), (2L, 0L, "h1"), (2L, 1L, "h2"))
+        .toDF("doc_id", "band_id", "bh"), 0L, root)
+    // doc 1's second band row arrives one batch later and collides
+    // with doc 2 on band 1 — (1,2) must become n_bands = 2, one row
+    StandingBandIndex.absorbBatch(
+      Seq((1L, 1L, "h2")).toDF("doc_id", "band_id", "bh"), 1L, root)
+    val all = Seq((1L, 0L, "h1"), (2L, 0L, "h1"), (2L, 1L, "h2"),
+      (1L, 1L, "h2")).toDF("doc_id", "band_id", "bh")
+    assert(collisions(root) == scratch(all))
+    assert(collisions(root) == Set((1L, 2L, 2L)))
+  }
+
   test("re-delivered doc rows in a later batch are dropped: first write wins") {
     // an at-least-once UPSTREAM re-sends doc 1's band rows under a
     // NEW batch id (the versioned-replay guard can't see it) — the

@@ -93,6 +93,26 @@ class StandingLabelsSpec extends SparkSpec {
     }
   }
 
+  test("a reset checkpoint over a retained root fails loudly at batch 0") {
+    // the committed-version no-op rule would otherwise SILENTLY skip
+    // every batch up to the old high-water mark — the operator must
+    // get an error, not discarded data
+    val root = tmp("sl-reset")
+    StandingLabels.absorbBatch(Seq((1L, 2L)).toDF("src", "dst"), 0L, root)
+    StandingLabels.absorbBatch(Seq((2L, 3L)).toDF("src", "dst"), 1L, root)
+    val e = intercept[IllegalStateException] {
+      StandingLabels.absorbBatch(
+        Seq((9L, 10L)).toDF("src", "dst"), 0L, root)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    // a legitimate batch-0 replay (only v=0, or v=0 + bootstrap) is
+    // NOT a reset and must stay a quiet no-op
+    val root2 = tmp("sl-replay0")
+    StandingLabels.absorbBatch(Seq((1L, 2L)).toDF("src", "dst"), 0L, root2)
+    StandingLabels.absorbBatch(Seq((5L, 6L)).toDF("src", "dst"), 0L, root2)
+    assert(labels(root2) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("old versions are pruned to the keep window, newest state intact") {
     val root = tmp("sl-prune")
     (0L until 6L).foreach { i =>
