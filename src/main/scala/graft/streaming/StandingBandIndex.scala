@@ -60,15 +60,14 @@ object StandingBandIndex {
       // pairs). The grain is the ROW, not the doc: a doc whose 16
       // band rows straddle a batch boundary on FIRST delivery must
       // have its remainder inserted, not dropped. Plan shape: both
-      // probes broadcast the SHARD side (the dup set is
-      // |shard|-bounded by construction), so the standing table is
-      // scanned, never shuffled — the same asymmetry as the cross
-      // leg's probe.
-      val dup = state("bands").select(col("doc_id"), col("band_id"))
-        .join(broadcast(shardRaw.select(col("doc_id"), col("band_id"))),
-          Seq("doc_id", "band_id"), "left_semi")
-      val shardBands = shardRaw
-        .join(broadcast(dup), Seq("doc_id", "band_id"), "left_anti")
+      // probes carry the SHARD side (the dup set is |shard|-bounded
+      // by construction), so the standing table is scanned, never
+      // shuffled — the same asymmetry as the cross leg's probe. The
+      // shard side rides [[Gate]]'s broadcast ceiling: an
+      // AvailableNow backfill (shard = whole source) degrades to a
+      // shuffle-hash join instead of a driver OOM.
+      val shardBands = Gate.antiAgainstStanding(
+        state("bands"), shardRaw, Seq("doc_id", "band_id"))
       // contributions to one (da, db) pair can arrive across batches
       // (the straddling doc's later rows add shared bands), so the
       // legs' outputs are SUMMED per pair — exact, because the legs

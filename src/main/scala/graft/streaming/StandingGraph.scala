@@ -78,11 +78,27 @@ object StandingGraph {
       val labels2 =
         if (!hasAdds) labels1
         else PipelineOps.mergeDeltaComponents(labels1, adds)
-      // distinct: a re-added edge must not accrete duplicates across
-      // delete/re-add cycles (labels are dup-insensitive; the edge
-      // artifact should stay a set)
+      // edge-set invariant WITHOUT shuffling the standing table: a
+      // re-added edge must not accrete duplicates across delete/
+      // re-add cycles, but a full-width distinct() over standing ∪
+      // adds would shuffle the ENTIRE standing edge list per
+      // micro-batch — exactly the O(standing) cost the labels math
+      // avoids. Instead dedupe the SHARD against standing with the
+      // StandingBandIndex asymmetry: in-batch distinct (|batch|-
+      // bounded), then a shard-side left_semi probe of standing
+      // (bounded by |batch|), then drop already-present rows from
+      // the shard — standing edges stream through UNTOUCHED into the
+      // union. Both probes ride the relabel broadcast gate so an
+      // AvailableNow backfill (shard = whole source) degrades to a
+      // shuffle join instead of a driver OOM.
       val edges2 =
-        if (!hasAdds) edges1 else edges1.unionByName(adds).distinct()
+        if (!hasAdds) edges1
+        else {
+          val addsD = adds.distinct()
+          val fresh = Gate.antiAgainstStanding(edges1, addsD,
+            Seq("src", "dst"))
+          edges1.unionByName(fresh)
+        }
       Map("edges" -> edges2, "labels" -> labels2)
     }
 

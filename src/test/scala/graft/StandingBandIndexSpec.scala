@@ -142,6 +142,27 @@ class StandingBandIndexSpec extends SparkSpec {
     assert(collisions(root) == scratch(bands))
   }
 
+  test("shuffle-fallback regime (gate=0): backfill-sized shards produce identical state") {
+    // a Trigger.AvailableNow backfill makes "the shard" the whole
+    // source — past the broadcast ceiling the first-write-wins probe
+    // must degrade to a shuffle-hash join, not a driver OOM, and the
+    // maintained state must be bit-identical to the broadcast regime
+    val root = tmp("sbi-gate")
+    System.setProperty("graft.relabel.bcast.max.rows", "0")
+    try {
+      StandingBandIndex.absorbBatch(b0.toDF("doc_id", "band_id", "bh"),
+        0L, root)
+      // with a re-delivered row: the gate must still drop it
+      StandingBandIndex.absorbBatch(
+        (b1 ++ b0.filter(_._1 == 1L)).toDF("doc_id", "band_id", "bh"),
+        1L, root)
+    } finally System.clearProperty("graft.relabel.bcast.max.rows")
+    assert(collisions(root) ==
+      scratch((b0 ++ b1).toDF("doc_id", "band_id", "bh")))
+    assert(StandingBandIndex.readLatest(spark, root)("bands")
+      .as[(Long, Long, String)].collect().toSet == (b0 ++ b1).toSet)
+  }
+
   test("bootstrap hands the batch-built index into the loop") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("sbi-boot")

@@ -89,6 +89,33 @@ class StandingGraphSpec extends SparkSpec {
     assert(StandingGraph.committedVersions(spark, root) == Seq(0L, 1L))
   }
 
+  test("re-adding standing edges never accretes duplicates, in both gate regimes") {
+    // the edge-set invariant is maintained by a shard-side anti probe
+    // (standing is never shuffled); a re-add of an edge that is
+    // ALREADY standing must vanish, and the shuffle-fallback regime
+    // (gate=0, the AvailableNow-backfill path) must produce identical
+    // state
+    for (gate <- Seq(None, Some("0"))) {
+      gate.foreach(System.setProperty("graft.relabel.bcast.max.rows", _))
+      try {
+        val root = tmp("sg-readd")
+        StandingGraph.absorbBatch(
+          Seq(("add", 1L, 2L), ("add", 2L, 3L)).toDF("kind", "src", "dst"),
+          0L, root)
+        // re-add (1,2) — already standing — alongside a fresh edge,
+        // with an in-batch duplicate of the fresh edge too
+        StandingGraph.absorbBatch(
+          Seq(("add", 1L, 2L), ("add", 3L, 4L), ("add", 3L, 4L))
+            .toDF("kind", "src", "dst"), 1L, root)
+        assert(edges(root) == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+        assert(StandingGraph.readLatest(spark, root)("edges").count() == 3L)
+        assert(labels(root) ==
+          Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      } finally gate.foreach(_ =>
+        System.clearProperty("graft.relabel.bcast.max.rows"))
+    }
+  }
+
   test("bootstrap seeds the loop from a batch-built graph") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("sg-boot")
