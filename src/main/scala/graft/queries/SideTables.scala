@@ -288,6 +288,9 @@ object SideTables {
     s.read.parquet(tableDir.toString)
   }
 
+  /** default read-lease floor for [[vacuum]] — see its scaladoc. */
+  val VacuumMinAgeMs: Long = 6L * 60 * 60 * 1000
+
   /** last-access marker consulted by [[vacuum]] — written best-effort
     * on every read (a read-only or permission-restricted root just
     * degrades to publish-time retention; it must never fail a
@@ -315,9 +318,21 @@ object SideTables {
     * builder), so the next consumer rebuilds it (the one-off cost
     * `side_built` already surfaces). Returns the deleted paths; the
     * deployment owns the cadence (e.g. a daily sweep with a
-    * multi-week horizon). */
+    * multi-week horizon).
+    *
+    * READ-LEASE FLOOR: the `_LAST_USED` marker is touched at PLAN
+    * time, so a long-running query that planned `runtime` ago is
+    * still mid-scan over a table whose marker is `runtime` old — a
+    * horizon below the longest expected query runtime would yank
+    * files from under it. `minAgeMs` is the enforced floor: the
+    * effective horizon is max(olderThanMs, minAgeMs), defaulting to
+    * [[VacuumMinAgeMs]] (6 h — generous for any interactive or daily
+    * batch query; a deployment running multi-day queries must raise
+    * it to cover them, or re-touch the marker from a keepalive). */
   def vacuum(s: SparkSession, olderThanMs: Long,
-      now: Long = System.currentTimeMillis): Seq[String] = {
+      now: Long = System.currentTimeMillis,
+      minAgeMs: Long = VacuumMinAgeMs): Seq[String] = {
+    val horizonMs = math.max(olderThanMs, minAgeMs)
     val rootP = new Path(root)
     val fs = fsFor(s, rootP)
     if (!fs.exists(rootP)) return Seq.empty
@@ -336,7 +351,7 @@ object SideTables {
             else 0L)
           // dot-tmp dirs younger than the horizon are in-flight
           // builds; older ones are crash debris
-          if (now - lastUsed > olderThanMs &&
+          if (now - lastUsed > horizonMs &&
               fs.delete(tdir.getPath, true)) // only report REAL deletes
             deleted += tdir.getPath.toString
         }

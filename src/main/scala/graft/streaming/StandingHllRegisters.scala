@@ -90,10 +90,34 @@ object StandingHllRegisters {
   /** per-group estimates from the standing registers, optionally
     * RETRACTING epochs first (q277's partition-drop — exact for any
     * epoch still individually present; epochs already compacted into
-    * the base cannot be dropped, which is the retention contract). */
+    * the base cannot be dropped, which is the retention contract).
+    * A retraction that can no longer be honored FAILS LOUDLY instead
+    * of appearing to succeed: dropping the `part = -1` base would be
+    * a drastic undercount (it is the max-fold of every aged-out
+    * epoch, not one epoch), and an epoch id already folded past the
+    * horizon — or never absorbed — is silently absent from the
+    * standing parts, so filtering it would be a no-op the caller
+    * mistakes for a completed purge. The presence probe collects the
+    * distinct live parts — bounded at horizonEpochs + 2 rows by the
+    * compaction invariant, a k-row driver step. */
   def estimates(s: SparkSession, root: String,
       dropEpochs: Seq[Long] = Seq.empty): DataFrame = {
-    val regs = readLatest(s, root)
+    require(!dropEpochs.contains(-1L),
+      "epoch -1 is the compacted base: epochs folded past the " +
+        "retention horizon cannot be individually retracted (size " +
+        "horizonEpochs to the deployment's purge window)")
+    val latest = readLatest(s, root)
+    if (dropEpochs.nonEmpty) {
+      val present = latest.select(col("part")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val missing = dropEpochs.filterNot(present)
+      require(missing.isEmpty,
+        s"epochs ${missing.mkString(",")} are not individually " +
+          "present in the standing registers (already compacted into " +
+          "the base, or never absorbed) — refusing a retraction that " +
+          "cannot be honored")
+    }
+    val regs = latest
       .filter(!col("part").isin(dropEpochs: _*))
       .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
     SketchOps.hllEstimate(regs, Seq("grp"))

@@ -65,6 +65,39 @@ object VersionedArtifact {
           "into this root needs a fresh (or deliberately emptied) root; " +
           "resuming needs the original checkpointLocation.")
 
+  /** The FIRST batch after a (re)start must line up with the root's
+    * committed high-water mark — [[guardCheckpointReset]] only
+    * catches a reset to batch 0, but a WRONG-BUT-NONZERO checkpoint
+    * (copied from another stream, or a root swapped under a live
+    * checkpoint) whose next batch id is at or below the high-water
+    * mark would hit the committed-version no-op rule and silently
+    * discard arriving rows. Structured Streaming pins a batch's
+    * offsets in the WAL before processing and its commit log lags the
+    * WAL by at most one batch, while the artifact version commits
+    * INSIDE the batch — so a legitimate first batch is either
+    * `hi` (crash between artifact commit and the stream's commit log;
+    * replays as a no-op) or `hi + 1` (normal advance). Anything else
+    * proves the WAL and the root disagree. A root with no real
+    * versions (fresh, or bootstrap-only `v=-1`) can only legitimately
+    * meet batch 0. Enforced on the first batch of every
+    * [[maintain]]/[[maintainTables]] run; direct [[absorbBatch]]
+    * replay-test calls keep only the batch-0 guard. */
+  private def guardFirstBatch(batchId: Long, committed: Seq[Long],
+      root: String): Unit = {
+    val hi = committed.filter(_ >= 0L).lastOption
+    val ok = hi match {
+      case Some(h) => batchId == h || batchId == h + 1
+      case None => batchId == 0L
+    }
+    if (!ok)
+      throw new IllegalStateException(
+        s"versioned-artifact root $root has committed high-water mark " +
+          s"${hi.getOrElse(-1L)} but this run's first batch id is " +
+          s"$batchId — the offset checkpoint belongs to a different " +
+          "stream or the root was swapped under a live checkpoint. " +
+          "Resuming needs the matching (root, checkpointLocation) pair.")
+  }
+
   /** committed (`_SUCCESS`-marked) version ids under `root`,
     * ascending. */
   private[graft] def committedVersions(s: SparkSession,
@@ -114,11 +147,12 @@ object VersionedArtifact {
     *    can have read it (no marker), so recompute from the
     *    predecessor and overwrite whole. */
   def absorbBatch(batch: DataFrame, batchId: Long, root: String,
-      schema: StructType)
+      schema: StructType, firstOfRun: Boolean = false)
       (absorb: (DataFrame, DataFrame, Long) => DataFrame): Unit = {
     val s = batch.sparkSession
     val committed = committedVersions(s, root)
     guardCheckpointReset(batchId, committed, root)
+    if (firstOfRun) guardFirstBatch(batchId, committed, root)
     if (!committed.contains(batchId)) {
       val standing = committed.filter(_ < batchId).lastOption match {
         case Some(v) => s.read.parquet(s"$root/v=$v")
@@ -143,13 +177,16 @@ object VersionedArtifact {
   def maintain(stream: DataFrame, root: String, checkpoint: String,
       schema: StructType)
       (absorb: (DataFrame, DataFrame, Long) => DataFrame)
-      : StreamingQuery =
+      : StreamingQuery = {
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) =>
-        absorbBatch(b, id, root, schema)(absorb))
+        absorbBatch(b, id, root, schema,
+          firstOfRun = first.getAndSet(false))(absorb))
       .start()
+  }
 
   // ------------------------------------------------------------------
   // MULTI-TABLE versions — for standing state that is several tables
@@ -215,12 +252,13 @@ object VersionedArtifact {
     * uncommitted debris → recompute from the predecessor); `absorb`
     * must return every table in `schemas`. */
   def absorbBatchTables(batch: DataFrame, batchId: Long, root: String,
-      schemas: Map[String, StructType])
+      schemas: Map[String, StructType], firstOfRun: Boolean = false)
       (absorb: (Map[String, DataFrame], DataFrame, Long)
         => Map[String, DataFrame]): Unit = {
     val s = batch.sparkSession
     val committed = committedTableVersions(s, root)
     guardCheckpointReset(batchId, committed, root)
+    if (firstOfRun) guardFirstBatch(batchId, committed, root)
     val fs = fsFor(s, new Path(root))
     if (!committed.contains(batchId)) {
       val standing = committed.filter(_ < batchId).lastOption match {
@@ -243,11 +281,14 @@ object VersionedArtifact {
   def maintainTables(stream: DataFrame, root: String, checkpoint: String,
       schemas: Map[String, StructType])
       (absorb: (Map[String, DataFrame], DataFrame, Long)
-        => Map[String, DataFrame]): StreamingQuery =
+        => Map[String, DataFrame]): StreamingQuery = {
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) =>
-        absorbBatchTables(b, id, root, schemas)(absorb))
+        absorbBatchTables(b, id, root, schemas,
+          firstOfRun = first.getAndSet(false))(absorb))
       .start()
+  }
 }

@@ -182,8 +182,9 @@ class SideTablesSpec extends SparkSpec {
       fresh.count()
       // a young root survives a sweep with a 1-hour horizon
       assert(SideTables.vacuum(spark, 3600L * 1000).isEmpty)
-      // backdate vac_counts (dir + last-used marker) past the horizon
-      val old = System.currentTimeMillis - 7200L * 1000
+      // backdate vac_counts (dir + last-used marker) past BOTH the
+      // horizon and the read-lease floor (6 h)
+      val old = System.currentTimeMillis - 7L * 3600L * 1000
       fs.listStatus(new Path(tmpRoot.toString)).foreach { keyDir =>
         fs.listStatus(keyDir.getPath)
           .filter(_.getPath.getName == "vac_counts").foreach { t =>
@@ -201,6 +202,40 @@ class SideTablesSpec extends SparkSpec {
       // ...and the vacuumed one transparently rebuilds
       get().count()
       assert(builds === 2)
+    } finally {
+      sys.props.remove("graft.side.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)
+    }
+  }
+
+  test("read-lease floor: a still-running reader's table survives an aggressive sweep") {
+    // _LAST_USED is touched at PLAN time — a query that planned 30
+    // minutes ago may still be mid-scan, so a sweep with a horizon
+    // below the longest query runtime must NOT honor it literally:
+    // the minAgeMs floor (default 6 h) clamps the effective horizon
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-side-lease")
+    sys.props("graft.side.dir") = tmpRoot.toString
+    try {
+      val fs = new Path(tmpRoot.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SideTables.getOrBuild(spark, sf(), "lease_t") {
+        docs.select(col("doc_id")).limit(3)
+      }.count()
+      // the reader registered (planned) 30 minutes ago
+      val planned = System.currentTimeMillis - 30L * 60 * 1000
+      fs.listStatus(new Path(tmpRoot.toString)).foreach { keyDir =>
+        fs.listStatus(keyDir.getPath).foreach { t =>
+          fs.setTimes(new Path(t.getPath, "_LAST_USED"), planned, -1)
+          fs.setTimes(t.getPath, planned, -1)
+        }
+      }
+      // an operator's 1-minute horizon is clamped to the floor: the
+      // running reader's table survives
+      assert(SideTables.vacuum(spark, 60L * 1000).isEmpty)
+      // only an explicit floor override lets the aggressive horizon
+      // through (the deployment asserting no query runs that long)
+      val gone = SideTables.vacuum(spark, 60L * 1000, minAgeMs = 0L)
+      assert(gone.exists(_.endsWith("lease_t")), gone.toString)
     } finally {
       sys.props.remove("graft.side.dir")
       org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot.toFile)

@@ -103,6 +103,32 @@ class StandingHllRegistersSpec extends SparkSpec {
       regSet(scratch.withColumn("part", lit(0L))))
   }
 
+  test("a retraction that cannot be honored fails loudly, not silently") {
+    val root = tmp("hll-guard")
+    (0 to 5).foreach { i =>
+      StandingHllRegisters.absorbBatch(
+        obs("a", Seq(s"x$i", s"y$i")), i.toLong, root, horizonEpochs = 2)
+    } // live parts: {-1, 3, 4, 5}; epochs 0-2 folded into the base
+    // the compacted base is the max-fold of every aged-out epoch,
+    // not an epoch — dropping it would drastically undercount
+    intercept[IllegalArgumentException] {
+      StandingHllRegisters.estimates(spark, root, dropEpochs = Seq(-1L))
+    }
+    // an epoch already folded past the horizon is silently absent —
+    // filtering it would be a no-op the caller mistakes for a purge
+    val e = intercept[IllegalArgumentException] {
+      StandingHllRegisters.estimates(spark, root, dropEpochs = Seq(0L))
+    }
+    assert(e.getMessage.contains("compacted"))
+    // same for an epoch that never arrived at all
+    intercept[IllegalArgumentException] {
+      StandingHllRegisters.estimates(spark, root, dropEpochs = Seq(99L))
+    }
+    // a live epoch still retracts fine
+    assert(StandingHllRegisters.estimates(spark, root,
+      dropEpochs = Seq(4L)).count() > 0)
+  }
+
   test("dropping a live epoch at read time equals never having absorbed it") {
     val root = tmp("hll-drop")
     StandingHllRegisters.absorbBatch(obs("a", Seq("p1", "p2")), 0L, root)

@@ -113,6 +113,60 @@ class StandingLabelsSpec extends SparkSpec {
     assert(labels(root2) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("a swapped root or foreign checkpoint fails loudly at a run's FIRST batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // loop 1 advances the checkpoint past batch 1 against root1
+    val ckpt = tmp("sl-swap-ckpt")
+    val root1 = tmp("sl-swap-root1")
+    val in = MemoryStream[(Long, Long)]
+    val q1 = StandingLabels.maintainComponentsStream(
+      in.toDF().toDF("src", "dst"), root1, ckpt)
+    try {
+      in.addData((1L, 2L)); q1.processAllAvailable()
+      in.addData((2L, 3L)); q1.processAllAvailable()
+    } finally q1.stop()
+    // swap a FRESH root under the live checkpoint: the restart's
+    // first batch id (2) is past the fresh root's high-water mark
+    // (none), so batches 0-1's state is missing — the batch-0 guard
+    // can't see this, the first-batch guard must
+    val root2 = tmp("sl-swap-root2")
+    in.addData((3L, 4L))
+    val q2 = StandingLabels.maintainComponentsStream(
+      in.toDF().toDF("src", "dst"), root2, ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("high-water mark")))
+    // a wrong-but-nonzero STALE checkpoint (first batch at or below
+    // the mark, but not a legal replay of it) fails too — under the
+    // committed-version no-op rule its rows would silently vanish
+    val root3 = tmp("sl-stale-root")
+    (0L to 4L).foreach { i =>
+      StandingLabels.absorbBatch(
+        Seq((i * 10, i * 10 + 1)).toDF("src", "dst"), i, root3)
+    }
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.VersionedArtifact.absorbBatch(
+        Seq((9L, 9L)).toDF("src", "dst"), 2L, root3,
+        StandingLabels.readLatest(spark, root3).schema,
+        firstOfRun = true)((_, b, _) => b)
+    }
+    assert(e2.getMessage.contains("high-water mark"))
+    // the two LEGAL first batches: a replay of the mark itself (4)
+    // no-ops; the next id (5) absorbs
+    graft.streaming.VersionedArtifact.absorbBatch(
+      Seq((9L, 9L)).toDF("src", "dst"), 4L, root3,
+      StandingLabels.readLatest(spark, root3).schema,
+      firstOfRun = true)((standing, _, _) => standing)
+    StandingLabels.absorbBatch(
+      Seq((50L, 51L)).toDF("src", "dst"), 5L, root3)
+    assert(labels(root3).contains(50L))
+  }
+
   test("old versions are pruned to the keep window, newest state intact") {
     val root = tmp("sl-prune")
     (0L until 6L).foreach { i =>
