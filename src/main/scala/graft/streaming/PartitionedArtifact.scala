@@ -1,0 +1,340 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** PARTITION-SCOPED batch-id versioning — [[VersionedArtifact]]'s
+  * contract (commit markers, replay no-ops, crash-debris recompute,
+  * bootstrap at `v=-1`, first-batch/reset guards) with the one change
+  * that makes per-batch I/O O(delta) instead of O(standing): a
+  * version writes only the partitions its batch TOUCHED plus a small
+  * manifest, and untouched partitions carry forward by REFERENCE to
+  * the version directory that last wrote them.
+  *
+  * Layout per version:
+  * {{{
+  * root/v=<id>/<table>/<partCol>=<p>/  touched partitions only
+  * root/v=<id>/<table>/                Whole-layout tables
+  * root/v=<id>/_MANIFEST    "table\tpart\tversion" per live partition
+  * root/v=<id>/_STATS       "table\trowsWritten" per table (this
+  *                          version's own writes — the machine-checked
+  *                          delta-boundedness counter)
+  * root/v=<id>/_COMMIT      version-level commit marker
+  * }}}
+  *
+  * A committed version is readable from ITS manifest alone (no
+  * transitive chase): each live (table, partition) names the version
+  * directory holding its current bytes. Pruning therefore keeps the
+  * newest [[keepBehind]]+1 manifests at or below the batch just
+  * written plus every version directory any kept manifest references
+  * — an old directory lives exactly as long as some current partition
+  * still points into it, which is what lets a never-touched base
+  * partition (bootstrap epoch, cold corpus shard) survive forever
+  * WITHOUT ever being rewritten.
+  *
+  * Table layouts:
+  *  - [[Whole]]: rewritten whole every version — for small state
+  *    (label vectors, register tables) where versioned snapshots are
+  *    cheaper than manifest indirection;
+  *  - [[ByPart]]: partitioned by a LONG column; the absorb returns a
+  *    [[PartsDelta]] naming the touched partition values, and rows
+  *    only for those — partitions in `touched` are REPLACED by the
+  *    delta's rows for them (zero rows = partition dropped), all
+  *    others carry forward untouched.
+  *
+  * CLUSTER CONTRACT: same as SideTables/VersionedArtifact — `root`
+  * must be storage the driver and every executor see at one path.
+  */
+object PartitionedArtifact {
+
+  /** how a table's bytes are laid out inside a version. */
+  sealed trait Layout
+  /** rewritten whole every version (small state). */
+  case object Whole extends Layout
+  /** partitioned by a LONG column; versions write touched partitions
+    * only. `schema` of the table INCLUDES this column. */
+  final case class ByPart(partCol: String) extends Layout
+
+  /** one table's declaration: storage schema (including the partition
+    * column for [[ByPart]]) plus its layout. */
+  final case class TableSpec(schema: StructType, layout: Layout)
+
+  /** one table's per-batch output from the absorb. */
+  sealed trait Delta
+  /** full replacement rows for a [[Whole]] table. */
+  final case class WholeDelta(rows: DataFrame) extends Delta
+  /** replacement rows for the `touched` partitions of a [[ByPart]]
+    * table. `rows` must carry the partition column and only values
+    * within `touched`; a touched value with zero rows is DROPPED. */
+  final case class PartsDelta(rows: DataFrame, touched: Seq[Long])
+    extends Delta
+
+  /** the predecessor state handed to an absorb: full views, the live
+    * partition list, and PARTITION-PRUNED reads — `readParts` opens
+    * only the manifest entries asked for, so a delta-bounded absorb
+    * never scans untouched partitions. */
+  final class Standing private[PartitionedArtifact] (
+      s: SparkSession, root: String,
+      specs: Map[String, TableSpec],
+      version: Option[Long],
+      manifest: Map[(String, Long), Long]) {
+
+    /** live partition values of a [[ByPart]] table, ascending. */
+    def parts(table: String): Seq[Long] =
+      manifest.keys.collect { case (t, p) if t == table => p }
+        .toSeq.sorted
+
+    /** the full current view of a table (all live partitions / the
+      * newest whole copy). Zero-row table of the spec schema when
+      * nothing is live. */
+    def table(name: String): DataFrame = specs(name).layout match {
+      case Whole => version match {
+        case Some(v) => cast(s.read.parquet(s"$root/v=$v/$name"), name)
+        case None => empty(name)
+      }
+      case ByPart(_) => readParts(name, parts(name))
+    }
+
+    /** partition-pruned read of a [[ByPart]] table: only the named
+      * partitions' directories are opened. Unknown values are simply
+      * absent (a manifest miss, not an error). */
+    def readParts(name: String, ps: Seq[Long]): DataFrame = {
+      val partCol = specs(name).layout match {
+        case ByPart(c) => c
+        case Whole => throw new IllegalArgumentException(
+          s"table $name is Whole-layout; use table()")
+      }
+      val want = ps.toSet
+      // toSeq first: collecting (version, part) pairs straight off the
+      // manifest Map would build a Map keyed by version and silently
+      // drop all but one partition per version
+      val byVersion = manifest.toSeq.collect {
+        case ((t, p), v) if t == name && want(p) => (v, p)
+      }.groupBy(_._1)
+      if (byVersion.isEmpty) empty(name)
+      else cast(byVersion.map { case (v, vps) =>
+        val base = s"$root/v=$v/$name"
+        s.read.option("basePath", base)
+          .parquet(vps.map { case (_, p) => s"$base/$partCol=$p" }
+            .toSeq.sorted: _*)
+      }.reduce(_ unionByName _), name)
+    }
+
+    private def empty(name: String): DataFrame = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      specs(name).schema)
+
+    // partition-directory inference types drift (int vs long), so
+    // every read lands on the declared storage schema
+    private def cast(df: DataFrame, name: String): DataFrame =
+      df.select(specs(name).schema.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  private val keepBehind = 2
+
+  private def fsFor(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def commitMarker(root: String, v: Long) =
+    new Path(s"$root/v=$v", "_COMMIT")
+
+  /** committed version ids under `root`, ascending. */
+  private[graft] def committedVersions(s: SparkSession,
+      root: String): Seq[Long] = {
+    val rootP = new Path(root)
+    val fs = fsFor(s, rootP)
+    if (!fs.exists(rootP)) return Seq.empty
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => fs.exists(commitMarker(root, v)))
+      .sorted
+  }
+
+  // ---------------------------------------------------------------
+  // manifest + stats files: tiny tab-separated UTF-8, written through
+  // the Hadoop FileSystem so every scheme SideTables supports works
+  // ---------------------------------------------------------------
+
+  private def writeLines(fs: FileSystem, p: Path,
+      lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def readManifest(s: SparkSession, root: String,
+      v: Long): Map[(String, Long), Long] =
+    readLines(fsFor(s, new Path(root)), new Path(s"$root/v=$v", "_MANIFEST"))
+      .map { line =>
+        val Array(t, p, ver) = line.split('\t')
+        (t, p.toLong) -> ver.toLong
+      }.toMap
+
+  /** this version's own written-row counts per table — the
+    * machine-checked delta-boundedness counter specs assert on. */
+  def writeStats(s: SparkSession, root: String,
+      v: Long): Map[String, Long] =
+    readLines(fsFor(s, new Path(root)), new Path(s"$root/v=$v", "_STATS"))
+      .map { line =>
+        val Array(t, n) = line.split('\t')
+        t -> n.toLong
+      }.toMap
+
+  /** the newest committed state as a [[Standing]] handle. */
+  def readLatestStanding(s: SparkSession, root: String,
+      specs: Map[String, TableSpec]): Standing =
+    standingAt(s, root, specs,
+      committedVersions(s, root).lastOption)
+
+  private def standingAt(s: SparkSession, root: String,
+      specs: Map[String, TableSpec], v: Option[Long]): Standing =
+    new Standing(s, root, specs, v,
+      v.map(readManifest(s, root, _)).getOrElse(Map.empty))
+
+  /** the newest committed state, one full-view DataFrame per table
+    * (ByPart views still carry their partition column). */
+  def readLatestTables(s: SparkSession, root: String,
+      specs: Map[String, TableSpec]): Map[String, DataFrame] = {
+    val st = readLatestStanding(s, root, specs)
+    specs.keys.map(n => n -> st.table(n)).toMap
+  }
+
+  /** seed the loop from batch-built tables (version -1); ByPart
+    * tables land as their initial partition set. */
+  def bootstrap(tables: Map[String, DataFrame], root: String,
+      specs: Map[String, TableSpec]): Unit = {
+    require(tables.keySet == specs.keySet,
+      s"bootstrap tables ${tables.keySet}, expected ${specs.keySet}")
+    val s = tables.head._2.sparkSession
+    require(committedVersions(s, root).isEmpty,
+      s"partitioned-artifact root $root already has committed versions")
+    writeVersion(s, root, -1L, specs, Map.empty,
+      specs.map { case (n, spec) =>
+        n -> (spec.layout match {
+          case Whole => WholeDelta(tables(n))
+          case ByPart(_) => PartsDelta(tables(n), Seq.empty)
+        })
+      })
+  }
+
+  /** write one version: touched partitions + whole tables, then the
+    * manifest, stats, and finally the commit marker. For bootstrap
+    * ([[PartsDelta]] with empty `touched`), every partition present
+    * in the rows is simply (re)registered to this version. */
+  private def writeVersion(s: SparkSession, root: String, v: Long,
+      specs: Map[String, TableSpec],
+      prevManifest: Map[(String, Long), Long],
+      deltas: Map[String, Delta]): Unit = {
+    require(deltas.keySet == specs.keySet,
+      s"absorb returned tables ${deltas.keySet}, expected ${specs.keySet}")
+    val fs = fsFor(s, new Path(root))
+    val verDir = new Path(root, s"v=$v")
+    // crash debris from a failed attempt at this id: nothing can have
+    // read it (no _COMMIT), overwrite whole
+    if (fs.exists(verDir)) fs.delete(verDir, true)
+    var manifest = prevManifest
+    val stats = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    specs.toSeq.sortBy(_._1).foreach { case (name, spec) =>
+      val tdir = s"$root/v=$v/$name"
+      (spec.layout, deltas(name)) match {
+        case (Whole, WholeDelta(rows)) =>
+          rows.select(spec.schema.fieldNames.toSeq.map(col): _*)
+            .write.mode("overwrite").parquet(tdir)
+          stats += name -> s.read.parquet(tdir).count()
+        case (ByPart(partCol), PartsDelta(rows, touched)) =>
+          rows.select(spec.schema.fieldNames.toSeq.map(col): _*)
+            .write.partitionBy(partCol).mode("overwrite").parquet(tdir)
+          // the partitions this version actually produced bytes for
+          val written = fs.listStatus(new Path(tdir)).toSeq
+            .filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(_.startsWith(partCol + "="))
+            .map(_.stripPrefix(partCol + "=").toLong)
+          manifest = manifest.filterNot { case ((t, p), _) =>
+            t == name && (touched.contains(p) || written.contains(p)) } ++
+            written.map(p => (name, p) -> v)
+          stats += name -> (if (written.isEmpty) 0L
+            else s.read.option("basePath", tdir)
+              .parquet(written.map(p => s"$tdir/$partCol=$p"): _*)
+              .count())
+        case (l, d) => throw new IllegalArgumentException(
+          s"table $name declared ${l.getClass.getSimpleName} but absorb " +
+            s"returned ${d.getClass.getSimpleName}")
+      }
+    }
+    writeLines(fs, new Path(verDir, "_MANIFEST"),
+      manifest.toSeq.sortBy { case ((t, p), _) => (t, p) }
+        .map { case ((t, p), ver) => s"$t\t$p\t$ver" })
+    writeLines(fs, new Path(verDir, "_STATS"),
+      stats.toSeq.map { case (t, n) => s"$t\t$n" })
+    fs.create(commitMarker(root, v), true).close()
+  }
+
+  /** one absorb step — [[VersionedArtifact.absorbBatchTables]]'
+    * replay contract (committed id → reader-safe no-op; uncommitted
+    * debris → recompute from the predecessor and overwrite whole),
+    * with partition-scoped writes. */
+  def absorbBatch(batch: DataFrame, batchId: Long, root: String,
+      specs: Map[String, TableSpec], firstOfRun: Boolean = false)
+      (absorb: (Standing, DataFrame, Long) => Map[String, Delta]): Unit = {
+    val s = batch.sparkSession
+    val committed = committedVersions(s, root)
+    VersionedArtifact.guardCheckpointReset(batchId, committed, root)
+    if (firstOfRun)
+      VersionedArtifact.guardFirstBatch(batchId, committed, root)
+    if (!committed.contains(batchId)) {
+      val prevV = committed.filter(_ < batchId).lastOption
+      val standing = standingAt(s, root, specs, prevV)
+      val prevManifest = prevV
+        .map(readManifest(s, root, _)).getOrElse(Map.empty)
+      writeVersion(s, root, batchId, specs, prevManifest,
+        absorb(standing, batch, batchId))
+    }
+    prune(s, root, batchId)
+  }
+
+  /** Reference-aware pruning: keep the newest [[keepBehind]]+1
+    * manifests at or below the batch just written, plus every version
+    * directory a kept manifest references (old directories live
+    * exactly as long as a current partition points into them).
+    * Versions AHEAD of a replayed batch are never touched. */
+  private def prune(s: SparkSession, root: String, batchId: Long): Unit = {
+    val fs = fsFor(s, new Path(root))
+    val eligible = committedVersions(s, root).filter(_ <= batchId)
+    val keep = eligible.takeRight(keepBehind + 1).toSet
+    val referenced = keep.flatMap(v => readManifest(s, root, v).values)
+    eligible.filterNot(v => keep(v) || referenced(v))
+      .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+  }
+
+  /** start a maintenance loop with partition-scoped versions. */
+  def maintain(stream: DataFrame, root: String, checkpoint: String,
+      specs: Map[String, TableSpec])
+      (absorb: (Standing, DataFrame, Long) => Map[String, Delta])
+      : StreamingQuery = {
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        absorbBatch(b, id, root, specs,
+          firstOfRun = first.getAndSet(false))(absorb))
+      .start()
+  }
+}

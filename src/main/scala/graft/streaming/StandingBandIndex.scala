@@ -6,22 +6,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.queries.TextOps
+import PartitionedArtifact.{ByPart, PartsDelta, TableSpec}
 
-/** The dedup-index instance of the [[VersionedArtifact]] loop —
-  * completing the family symmetry (components [[StandingLabels]],
-  * sketches [[StandingHllRegisters]], CDC graph [[StandingGraph]]):
-  * each micro-batch of arriving documents' BAND ROWS
-  * (doc_id, band_id, bh — the per-doc MinHash band digests, which are
-  * slice-independent, so any upstream signature stage can feed the
-  * stream) absorbs into a standing (bands, collisions) artifact by
-  * q265's proven three-leg merge ([[TextOps.mergeBandCollisions]]
-  * minus the proof-only provenance column): standing pairs pass
-  * through untouched, the shard probes the standing band index
-  * asymmetrically (|shard bands| × bucket occupancy, never |corpus|²),
-  * and the shard self-joins within itself. Multi-table state because
+/** The dedup-index instance of the maintenance loop — completing the
+  * family symmetry (components [[StandingLabels]], sketches
+  * [[StandingHllRegisters]], CDC graph [[StandingGraph]]): each
+  * micro-batch of arriving documents' BAND ROWS (doc_id, band_id, bh
+  * — the per-doc MinHash band digests, which are slice-independent,
+  * so any upstream signature stage can feed the stream) absorbs into
+  * a standing (bands, collisions) artifact by q265's proven delta
+  * legs ([[TextOps.bandDeltaLegs]]): the shard probes the standing
+  * band index asymmetrically (|shard bands| × bucket occupancy, never
+  * |corpus|²) and self-joins within itself. Multi-table state because
   * the collision table alone cannot absorb the NEXT shard — the probe
   * needs the band index, exactly the reason [[StandingGraph]] carries
   * its edge list.
+  *
+  * EPOCH-PARTITIONED, APPEND-ONLY versions ([[PartitionedArtifact]]):
+  * both tables are partitioned by the shard epoch (= batch id; -1 is
+  * the bootstrap corpus), and a version writes ONLY its own epoch —
+  * the standing corpus's bytes are never rewritten, so per-batch I/O
+  * is |shard bands| + |delta pairs|, not O(standing) (the `_STATS`
+  * counter machine-checks this in StandingBandIndexSpec). Collisions
+  * are stored as PER-EPOCH CONTRIBUTIONS; [[readLatest]] presents the
+  * summed (da, db, n_bands) view, exact because the legs partition
+  * pair contributions disjointly across epochs (a straddling doc's
+  * later rows add their shared bands in their own epoch).
   *
   * Versus [[graft.streaming.Streams.bandIndexStream]] (keyed
   * `transformWithState`, per-bucket occupancy caps, per-row emission):
@@ -39,19 +49,21 @@ object StandingBandIndex {
 
   private val BandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band_id", LongType),
-    StructField("bh", StringType)))
-  private[graft] val Schemas: Map[String, StructType] = Map(
-    "bands" -> BandSchema,
-    "collisions" -> StructType(Seq(
-      StructField("da", LongType), StructField("db", LongType),
-      StructField("n_bands", LongType))))
+    StructField("bh", StringType), StructField("epoch", LongType)))
+  private val CollSchema = StructType(Seq(
+    StructField("da", LongType), StructField("db", LongType),
+    StructField("n_bands", LongType), StructField("epoch", LongType)))
+  private[graft] val Specs: Map[String, TableSpec] = Map(
+    "bands" -> TableSpec(BandSchema, ByPart("epoch")),
+    "collisions" -> TableSpec(CollSchema, ByPart("epoch")))
 
-  private val absorb: (Map[String, DataFrame], DataFrame, Long)
-      => Map[String, DataFrame] =
-    (state, batch, _) => {
+  private val absorb: (PartitionedArtifact.Standing, DataFrame, Long)
+      => Map[String, PartitionedArtifact.Delta] =
+    (standing, batch, epoch) => {
       val shardRaw = batch
         .select(col("doc_id").cast("long"), col("band_id").cast("long"),
           col("bh").cast("string"))
+      val standingBands = standing.table("bands").drop("epoch")
       // FIRST-WRITE-WINS per (doc_id, band_id): an at-least-once
       // UPSTREAM can re-deliver band rows in a LATER batch (different
       // batch id — the versioned-replay guard can't see it), and
@@ -59,59 +71,65 @@ object StandingBandIndex {
       // own standing copy (da == db self-pairs, duplicated true
       // pairs). The grain is the ROW, not the doc: a doc whose 16
       // band rows straddle a batch boundary on FIRST delivery must
-      // have its remainder inserted, not dropped. Plan shape: both
-      // probes carry the SHARD side (the dup set is |shard|-bounded
-      // by construction), so the standing table is scanned, never
-      // shuffled — the same asymmetry as the cross leg's probe. The
-      // shard side rides [[Gate]]'s broadcast ceiling: an
-      // AvailableNow backfill (shard = whole source) degrades to a
-      // shuffle-hash join instead of a driver OOM.
+      // have its remainder inserted, not dropped. The shard side
+      // rides [[Gate]]'s broadcast ceiling, so an AvailableNow
+      // backfill degrades to a shuffle join instead of a driver OOM;
+      // either way the standing table is scanned, never shuffled.
       val shardBands = Gate.antiAgainstStanding(
-        state("bands"), shardRaw, Seq("doc_id", "band_id"))
-      // contributions to one (da, db) pair can arrive across batches
-      // (the straddling doc's later rows add shared bands), so the
-      // legs' outputs are SUMMED per pair — exact, because the legs
-      // partition the band-pair contributions disjointly
-      val merged = TextOps.mergeBandCollisions(
-          state("bands"), state("collisions"), shardBands)
+        standingBands, shardRaw, Seq("doc_id", "band_id"))
+      // this epoch's pair contributions — cross-epoch contributions
+      // to one (da, db) are summed at READ time, exact because the
+      // legs partition the band-pair contributions disjointly
+      val delta = TextOps.bandDeltaLegs(standingBands, shardBands)
         .groupBy(col("da"), col("db"))
         .agg(sum(col("n_bands")).as("n_bands"))
-      Map("bands" -> state("bands").unionByName(shardBands),
-        "collisions" -> merged)
+      Map(
+        "bands" -> PartsDelta(
+          shardBands.withColumn("epoch", lit(epoch)), Seq(epoch)),
+        "collisions" -> PartsDelta(
+          delta.withColumn("epoch", lit(epoch)), Seq(epoch)))
     }
 
   private[graft] def committedVersions(s: SparkSession,
       root: String): Seq[Long] =
-    VersionedArtifact.committedTableVersions(s, root)
+    PartitionedArtifact.committedVersions(s, root)
 
-  /** the current (bands, collisions) tables. */
-  def readLatest(s: SparkSession, root: String): Map[String, DataFrame] =
-    VersionedArtifact.readLatestTables(s, root, Schemas)
+  /** the current (bands, collisions) views — the epoch partitioning
+    * is internal; `collisions` is the summed pair table downstream
+    * dedup consumes, bit-compatible with the batch artifact. */
+  def readLatest(s: SparkSession, root: String): Map[String, DataFrame] = {
+    val st = PartitionedArtifact.readLatestStanding(s, root, Specs)
+    Map(
+      "bands" -> st.table("bands").drop("epoch"),
+      "collisions" -> st.table("collisions")
+        .groupBy(col("da"), col("db"))
+        .agg(sum(col("n_bands")).as("n_bands")))
+  }
 
-  /** seed from the batch-built standing index (version -1) — e.g. the
+  /** seed from the batch-built standing index (epoch -1) — e.g. the
     * SideTables `band_index_base` / `band_collisions_base` pair. */
   def bootstrap(bands: DataFrame, collisions: DataFrame,
       root: String): Unit =
-    VersionedArtifact.bootstrapTables(Map(
+    PartitionedArtifact.bootstrap(Map(
       "bands" -> bands.select(col("doc_id").cast("long"),
-        col("band_id").cast("long"), col("bh").cast("string")),
+        col("band_id").cast("long"), col("bh").cast("string"),
+        lit(-1L).as("epoch")),
       "collisions" -> collisions.select(col("da").cast("long"),
-        col("db").cast("long"), col("n_bands").cast("long"))), root)
+        col("db").cast("long"), col("n_bands").cast("long"),
+        lit(-1L).as("epoch"))), root, Specs)
 
   /** one absorb step — the foreachBatch body, callable directly for
     * deterministic-replay tests. */
   def absorbBatch(bands: DataFrame, batchId: Long, root: String): Unit =
-    VersionedArtifact.absorbBatchTables(bands, batchId, root, Schemas)(
-      absorb)
+    PartitionedArtifact.absorbBatch(bands, batchId, root, Specs)(absorb)
 
   /** start the loop over a (doc_id, band_id, bh) band-row stream. */
   def maintainStream(bands: DataFrame, root: String,
       checkpoint: String): StreamingQuery = {
-    require(BandSchema.fieldNames.toSet
+    require(Set("doc_id", "band_id", "bh")
         .subsetOf(bands.schema.fieldNames.toSet),
       s"band stream must have columns (doc_id, band_id, bh), got " +
         bands.schema.fieldNames.mkString(","))
-    VersionedArtifact.maintainTables(bands, root, checkpoint, Schemas)(
-      absorb)
+    PartitionedArtifact.maintain(bands, root, checkpoint, Specs)(absorb)
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.queries.PipelineOps
+import graft.queries.{Ckpt, PipelineOps}
+import PartitionedArtifact.{ByPart, PartsDelta, TableSpec, Whole, WholeDelta}
 
 /** CDC maintenance of a standing graph — the full-algebra loop:
   * [[StandingLabels]] absorbs edge arrivals, but a real changelog
@@ -14,8 +15,7 @@ import graft.queries.PipelineOps
   * surviving induced edges — labels alone are not a sufficient
   * state, which is exactly why this instance is multi-table). The
   * standing artifact is therefore (edges, labels), versioned
-  * atomically per batch by [[VersionedArtifact]]'s multi-table
-  * contract.
+  * atomically per batch by [[PartitionedArtifact]].
   *
   * Event stream: (kind, src, dst) — `kind = "add"` is an edge
   * arrival, `kind = "del"` retracts the node `src` (dst ignored) and
@@ -31,104 +31,170 @@ import graft.queries.PipelineOps
   * [[PipelineOps.mergeDeltaComponents]] — the two halves whose
   * arbitrary interleaving q280 proved equal to a from-scratch solve.
   *
-  * Scale note: the labels update touches only delta + touched
-  * components (the absorb/retract laws' shape), but this instance
-  * REWRITES the edge table per version — the honest cost of deletion
-  * support in a versioned artifact. The 100 TB deployment partitions
-  * the persisted edge table BY LABEL (q274's layout) and overwrites
-  * only touched partitions; the per-batch labels math is identical.
+  * Scale shape — per-batch I/O is O(touched), not O(standing): the
+  * persisted edge table is PARTITIONED BY COMPONENT LABEL (q274's
+  * layout), and a version rewrites only the partitions its batch
+  * touched — components losing a node (splits), components absorbed
+  * into another (their rows move to the winner's partition), and
+  * components receiving an intra-component edge. Every other
+  * partition carries forward by manifest reference with its bytes
+  * untouched; the `_STATS` counter machine-checks the bound per
+  * batch (StandingGraphSpec). The labels table stays whole-per-
+  * version — it is the |V|-row small state the relabel math already
+  * scans. The touched-label set rides
+  * [[PipelineOps.relabelBroadcastMaxRows]]: a batch that touches
+  * more components than the ceiling degrades to a whole-table
+  * rewrite (the pre-partitioned cost, never a driver OOM). For
+  * corpora whose component COUNT explodes past healthy parquet
+  * partition counts, the same machinery runs with a label-hash
+  * bucket as the partition column — coarser touched sets, identical
+  * laws.
   */
 object StandingGraph {
 
   private val EventSchema = StructType(Seq(
     StructField("kind", StringType), StructField("src", LongType),
     StructField("dst", LongType)))
-  private[graft] val Schemas: Map[String, StructType] = Map(
-    "edges" -> StructType(Seq(
-      StructField("src", LongType), StructField("dst", LongType))),
-    "labels" -> StructType(Seq(
-      StructField("node", LongType), StructField("label", LongType))))
+  private val EdgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("label", LongType)))
+  private val LabelSchema = StructType(Seq(
+    StructField("node", LongType), StructField("label", LongType)))
+  private[graft] val Specs: Map[String, TableSpec] = Map(
+    "edges" -> TableSpec(EdgeSchema, ByPart("label")),
+    "labels" -> TableSpec(LabelSchema, Whole))
 
-  private val absorb: (Map[String, DataFrame], DataFrame, Long)
-      => Map[String, DataFrame] =
-    (state, batch, _) => {
+  /** the touched-label values as a driver list when below the
+    * broadcast/collect ceiling; None = fall back to rewriting every
+    * standing partition (correct, data-proportional, OOM-free). */
+  private def collectGated(labelVals: DataFrame): Option[Seq[Long]] = {
+    val cut = Ckpt.cut(labelVals.distinct(), true)
+    if (cut.count() > PipelineOps.relabelBroadcastMaxRows) None
+    else Some(cut.collect().map(_.getLong(0)).toSeq)
+  }
+
+  private val absorb: (PartitionedArtifact.Standing, DataFrame, Long)
+      => Map[String, PartitionedArtifact.Delta] =
+    (standing, batch, _) => {
       val dels = batch.filter(col("kind") === "del")
         .select(col("src").cast("long").as("node")).distinct()
       val adds = batch.filter(col("kind") === "add")
         .select(col("src").cast("long"), col("dst").cast("long"))
-      val edges0 = state("edges")
-      val labels0 = state("labels")
+      val labels0 = standing.table("labels")
       // fast paths decided on the MICRO-BATCH (one tiny job each):
       // an add-dominated stream must not pay the retraction
       // machinery's standing-state jobs for every delete-free batch,
       // nor the merge's for a delete-only one
       val hasDels = !dels.isEmpty
       val hasAdds = !adds.isEmpty
-      // deletes against the predecessor state...
-      val edges1 =
-        if (!hasDels) edges0
-        else edges0
-          .join(dels.select(col("node").as("src")), Seq("src"), "left_anti")
-          .join(dels.select(col("node").as("dst")), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst"))
-      val labels1 =
-        if (!hasDels) labels0
-        else PipelineOps.retractNodesComponents(labels0, edges0, dels)
-      // ...then adds on top (same-batch re-introduction is legal CDC)
-      val labels2 =
-        if (!hasAdds) labels1
-        else PipelineOps.mergeDeltaComponents(labels1, adds)
-      // edge-set invariant WITHOUT shuffling the standing table: a
-      // re-added edge must not accrete duplicates across delete/
-      // re-add cycles, but a full-width distinct() over standing ∪
-      // adds would shuffle the ENTIRE standing edge list per
-      // micro-batch — exactly the O(standing) cost the labels math
-      // avoids. Instead dedupe the SHARD against standing with the
-      // StandingBandIndex asymmetry: in-batch distinct (|batch|-
-      // bounded), then a shard-side left_semi probe of standing
-      // (bounded by |batch|), then drop already-present rows from
-      // the shard — standing edges stream through UNTOUCHED into the
-      // union. Both probes ride the relabel broadcast gate so an
-      // AvailableNow backfill (shard = whole source) degrades to a
-      // shuffle join instead of a driver OOM.
-      val edges2 =
-        if (!hasAdds) edges1
-        else {
-          val addsD = adds.distinct()
-          val fresh = Gate.antiAgainstStanding(edges1, addsD,
-            Seq("src", "dst"))
-          edges1.unionByName(fresh)
+      if (!hasDels && !hasAdds)
+        Map("edges" -> PartsDelta(
+            standing.readParts("edges", Seq.empty), Seq.empty),
+          "labels" -> WholeDelta(labels0))
+      else {
+        // deletes against the predecessor state: the touched
+        // components' partitions are the ONLY edge bytes the
+        // retraction needs (edges never cross components)
+        val tlDel: Option[Seq[Long]] =
+          if (!hasDels) Some(Seq.empty)
+          else collectGated(
+            labels0.join(dels, Seq("node"), "left_semi").select(col("label")))
+        val delEdges = tlDel match {
+          case Some(ps) => standing.readParts("edges", ps)
+          case None => standing.table("edges")
         }
-      Map("edges" -> edges2, "labels" -> labels2)
+        val labels1 =
+          if (!hasDels) labels0
+          else PipelineOps.retractNodesComponents(labels0,
+            delEdges.select(col("src"), col("dst")), dels)
+        // ...then adds on top (same-batch re-introduction is legal
+        // CDC). Cut: consumed three times below (diff, re-key, write)
+        val labels2 = Ckpt.cut(
+          if (!hasAdds) labels1
+          else PipelineOps.mergeDeltaComponents(labels1, adds), true)
+        // touched partitions = old ∪ new labels of every node whose
+        // label changed (absorbed components move to the winner's
+        // partition — which is itself rewritten to receive them),
+        // plus delete-touched components, plus the target components
+        // of intra-component adds (no label changes, but the
+        // partition gains a row)
+        val addsD = adds.distinct()
+        val touched: Option[Seq[Long]] = tlDel.flatMap { delParts =>
+          val diff = labels2
+            .join(labels0.withColumnRenamed("label", "old"),
+              Seq("node"), "left")
+            .filter(col("old").isNull || col("label") =!= col("old"))
+          val addNodes = addsD.select(col("src").as("node"))
+            .union(addsD.select(col("dst").as("node")))
+          val moved = diff.select(col("old"))
+            .filter(col("old").isNotNull)
+            .union(diff.select(col("label")))
+            .union(labels2.join(addNodes, Seq("node"), "left_semi")
+              .select(col("label")))
+          collectGated(moved).map(ms => (ms ++ delParts).distinct)
+        }
+        val touchedSeq = touched.getOrElse(standing.parts("edges"))
+        // surviving rows of the touched partitions (partition-pruned
+        // read), minus delete-incident edges, plus deduped fresh adds
+        // — re-keyed by the new labeling
+        val survivors0 = touched match {
+          case Some(_) => standing.readParts("edges", touchedSeq)
+          case None => standing.table("edges")
+        }
+        val survivors =
+          (if (!hasDels) survivors0
+          else survivors0
+            .join(dels.select(col("node").as("src")), Seq("src"),
+              "left_anti")
+            .join(dels.select(col("node").as("dst")), Seq("dst"),
+              "left_anti")).select(col("src"), col("dst"))
+        val withFresh =
+          if (!hasAdds) survivors
+          else survivors.unionByName(
+            Gate.antiAgainstStanding(survivors, addsD, Seq("src", "dst")))
+        val rekeyed = withFresh
+          .join(labels2.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("src"), col("dst"), col("label"))
+        Map("edges" -> PartsDelta(rekeyed, touchedSeq),
+          "labels" -> WholeDelta(labels2))
+      }
     }
 
   private[graft] def committedVersions(s: SparkSession,
       root: String): Seq[Long] =
-    VersionedArtifact.committedTableVersions(s, root)
+    PartitionedArtifact.committedVersions(s, root)
 
-  /** the current (edges, labels) tables. */
-  def readLatest(s: SparkSession, root: String): Map[String, DataFrame] =
-    VersionedArtifact.readLatestTables(s, root, Schemas)
+  /** the current (edges, labels) views — the label partitioning of
+    * the edge table is internal. */
+  def readLatest(s: SparkSession, root: String): Map[String, DataFrame] = {
+    val st = PartitionedArtifact.readLatestStanding(s, root, Specs)
+    Map("edges" -> st.table("edges").select(col("src"), col("dst")),
+      "labels" -> st.table("labels"))
+  }
 
   /** seed from a batch-built graph: the edge list plus its solved
-    * labeling (version -1). */
+    * labeling (version -1); edges land in their components'
+    * partitions. */
   def bootstrap(edges: DataFrame, labels: DataFrame,
-      root: String): Unit =
-    VersionedArtifact.bootstrapTables(Map(
-      // distinct at ingress: the absorb maintains the edge-set
-      // invariant inductively (its add path dedupes), so the seed
-      // must establish it — a duplicated seed row would otherwise
-      // survive delete-only batches
-      "edges" -> edges.select(col("src").cast("long"),
-        col("dst").cast("long")).distinct(),
-      "labels" -> labels.select(col("node").cast("long"),
-        col("label").cast("long"))), root)
+      root: String): Unit = {
+    val l = labels.select(col("node").cast("long"),
+      col("label").cast("long"))
+    // distinct at ingress: the absorb maintains the edge-set
+    // invariant inductively (its add path dedupes), so the seed
+    // must establish it — a duplicated seed row would otherwise
+    // survive delete-only batches
+    val keyed = edges.select(col("src").cast("long"),
+        col("dst").cast("long")).distinct()
+      .join(l.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("src"), col("dst"), col("label"))
+    PartitionedArtifact.bootstrap(
+      Map("edges" -> keyed, "labels" -> l), root, Specs)
+  }
 
   /** one absorb step — the foreachBatch body, callable directly for
     * deterministic-replay tests. */
   def absorbBatch(events: DataFrame, batchId: Long, root: String): Unit =
-    VersionedArtifact.absorbBatchTables(events, batchId, root, Schemas)(
-      absorb)
+    PartitionedArtifact.absorbBatch(events, batchId, root, Specs)(absorb)
 
   /** start the loop over a (kind, src, dst) changelog stream. */
   def maintainStream(events: DataFrame, root: String,
@@ -137,7 +203,6 @@ object StandingGraph {
         .subsetOf(events.schema.fieldNames.toSet),
       s"event stream must have columns (kind, src, dst), got " +
         events.schema.fieldNames.mkString(","))
-    VersionedArtifact.maintainTables(events, root, checkpoint, Schemas)(
-      absorb)
+    PartitionedArtifact.maintain(events, root, checkpoint, Specs)(absorb)
   }
 }

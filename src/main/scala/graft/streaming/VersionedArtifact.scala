@@ -55,7 +55,7 @@ object VersionedArtifact {
     * batch-0 replay can coexist with at most version 0 (plus the
     * bootstrap's -1) — anything newer proves the WAL and the root
     * disagree. */
-  private def guardCheckpointReset(batchId: Long,
+  private[streaming] def guardCheckpointReset(batchId: Long,
       committed: Seq[Long], root: String): Unit =
     if (batchId == 0L && committed.exists(_ > 0L))
       throw new IllegalStateException(
@@ -82,7 +82,7 @@ object VersionedArtifact {
     * meet batch 0. Enforced on the first batch of every
     * [[maintain]]/[[maintainTables]] run; direct [[absorbBatch]]
     * replay-test calls keep only the batch-0 guard. */
-  private def guardFirstBatch(batchId: Long, committed: Seq[Long],
+  private[streaming] def guardFirstBatch(batchId: Long, committed: Seq[Long],
       root: String): Unit = {
     val hi = committed.filter(_ >= 0L).lastOption
     val ok = hi match {

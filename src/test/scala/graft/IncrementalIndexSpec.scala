@@ -44,12 +44,53 @@ class IncrementalIndexSpec extends SparkSpec {
           case "within_shard" => assert(sa && sb)
         }
       }
-      // the merged artifact (and its base inputs) were PUBLISHED via
-      // SideTables under the fresh root — the standing-pipeline story
+      // the artifact's epochs (and its base inputs) were PUBLISHED
+      // via SideTables under the fresh root — the standing-pipeline
+      // story: base epoch + one delta table per absorbed shard
       val builtNames = SideTables.builtThisSession.map(_.split('@')(0))
       Seq("band_index_base", "band_collisions_base",
-        "band_collisions_merged").foreach(n =>
+        "band_collisions_delta_s80").foreach(n =>
         assert(builtNames.contains(n), s"$n not published"))
+      // the delta epoch holds ONLY the two delta legs — the standing
+      // leg lives solely in the base epoch's files
+      def tableDirs(name: String): Seq[java.nio.file.Path] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmpRoot))
+          .iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString == name)
+          .toSeq
+      }
+      def snap(name: String): Map[String, (Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        tableDirs(name).flatMap { d =>
+          java.nio.file.Files.walk(d).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            // _LAST_USED is the read-time lease marker — touched by
+            // every consumer, not a data write
+            .filter(!_.getFileName.toString.contains("_LAST_USED"))
+            .map(f => f.toString -> (java.nio.file.Files.size(f),
+              java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        }.toMap
+      }
+      val kinds = spark.read.parquet(
+          tableDirs("band_collisions_delta_s80").head.toString)
+        .select(col("kind")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(kinds.subsetOf(Set("vs_corpus", "within_shard")), kinds)
+      // absorbing the shard EPOCH-APPENDS: drop the delta epoch and
+      // re-absorb — the standing leg's files must be bit-untouched
+      val baseFiles = snap("band_index_base") ++
+        snap("band_collisions_base")
+      tableDirs("band_collisions_delta_s80").foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+      val again = SparkEntry
+        .queries("q265_incremental_index_merge")(spark, sf())
+      assert(again.select(col("da"), col("db"), col("n_bands"))
+        .collect().map(_.toSeq).toSet ===
+        full.collect().map(_.toSeq).toSet)
+      assert(snap("band_index_base") ++ snap("band_collisions_base")
+        === baseFiles)
     }
   }
 

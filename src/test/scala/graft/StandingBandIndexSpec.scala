@@ -163,6 +163,57 @@ class StandingBandIndexSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet == (b0 ++ b1).toSet)
   }
 
+  /** every regular file under `dir` → (size, mtime) — the
+    * bytes-untouched probe for standing partitions. */
+  private def snap(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => f.toString -> (java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis))
+      .toMap
+  }
+
+  test("per-batch writes are delta-bounded; standing epochs' bytes are never rewritten") {
+    val root = tmp("sbi-delta")
+    StandingBandIndex.bootstrap(b0.toDF("doc_id", "band_id", "bh"),
+      scratch(b0.toDF("doc_id", "band_id", "bh")).toSeq
+        .toDF("da", "db", "n_bands"), root)
+    val bootFiles = snap(s"$root/v=-1")
+    StandingBandIndex.absorbBatch(b1.toDF("doc_id", "band_id", "bh"),
+      0L, root)
+    // the version's own writes (the _STATS counter) are exactly the
+    // shard's band rows + this epoch's delta pairs — never the
+    // standing corpus: doc 3 pairs with docs 1 and 2 → 2 delta pairs
+    val st0 = graft.streaming.PartitionedArtifact.writeStats(
+      spark, root, 0L)
+    assert(st0 == Map("bands" -> b1.size.toLong, "collisions" -> 2L),
+      st0.toString)
+    // ...and the bootstrap epoch's files are bit-untouched
+    assert(snap(s"$root/v=-1") == bootFiles)
+    StandingBandIndex.absorbBatch(b2.toDF("doc_id", "band_id", "bh"),
+      1L, root)
+    // doc 4 × {1,2,3} on h1 + (4,5) within-shard on h9 → 4 pairs
+    val st1 = graft.streaming.PartitionedArtifact.writeStats(
+      spark, root, 1L)
+    assert(st1 == Map("bands" -> b2.size.toLong, "collisions" -> 4L),
+      st1.toString)
+    // both prior epochs stay untouched; a fully re-delivered batch
+    // writes ZERO band rows
+    val v0Files = snap(s"$root/v=0")
+    StandingBandIndex.absorbBatch(b1.toDF("doc_id", "band_id", "bh"),
+      2L, root)
+    val st2 = graft.streaming.PartitionedArtifact.writeStats(
+      spark, root, 2L)
+    assert(st2 == Map("bands" -> 0L, "collisions" -> 0L), st2.toString)
+    assert(snap(s"$root/v=-1") == bootFiles)
+    assert(snap(s"$root/v=0") == v0Files)
+    // and the maintained state still equals the from-scratch law
+    assert(collisions(root) ==
+      scratch((b0 ++ b1 ++ b2).toDF("doc_id", "band_id", "bh")))
+  }
+
   test("bootstrap hands the batch-built index into the loop") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("sbi-boot")

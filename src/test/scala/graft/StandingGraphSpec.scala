@@ -116,6 +116,54 @@ class StandingGraphSpec extends SparkSpec {
     }
   }
 
+  /** every regular file under `dir` → (size, mtime) — the
+    * bytes-untouched probe for standing partitions. */
+  private def snap(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => f.toString -> (java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis))
+      .toMap
+  }
+
+  test("a batch touching one component writes only that component's partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("sg-delta")
+    // comp A: chain 1-2-3 (2 edges); comp B: a 100-edge star that no
+    // batch below touches — its label-partition bytes must never move
+    val big = (0 until 100).map(i => (1000L, 1001L + i))
+    val base = (Seq((1L, 2L), (2L, 3L)) ++ big).toDF("src", "dst")
+    StandingGraph.bootstrap(base,
+      PipelineOps.connectedComponents(base), root)
+    val bigDir = s"$root/v=-1/edges/label=1000"
+    val bigFiles = snap(bigDir)
+    // an intra/extending add on comp A: only A's partition rewrites —
+    // 3 edge rows (A's edges after), not 103
+    StandingGraph.absorbBatch(
+      Seq(("add", 3L, 4L)).toDF("kind", "src", "dst"), 0L, root)
+    val st0 = graft.streaming.PartitionedArtifact.writeStats(
+      spark, root, 0L)
+    assert(st0("edges") == 3L, st0.toString)
+    assert(snap(bigDir) == bigFiles)
+    // a delete that SPLITS comp A: rewrite is A's survivors (1 edge
+    // lands in the new split partition), comp B still untouched
+    StandingGraph.absorbBatch(
+      Seq(("del", 2L, -1L)).toDF("kind", "src", "dst"), 1L, root)
+    val st1 = graft.streaming.PartitionedArtifact.writeStats(
+      spark, root, 1L)
+    assert(st1("edges") == 1L, st1.toString)
+    assert(snap(bigDir) == bigFiles)
+    // equality with a from-scratch solve over the surviving graph
+    val scratch = PipelineOps.connectedComponents(
+        edges(root).toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // isolated node 1 lost all edges; the loop keeps it labeled
+    assert(labels(root) == scratch ++ Map(1L -> 1L))
+    assert(edges(root) == Set((3L, 4L)) ++ big.toSet)
+  }
+
   test("bootstrap seeds the loop from a batch-built graph") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("sg-boot")
