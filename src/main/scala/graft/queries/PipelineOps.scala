@@ -24,16 +24,36 @@ object PipelineOps {
     * standing slice, by q270's artifact key (it embeds the edge
     * derivation and the shard split). */
   private def txEdgePlan(s: SparkSession, dir: String,
-      standingOnly: Boolean): DataFrame = {
+      standingOnly: Boolean): DataFrame =
+    txEdgePlanSlice(s, dir,
+      if (standingOnly) Some(80) else None, None)
+
+  /** the general slicing form: `bucketLt` keeps orders whose bucket
+    * is below the ceiling (None = all — the merged graph), and
+    * `dropNodesGe` RETRACTS nodes whose own id buckets at or above
+    * the floor (q284's forget set — both endpoints must survive).
+    * With `dropNodesGe = None` the plan tree is IDENTICAL to the
+    * pre-refactor txEdgePlan, so the pr_ranks_base artifact key is
+    * unchanged (SideKeyProbe-pinned). */
+  private def txEdgePlanSlice(s: SparkSession, dir: String,
+      bucketLt: Option[Int], dropNodesGe: Option[Int]): DataFrame = {
     val joined = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-    val sliced =
-      if (standingOnly) joined.filter(hashBucket(col("o_orderkey")) < 80)
-      else joined
-    val sc = sliced
+    val sliced = bucketLt match {
+      case Some(b) => joined.filter(hashBucket(col("o_orderkey")) < b)
+      case None => joined
+    }
+    val sc0 = sliced
       .select((col("l_suppkey") + 1000000000L).as("src"),
         col("o_custkey").as("dst"))
       .distinct()
+    // node retraction on the DIRECTED pair table: the symmetric
+    // mirror inherits it, so filtering here is filtering the graph
+    val sc = dropNodesGe match {
+      case Some(g) => sc0.filter(hashBucket(col("src")) < g &&
+        hashBucket(col("dst")) < g)
+      case None => sc0
+    }
     val edges = sc.unionByName(
       sc.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -58,14 +78,21 @@ object PipelineOps {
     * lands at ~31 (13 measured 1.5x slower than 32 — the probe
     * that set this divisor), sf10 keeps full width. */
   private def buildTxGraph(s: SparkSession, dir: String,
-      standingOnly: Boolean): (DataFrame, Long) = {
+      standingOnly: Boolean): (DataFrame, Long) =
+    buildTxGraphSlice(s, dir,
+      if (standingOnly) Some(80) else None, None)
+
+  private def buildTxGraphSlice(s: SparkSession, dir: String,
+      bucketLt: Option[Int], dropNodesGe: Option[Int])
+      : (DataFrame, Long) = {
     val nPart = {
       val liRows = t(s, dir, "lineitem").count()
       val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
       math.max(4, math.min(conf, (liRows / 200000L + 1).toInt))
     }
     val ej = Ckpt.cutPartitioned(
-      txEdgePlan(s, dir, standingOnly).repartition(nPart, col("src")))
+      txEdgePlanSlice(s, dir, bucketLt, dropNodesGe)
+        .repartition(nPart, col("src")))
     (ej, ej.select(col("src")).distinct().count())
   }
 
@@ -200,6 +227,118 @@ object PipelineOps {
       .join(standingBaseRanks(s, dir).withColumnRenamed("r", "br"),
         Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("br"), lit(unit / n)).as("r"))
+    val (ranks, rounds) = pagerankFixpoint(ej, n, init = Some(init))
+    ranks.orderBy(col("r").desc, col("node")).limit(100)
+      .select(col("node"), col("r").as("rank_fp"),
+        lit(rounds.toLong).as("warm_rounds"))
+  }
+
+  /** the MID graph of the chained warm start (orders bucket < 90 —
+    * base plus the first arriving shard), memoized like
+    * [[transactionGraph]]. */
+  private val midTxGraphCache = collection.mutable.Map
+    .empty[(SparkSession, String), (DataFrame, Long)]
+  private def midTransactionGraph(s: SparkSession, dir: String)
+      : (DataFrame, Long) =
+    midTxGraphCache.synchronized {
+      midTxGraphCache.getOrElseUpdate((s, dir),
+        buildTxGraphSlice(s, dir, Some(90), None))
+    }
+
+  /** q283's operator: CHAINED warm-start PageRank — each growth event
+    * PUBLISHES its merged rank vector back as the next standing
+    * artifact, so successive absorbs never re-pay earlier deltas'
+    * rounds (q270 warm-starts every event from the same base vector).
+    * Event 1 absorbs the first shard (orders bucket 80-89) from the
+    * base vector and publishes `pr_ranks_m90` — with its own
+    * `warm_rounds` RIDING INSIDE the artifact, so the trajectory
+    * length survives the publish/read cycle; event 2 absorbs the rest
+    * from the MAINTAINED vector. The oracle replays all three
+    * trajectories (base cold, m90 warm, full warm-from-m90) in exact
+    * integer arithmetic, so the hash match proves both published
+    * artifacts equal their from-scratch fixpoints AND both chained
+    * round counts — the two-absorbs == cold-solve-over-the-union
+    * equality, q279's shape for ranks. ConvergenceSpec additionally
+    * pins the chain's win: the second event's rounds are at most
+    * q270's unchained warm rounds, and far below cold. */
+  def pagerankWarmChain(s: SparkSession, dir: String): DataFrame = {
+    val unit = 1000000000000L
+    val ranks0 = standingBaseRanks(s, dir)
+    val (ej1, n1) = midTransactionGraph(s, dir)
+    val raw1 = txEdgePlanSlice(s, dir, Some(90), None)
+    val keyPlan1 = prRound(raw1,
+      raw1.select(col("src").as("node")).withColumn("r", lit(unit / n1)),
+      15L * unit / 100L / n1)
+    val ranks1 = SideTables.getOrBuildKeyed(s, dir, "pr_ranks_m90",
+      "lineitem", keyPlan1,
+      "pagerankFixpoint:epsFp=1000000:init=pr_ranks_base:chained") {
+      val init = ej1.select(col("src").as("node")).distinct()
+        .join(ranks0.withColumnRenamed("r", "br"), Seq("node"),
+          "left_outer")
+        .select(col("node"), coalesce(col("br"), lit(unit / n1)).as("r"))
+      val (rk, rd) = pagerankFixpoint(ej1, n1, init = Some(init))
+      rk.withColumn("warm_rounds", lit(rd.toLong))
+    }
+    val (ej2, n2) = transactionGraph(s, dir)
+    val init2 = ej2.select(col("src").as("node")).distinct()
+      .join(ranks1.select(col("node"), col("r").as("br")), Seq("node"),
+        "left_outer")
+      .select(col("node"), coalesce(col("br"), lit(unit / n2)).as("r"))
+    val (ranks2, rounds2) = pagerankFixpoint(ej2, n2, init = Some(init2))
+    // one scalar off the published artifact (k-row driver step)
+    val r1 = ranks1.agg(max(col("warm_rounds"))).head().getLong(0)
+    ranks2.orderBy(col("r").desc, col("node")).limit(100)
+      .select(col("node"), col("r").as("rank_fp"),
+        lit(r1).as("rounds_m90"), lit(rounds2.toLong).as("rounds_full"))
+  }
+
+  /** the SURVIVING base graph after q284's node retraction (nodes
+    * whose id buckets ≥ 97 leave; every incident edge goes with
+    * them), memoized like the other graph variants. */
+  private val retractTxGraphCache = collection.mutable.Map
+    .empty[(SparkSession, String), (DataFrame, Long)]
+  private[graft] def retractTransactionGraph(s: SparkSession, dir: String)
+      : (DataFrame, Long) =
+    retractTxGraphCache.synchronized {
+      retractTxGraphCache.getOrElseUpdate((s, dir),
+        buildTxGraphSlice(s, dir, Some(80), Some(97)))
+    }
+
+  /** q284's operator: PageRank RETRACTION — the forget half of q270's
+    * absorb, completing the rank family's algebra (CC q274, triangles
+    * q275, bands q276, HLL q277, IVF q278, PQ q282): a purge set
+    * (nodes bucketing ≥ 97) leaves the standing BASE graph, and the
+    * surviving graph re-solves WARM from the standing rank vector —
+    * sound because the damped iteration is a contraction, so any
+    * starting point reaches the surviving graph's unique 10⁻⁶-stable
+    * state; starting from the standing vector pays only the rounds
+    * the contraction needs to forget the purged mass (the teleport
+    * base re-normalizes to the surviving node count). Isolated
+    * survivors (all edges purged) drop out with the graph, exactly
+    * like a from-scratch solve over the survivors — which is
+    * precisely what the oracle computes, warm trajectory and all, so
+    * the hash match is the retracted == resolved-from-scratch proof
+    * with the round count pinned. */
+  def pagerankRetract(s: SparkSession, dir: String): DataFrame = {
+    val (ej, n) = retractTransactionGraph(s, dir)
+    val unit = 1000000000000L
+    // MASS-CORRECTED warm restart: a purge changes the teleport
+    // normalization (0.15/n with a smaller n) and removes the purged
+    // nodes' rank mass, so the raw standing vector starts with a
+    // UNIFORM deficit the contraction would grind down one 0.85
+    // factor per round (measured 45 rounds at sf0.001). Redistribute
+    // the missing mass evenly — init = standing + (1 − Σ surviving)/n
+    // — and the init has the right total mass and the right shape;
+    // only the local redistribution near the purged nodes remains
+    // (ConvergenceSpec pins the round win). The correction is one
+    // integer scalar, mirrored exactly in the oracle's SQL.
+    val surv = ej.select(col("src").as("node")).distinct()
+      .join(standingBaseRanks(s, dir).withColumnRenamed("r", "br"),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("br"), lit(unit / n)).as("br"))
+    val sSum = surv.agg(sum(col("br"))).head().getLong(0)
+    val init = surv.select(col("node"),
+      (col("br") + lit((unit - sSum) / n)).as("r"))
     val (ranks, rounds) = pagerankFixpoint(ej, n, init = Some(init))
     ranks.orderBy(col("r").desc, col("node")).limit(100)
       .select(col("node"), col("r").as("rank_fp"),
@@ -2071,6 +2210,177 @@ object PipelineOps {
         |SELECT node, CAST(r AS BIGINT) AS rank_fp,
         |  CAST((SELECT max(it) FROM pr) AS BIGINT) AS warm_rounds
         |FROM pr WHERE it = (SELECT max(it) FROM pr)
+        |ORDER BY r DESC, node LIMIT 100""".stripMargin)),
+
+    // Chained warm-start PageRank: event 1 (orders bucket 80-89)
+    // warm-starts from the standing base vector and PUBLISHES the
+    // merged ranks (with its round count riding inside the artifact);
+    // event 2 (the rest) warm-starts from the MAINTAINED vector. The
+    // oracle replays all three trajectories from scratch — base cold,
+    // m90 seeded from base, full seeded from m90 — so the hash match
+    // proves both published artifacts equal their fixpoints and pins
+    // BOTH chained round counts (two successive absorbs == the cold
+    // solve over the full union, q279's shape for ranks).
+    QueryDef("q283_pagerank_warm_chain",
+      (s, dir) => pagerankWarmChain(s, dir),
+      Some("""WITH RECURSIVE
+        |scb AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 < 80),
+        |eb AS (SELECT src, dst FROM scb UNION ALL SELECT dst, src FROM scb),
+        |degb AS (SELECT src, count(*) AS outdeg FROM eb GROUP BY 1),
+        |ejb AS (SELECT eb.src, eb.dst, degb.outdeg
+        |        FROM eb JOIN degb USING (src)),
+        |nb AS (SELECT count(DISTINCT src) AS n FROM ejb),
+        |prb AS (
+        |  SELECT DISTINCT src AS node,
+        |    1000000000000 // (SELECT n FROM nb) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM ejb
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ejb.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nb)
+        |        + (85 * sum(p.r // ejb.outdeg)) // 100 AS r
+        |    FROM ejb JOIN prb p ON p.node = ejb.src GROUP BY ejb.dst) nx
+        |  JOIN prb o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM prb),
+        |    9223372036854775807) > 1000000),
+        |base_final AS (
+        |  SELECT node, r FROM prb WHERE it = (SELECT max(it) FROM prb)),
+        |sc9 AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 < 90),
+        |e9 AS (SELECT src, dst FROM sc9 UNION ALL SELECT dst, src FROM sc9),
+        |deg9 AS (SELECT src, count(*) AS outdeg FROM e9 GROUP BY 1),
+        |ej9 AS (SELECT e9.src, e9.dst, deg9.outdeg
+        |        FROM e9 JOIN deg9 USING (src)),
+        |n9 AS (SELECT count(DISTINCT src) AS n FROM ej9),
+        |pr9 AS (
+        |  SELECT n0.node,
+        |    coalesce(b.r, 1000000000000 // (SELECT n FROM n9)) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM (SELECT DISTINCT src AS node FROM ej9) n0
+        |  LEFT JOIN base_final b ON b.node = n0.node
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ej9.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM n9)
+        |        + (85 * sum(p.r // ej9.outdeg)) // 100 AS r
+        |    FROM ej9 JOIN pr9 p ON p.node = ej9.src GROUP BY ej9.dst) nx
+        |  JOIN pr9 o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM pr9),
+        |    9223372036854775807) > 1000000),
+        |m90_final AS (
+        |  SELECT node, r FROM pr9 WHERE it = (SELECT max(it) FROM pr9)),
+        |sc AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM sc UNION ALL SELECT dst, src FROM sc),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ej AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |nn AS (SELECT count(DISTINCT src) AS n FROM ej),
+        |pr AS (
+        |  SELECT n0.node,
+        |    coalesce(m.r, 1000000000000 // (SELECT n FROM nn)) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM (SELECT DISTINCT src AS node FROM ej) n0
+        |  LEFT JOIN m90_final m ON m.node = n0.node
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ej.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nn)
+        |        + (85 * sum(p.r // ej.outdeg)) // 100 AS r
+        |    FROM ej JOIN pr p ON p.node = ej.src GROUP BY ej.dst) nx
+        |  JOIN pr o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM pr),
+        |    9223372036854775807) > 1000000)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp,
+        |  CAST((SELECT max(it) FROM pr9) AS BIGINT) AS rounds_m90,
+        |  CAST((SELECT max(it) FROM pr) AS BIGINT) AS rounds_full
+        |FROM pr WHERE it = (SELECT max(it) FROM pr)
+        |ORDER BY r DESC, node LIMIT 100""".stripMargin)),
+
+    // PageRank RETRACTION — the forget half of q270's absorb (the one
+    // standing-artifact family that lacked it): a purge set leaves
+    // the base graph, the survivors re-solve WARM from the standing
+    // rank vector. The oracle replays the base trajectory, applies
+    // the same purge, and re-solves the surviving graph from scratch
+    // seeded identically — so the hash match is the retracted ==
+    // resolved-from-scratch proof with the warm round count pinned.
+    QueryDef("q284_pagerank_retract",
+      (s, dir) => pagerankRetract(s, dir),
+      Some("""WITH RECURSIVE
+        |scb AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 < 80),
+        |eb AS (SELECT src, dst FROM scb UNION ALL SELECT dst, src FROM scb),
+        |degb AS (SELECT src, count(*) AS outdeg FROM eb GROUP BY 1),
+        |ejb AS (SELECT eb.src, eb.dst, degb.outdeg
+        |        FROM eb JOIN degb USING (src)),
+        |nb AS (SELECT count(DISTINCT src) AS n FROM ejb),
+        |prb AS (
+        |  SELECT DISTINCT src AS node,
+        |    1000000000000 // (SELECT n FROM nb) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM ejb
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ejb.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nb)
+        |        + (85 * sum(p.r // ejb.outdeg)) // 100 AS r
+        |    FROM ejb JOIN prb p ON p.node = ejb.src GROUP BY ejb.dst) nx
+        |  JOIN prb o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM prb),
+        |    9223372036854775807) > 1000000),
+        |base_final AS (
+        |  SELECT node, r FROM prb WHERE it = (SELECT max(it) FROM prb)),
+        |scr AS (
+        |  SELECT src, dst FROM scb
+        |  WHERE CAST(('0x' || substring(md5(CAST(src AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 < 97
+        |    AND CAST(('0x' || substring(md5(CAST(dst AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 < 97),
+        |er AS (SELECT src, dst FROM scr UNION ALL SELECT dst, src FROM scr),
+        |degr AS (SELECT src, count(*) AS outdeg FROM er GROUP BY 1),
+        |ejr AS (SELECT er.src, er.dst, degr.outdeg
+        |        FROM er JOIN degr USING (src)),
+        |nr AS (SELECT count(DISTINCT src) AS n FROM ejr),
+        |survb AS (
+        |  SELECT n0.node,
+        |    coalesce(b.r, 1000000000000 // (SELECT n FROM nr)) AS br
+        |  FROM (SELECT DISTINCT src AS node FROM ejr) n0
+        |  LEFT JOIN base_final b ON b.node = n0.node),
+        |corr AS (
+        |  SELECT (1000000000000 - sum(br)) // (SELECT n FROM nr) AS d
+        |  FROM survb),
+        |prr AS (
+        |  SELECT node, br + (SELECT d FROM corr) AS r,
+        |    CAST(NULL AS BIGINT) AS prev, 0 AS it
+        |  FROM survb
+        |  UNION ALL
+        |  SELECT nx.node, nx.r, o.r AS prev, o.it + 1
+        |  FROM (
+        |    SELECT ejr.dst AS node,
+        |      (15 * 1000000000000 // 100) // (SELECT n FROM nr)
+        |        + (85 * sum(p.r // ejr.outdeg)) // 100 AS r
+        |    FROM ejr JOIN prr p ON p.node = ejr.src GROUP BY ejr.dst) nx
+        |  JOIN prr o ON o.node = nx.node
+        |  WHERE coalesce((SELECT max(abs(r - prev)) FROM prr),
+        |    9223372036854775807) > 1000000)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp,
+        |  CAST((SELECT max(it) FROM prr) AS BIGINT) AS warm_rounds
+        |FROM prr WHERE it = (SELECT max(it) FROM prr)
         |ORDER BY r DESC, node LIMIT 100""".stripMargin))
   )
 }

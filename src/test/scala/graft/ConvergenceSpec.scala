@@ -21,6 +21,33 @@ class ConvergenceSpec extends SparkSpec {
     e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
   }
 
+  test("chained warm-start beats the unchained warm start, both far below cold") {
+    // q283's claim: publishing the merged vector back as the next
+    // standing artifact means a later growth event pays at most what
+    // q270 pays from the base vector (the maintained vector is
+    // closer), and both are a small fraction of the cold trajectory
+    val chain = PipelineOps.pagerankWarmChain(spark, sf())
+      .select(col("rounds_m90"), col("rounds_full")).head()
+    val (m90Rounds, fullRounds) = (chain.getLong(0), chain.getLong(1))
+    val unchained = PipelineOps.pagerankWarmStart(spark, sf())
+      .select(col("warm_rounds")).head().getLong(0)
+    assert(fullRounds <= unchained,
+      s"chained $fullRounds > unchained $unchained")
+    // cold at sf0.001 measures ~71 rounds; "far below" with margin
+    assert(m90Rounds < 20 && fullRounds < 20,
+      s"m90=$m90Rounds full=$fullRounds")
+    // retraction: the purge's mass renormalization makes its warm
+    // start structurally harder than growth (the mass-corrected init
+    // fixes the uniform deficit, local redistribution remains), so
+    // the honest bar is cold-vs-warm on the SAME surviving graph
+    val retract = PipelineOps.pagerankRetract(spark, sf())
+      .select(col("warm_rounds")).head().getLong(0)
+    val (ejr, nr) = PipelineOps.retractTransactionGraph(spark, sf())
+    val coldRounds = PipelineOps.pagerankFixpoint(ejr, nr)._2
+    assert(retract < coldRounds,
+      s"retract=$retract not below cold=$coldRounds")
+  }
+
   test("k-core fixpoint peels past the 3-round unroll on a path") {
     // a 10-node path at k = 2 dissolves endpoint-pair by
     // endpoint-pair: 5 peel rounds, strictly more than the unroll
