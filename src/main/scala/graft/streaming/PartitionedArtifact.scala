@@ -69,11 +69,34 @@ object PartitionedArtifact {
   sealed trait Delta
   /** full replacement rows for a [[Whole]] table. */
   final case class WholeDelta(rows: DataFrame) extends Delta
-  /** replacement rows for the `touched` partitions of a [[ByPart]]
-    * table. `rows` must carry the partition column and only values
-    * within `touched`; a touched value with zero rows is DROPPED. */
-  final case class PartsDelta(rows: DataFrame, touched: Seq[Long])
-    extends Delta
+  /** per-partition delta for a [[ByPart]] table, two channels:
+    *  - `replace`: full replacement rows for the `replaced`
+    *    partitions (their prior bytes are dereferenced; a replaced
+    *    value with zero rows is DROPPED) — for partitions whose
+    *    existing rows changed (splits, relabels, deletions);
+    *  - `append`: rows ADDED to partitions whose existing bytes are
+    *    untouched — the partition accumulates one more file set per
+    *    appending version, and a read unions them. This is what
+    *    keeps a pure-insert batch O(delta) even when every insert
+    *    lands in one giant partition.
+    * Both must carry the partition column; `append` values must not
+    * overlap `replaced` semantics-wise (an append to a partition
+    * replaced in the SAME version lands on top of the replacement,
+    * which is well-defined but usually a caller bug). */
+  final case class PartsDelta(replace: DataFrame, replaced: Seq[Long],
+      append: Option[DataFrame] = None) extends Delta
+
+  /** one manifest reference: the version directory holding bytes for
+    * a partition, and whether it was an append (bytes live under
+    * `<table>.app`) or a replacement (`<table>`). */
+  private final case class Ref(version: Long, appended: Boolean) {
+    def token: String = s"$version${if (appended) "a" else "r"}"
+    def sub: String = if (appended) ".app" else ""
+  }
+  private object Ref {
+    def parse(t: String): Ref =
+      Ref(t.dropRight(1).toLong, t.last == 'a')
+  }
 
   /** the predecessor state handed to an absorb: full views, the live
     * partition list, and PARTITION-PRUNED reads — `readParts` opens
@@ -83,7 +106,7 @@ object PartitionedArtifact {
       s: SparkSession, root: String,
       specs: Map[String, TableSpec],
       version: Option[Long],
-      manifest: Map[(String, Long), Long]) {
+      manifest: Map[(String, Long), Seq[Ref]]) {
 
     /** live partition values of a [[ByPart]] table, ascending. */
     def parts(table: String): Seq[Long] =
@@ -111,18 +134,20 @@ object PartitionedArtifact {
           s"table $name is Whole-layout; use table()")
       }
       val want = ps.toSet
-      // toSeq first: collecting (version, part) pairs straight off the
-      // manifest Map would build a Map keyed by version and silently
-      // drop all but one partition per version
-      val byVersion = manifest.toSeq.collect {
-        case ((t, p), v) if t == name && want(p) => (v, p)
-      }.groupBy(_._1)
-      if (byVersion.isEmpty) empty(name)
-      else cast(byVersion.map { case (v, vps) =>
-        val base = s"$root/v=$v/$name"
+      // flatten to (ref, part) pairs via a Seq — collecting pairs
+      // straight off the manifest Map would build a Map keyed by ref
+      // and silently drop all but one partition per ref
+      val byDir = manifest.toSeq.flatMap {
+        case ((t, p), refs) if t == name && want(p) =>
+          refs.map(r => (r, p))
+        case _ => Seq.empty
+      }.groupBy { case (r, _) => (r.version, r.sub) }
+      if (byDir.isEmpty) empty(name)
+      else cast(byDir.map { case ((v, sub), vps) =>
+        val base = s"$root/v=$v/$name$sub"
         s.read.option("basePath", base)
           .parquet(vps.map { case (_, p) => s"$base/$partCol=$p" }
-            .toSeq.sorted: _*)
+            .distinct.sorted: _*)
       }.reduce(_ unionByName _), name)
     }
 
@@ -179,11 +204,11 @@ object PartitionedArtifact {
   }
 
   private def readManifest(s: SparkSession, root: String,
-      v: Long): Map[(String, Long), Long] =
+      v: Long): Map[(String, Long), Seq[Ref]] =
     readLines(fsFor(s, new Path(root)), new Path(s"$root/v=$v", "_MANIFEST"))
       .map { line =>
-        val Array(t, p, ver) = line.split('\t')
-        (t, p.toLong) -> ver.toLong
+        val Array(t, p, refs) = line.split('\t')
+        (t, p.toLong) -> refs.split(',').toSeq.map(Ref.parse)
       }.toMap
 
   /** this version's own written-row counts per table — the
@@ -239,7 +264,7 @@ object PartitionedArtifact {
     * in the rows is simply (re)registered to this version. */
   private def writeVersion(s: SparkSession, root: String, v: Long,
       specs: Map[String, TableSpec],
-      prevManifest: Map[(String, Long), Long],
+      prevManifest: Map[(String, Long), Seq[Ref]],
       deltas: Map[String, Delta]): Unit = {
     require(deltas.keySet == specs.keySet,
       s"absorb returned tables ${deltas.keySet}, expected ${specs.keySet}")
@@ -250,6 +275,23 @@ object PartitionedArtifact {
     if (fs.exists(verDir)) fs.delete(verDir, true)
     var manifest = prevManifest
     val stats = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // write one channel, return the partition values it produced
+    // bytes for plus their row count (parquet-metadata count)
+    def writeChannel(rows: DataFrame, schema: StructType,
+        partCol: String, tdir: String): (Seq[Long], Long) = {
+      rows.select(schema.fieldNames.toSeq.map(col): _*)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tdir)
+      val written = fs.listStatus(new Path(tdir)).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(partCol + "="))
+        .map(_.stripPrefix(partCol + "=").toLong)
+      val n = if (written.isEmpty) 0L
+        else s.read.option("basePath", tdir)
+          .parquet(written.map(p => s"$tdir/$partCol=$p"): _*)
+          .count()
+      (written, n)
+    }
     specs.toSeq.sortBy(_._1).foreach { case (name, spec) =>
       val tdir = s"$root/v=$v/$name"
       (spec.layout, deltas(name)) match {
@@ -257,22 +299,24 @@ object PartitionedArtifact {
           rows.select(spec.schema.fieldNames.toSeq.map(col): _*)
             .write.mode("overwrite").parquet(tdir)
           stats += name -> s.read.parquet(tdir).count()
-        case (ByPart(partCol), PartsDelta(rows, touched)) =>
-          rows.select(spec.schema.fieldNames.toSeq.map(col): _*)
-            .write.partitionBy(partCol).mode("overwrite").parquet(tdir)
-          // the partitions this version actually produced bytes for
-          val written = fs.listStatus(new Path(tdir)).toSeq
-            .filter(_.isDirectory)
-            .map(_.getPath.getName)
-            .filter(_.startsWith(partCol + "="))
-            .map(_.stripPrefix(partCol + "=").toLong)
+        case (ByPart(partCol), PartsDelta(replace, replaced, append)) =>
+          val (written, nRep) =
+            writeChannel(replace, spec.schema, partCol, tdir)
           manifest = manifest.filterNot { case ((t, p), _) =>
-            t == name && (touched.contains(p) || written.contains(p)) } ++
-            written.map(p => (name, p) -> v)
-          stats += name -> (if (written.isEmpty) 0L
-            else s.read.option("basePath", tdir)
-              .parquet(written.map(p => s"$tdir/$partCol=$p"): _*)
-              .count())
+            t == name &&
+              (replaced.contains(p) || written.contains(p)) } ++
+            written.map(p => (name, p) -> Seq(Ref(v, appended = false)))
+          val nApp = append.map { ap =>
+            val (appWritten, n) =
+              writeChannel(ap, spec.schema, partCol, s"$tdir.app")
+            appWritten.foreach { p =>
+              manifest = manifest.updated((name, p),
+                manifest.getOrElse((name, p), Seq.empty) :+
+                  Ref(v, appended = true))
+            }
+            n
+          }.getOrElse(0L)
+          stats += name -> (nRep + nApp)
         case (l, d) => throw new IllegalArgumentException(
           s"table $name declared ${l.getClass.getSimpleName} but absorb " +
             s"returned ${d.getClass.getSimpleName}")
@@ -280,7 +324,8 @@ object PartitionedArtifact {
     }
     writeLines(fs, new Path(verDir, "_MANIFEST"),
       manifest.toSeq.sortBy { case ((t, p), _) => (t, p) }
-        .map { case ((t, p), ver) => s"$t\t$p\t$ver" })
+        .map { case ((t, p), refs) =>
+          s"$t\t$p\t${refs.map(_.token).mkString(",")}" })
     writeLines(fs, new Path(verDir, "_STATS"),
       stats.toSeq.map { case (t, n) => s"$t\t$n" })
     fs.create(commitMarker(root, v), true).close()
@@ -318,7 +363,8 @@ object PartitionedArtifact {
     val fs = fsFor(s, new Path(root))
     val eligible = committedVersions(s, root).filter(_ <= batchId)
     val keep = eligible.takeRight(keepBehind + 1).toSet
-    val referenced = keep.flatMap(v => readManifest(s, root, v).values)
+    val referenced = keep.flatMap(v =>
+      readManifest(s, root, v).values.flatten.map(_.version))
     eligible.filterNot(v => keep(v) || referenced(v))
       .foreach(v => fs.delete(new Path(root, s"v=$v"), true))
   }

@@ -31,24 +31,32 @@ import PartitionedArtifact.{ByPart, PartsDelta, TableSpec, Whole, WholeDelta}
   * [[PipelineOps.mergeDeltaComponents]] — the two halves whose
   * arbitrary interleaving q280 proved equal to a from-scratch solve.
   *
-  * Scale shape — per-batch I/O is O(touched), not O(standing): the
-  * persisted edge table is PARTITIONED BY COMPONENT LABEL (q274's
-  * layout), and a version rewrites only the partitions its batch
-  * touched — components losing a node (splits), components absorbed
-  * into another (their rows move to the winner's partition), and
-  * components receiving an intra-component edge. Every other
-  * partition carries forward by manifest reference with its bytes
-  * untouched; the `_STATS` counter machine-checks the bound per
-  * batch (StandingGraphSpec). The labels table stays whole-per-
-  * version — it is the |V|-row small state the relabel math already
-  * scans. The touched-label set rides
+  * Scale shape — per-batch I/O is O(delta + rows that MOVE), never
+  * O(standing): the persisted edge table is PARTITIONED BY COMPONENT
+  * LABEL (q274's layout) with [[PartitionedArtifact]]'s two write
+  * channels. REPLACED are only the partitions that LOSE rows
+  * (delete-touched components, old partitions of relabeled nodes);
+  * everything that GAINS rows — fresh adds, absorbed components'
+  * rows landing in the winner's partition, split survivors landing
+  * in a new one — APPENDS, leaving the gaining partition's standing
+  * bytes on disk untouched. A pure-insert batch therefore writes
+  * exactly its fresh edges even on a GIANT-COMPONENT graph (where
+  * "the touched component" is the whole table — the shape real
+  * transaction graphs have); the `_STATS` counter machine-checks the
+  * bound per batch (StandingGraphSpec), and DeltaWriteProbe measures
+  * it at sf10. The labels table stays whole-per-version — it is the
+  * |V|-row small state the relabel math already scans. The
+  * touched-label sets ride
   * [[PipelineOps.relabelBroadcastMaxRows]]: a batch that touches
   * more components than the ceiling degrades to a whole-table
   * rewrite (the pre-partitioned cost, never a driver OOM). For
   * corpora whose component COUNT explodes past healthy parquet
   * partition counts, the same machinery runs with a label-hash
   * bucket as the partition column — coarser touched sets, identical
-  * laws.
+  * laws. Append fragmentation (one file set per appending version)
+  * is bounded by the prune window times batch cadence; a deployment
+  * folds a periodic compaction batch (replace = the fragmented
+  * partitions, bit-identical rows) when file counts matter.
   */
 object StandingGraph {
 
@@ -112,33 +120,50 @@ object StandingGraph {
         val labels2 = Ckpt.cut(
           if (!hasAdds) labels1
           else PipelineOps.mergeDeltaComponents(labels1, adds), true)
-        // touched partitions = old ∪ new labels of every node whose
-        // label changed (absorbed components move to the winner's
-        // partition — which is itself rewritten to receive them),
-        // plus delete-touched components, plus the target components
-        // of intra-component adds (no label changes, but the
-        // partition gains a row)
+        // REPLACE only the partitions that LOSE rows: delete-touched
+        // components and the OLD partitions of nodes whose label
+        // changed (their rows move out). Everything that GAINS rows —
+        // absorbed components' rows landing in the winner's
+        // partition, split survivors landing in a new partition,
+        // fresh adds — goes through the APPEND channel, so a gaining
+        // partition's standing bytes are never rewritten. A
+        // pure-insert batch therefore writes O(|delta|) even on a
+        // giant-component graph, where "the touched component" would
+        // otherwise be the whole table.
         val addsD = adds.distinct()
-        val touched: Option[Seq[Long]] = tlDel.flatMap { delParts =>
-          val diff = labels2
-            .join(labels0.withColumnRenamed("label", "old"),
-              Seq("node"), "left")
-            .filter(col("old").isNull || col("label") =!= col("old"))
-          val addNodes = addsD.select(col("src").as("node"))
-            .union(addsD.select(col("dst").as("node")))
-          val moved = diff.select(col("old"))
-            .filter(col("old").isNotNull)
-            .union(diff.select(col("label")))
-            .union(labels2.join(addNodes, Seq("node"), "left_semi")
-              .select(col("label")))
-          collectGated(moved).map(ms => (ms ++ delParts).distinct)
-        }
-        val touchedSeq = touched.getOrElse(standing.parts("edges"))
-        // surviving rows of the touched partitions (partition-pruned
-        // read), minus delete-incident edges, plus deduped fresh adds
-        // — re-keyed by the new labeling
-        val survivors0 = touched match {
-          case Some(_) => standing.readParts("edges", touchedSeq)
+        val addNodes = addsD.select(col("src").as("node"))
+          .union(addsD.select(col("dst").as("node")))
+        val split: Option[(Seq[Long], Seq[Long])] =
+          tlDel.flatMap { delParts =>
+            // old labels of OLD nodes whose label changed: their
+            // partitions lose those rows
+            val movedOld = labels2
+              .join(labels0.withColumnRenamed("label", "old"),
+                Seq("node"), "left")
+              .filter(col("old").isNotNull &&
+                col("label") =!= col("old"))
+              .select(col("old"))
+            // add-target partitions: read-only dedupe scope
+            val addTargets = labels2
+              .join(addNodes, Seq("node"), "left_semi")
+              .select(col("label"))
+            for {
+              ms <- collectGated(movedOld)
+              ats <- collectGated(addTargets)
+            } yield {
+              val repl = (ms ++ delParts).distinct
+              (repl, ats.distinct.filterNot(repl.toSet))
+            }
+          }
+        val (replaceParts, appendScope) =
+          split.getOrElse((standing.parts("edges"), Seq.empty))
+        // surviving rows of the REPLACE partitions (partition-pruned
+        // read), minus delete-incident edges, re-keyed by the new
+        // labeling and SPLIT by destination: rows staying in a
+        // replaced partition rewrite with it; rows moving into an
+        // untouched partition append to it
+        val survivors0 = split match {
+          case Some(_) => standing.readParts("edges", replaceParts)
           case None => standing.table("edges")
         }
         val survivors =
@@ -148,14 +173,29 @@ object StandingGraph {
               "left_anti")
             .join(dels.select(col("node").as("dst")), Seq("dst"),
               "left_anti")).select(col("src"), col("dst"))
-        val withFresh =
-          if (!hasAdds) survivors
-          else survivors.unionByName(
-            Gate.antiAgainstStanding(survivors, addsD, Seq("src", "dst")))
-        val rekeyed = withFresh
+        // fresh adds dedupe against every partition that could hold a
+        // standing copy: the replace scope plus the add targets (the
+        // latter READ once for the probe, never rewritten)
+        val fresh =
+          if (!hasAdds) None
+          else Some(Gate.antiAgainstStanding(
+            survivors.unionByName(
+              standing.readParts("edges", appendScope)
+                .select(col("src"), col("dst"))),
+            addsD, Seq("src", "dst")))
+        val rekeyed = survivors
+          .unionByName(fresh.getOrElse(survivors.limit(0)))
           .join(labels2.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("src"), col("dst"), col("label"))
-        Map("edges" -> PartsDelta(rekeyed, touchedSeq),
+        val replDf = broadcast(
+          batch.sparkSession.createDataset(replaceParts)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("label"))
+        Map("edges" -> PartsDelta(
+            rekeyed.join(replDf, Seq("label"), "left_semi")
+              .select(col("src"), col("dst"), col("label")),
+            replaceParts,
+            Some(rekeyed.join(replDf, Seq("label"), "left_anti")
+              .select(col("src"), col("dst"), col("label")))),
           "labels" -> WholeDelta(labels2))
       }
     }

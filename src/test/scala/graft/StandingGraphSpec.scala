@@ -138,17 +138,22 @@ class StandingGraphSpec extends SparkSpec {
     StandingGraph.bootstrap(base,
       PipelineOps.connectedComponents(base), root)
     val bigDir = s"$root/v=-1/edges/label=1000"
+    val compADir = s"$root/v=-1/edges/label=1"
     val bigFiles = snap(bigDir)
-    // an intra/extending add on comp A: only A's partition rewrites —
-    // 3 edge rows (A's edges after), not 103
+    val compAFiles = snap(compADir)
+    // an extending add on comp A changes no existing row's label, so
+    // it APPENDS exactly the fresh edge — 1 row, and even comp A's
+    // own standing bytes stay untouched (not 3 rows, never 103)
     StandingGraph.absorbBatch(
       Seq(("add", 3L, 4L)).toDF("kind", "src", "dst"), 0L, root)
     val st0 = graft.streaming.PartitionedArtifact.writeStats(
       spark, root, 0L)
-    assert(st0("edges") == 3L, st0.toString)
+    assert(st0("edges") == 1L, st0.toString)
     assert(snap(bigDir) == bigFiles)
-    // a delete that SPLITS comp A: rewrite is A's survivors (1 edge
-    // lands in the new split partition), comp B still untouched
+    assert(snap(compADir) == compAFiles)
+    // a delete that SPLITS comp A: partition 1 is replaced (its
+    // survivors moved out), the surviving edge appends into the new
+    // split partition — 1 row written, comp B still untouched
     StandingGraph.absorbBatch(
       Seq(("del", 2L, -1L)).toDF("kind", "src", "dst"), 1L, root)
     val st1 = graft.streaming.PartitionedArtifact.writeStats(
