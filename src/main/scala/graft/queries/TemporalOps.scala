@@ -1594,13 +1594,18 @@ object TemporalOps {
     // negative value ⇒ bid/ask bounce; spread ≈ 2·√−cov). Exact
     // integer numerator form: prices quantized ×10⁴ (q65/q238
     // contract), cov_num = n·Σ(d_t·d_{t−1}) − Σd_t·Σd_{t−1},
-    // accumulated in DECIMAL(38,0)/HUGEINT INTERNALLY but EMITTED as
-    // BIGINT (q137 overflow-contract style: values fit int64 to
-    // ~10¹² rows/type; the ANSI cast throws loudly past the bound).
-    // Scale-0 DECIMAL output is banned catalog-wide — the driver's
-    // parquet→pandas hash channel renders it float64 (lossy past
-    // 2⁵³: cov_num ≈ −1.05e18 at the gate SF) while DuckDB renders
-    // integer, so value-equal results hash-diverge.
+    // accumulated in DECIMAL(38,0)/HUGEINT and EMITTED as an exact
+    // (sign, hi, lo) int64 TRIPLE — cov = sign·(hi·10¹⁸ + lo). The
+    // n·Σde term scales ~quadratically with rows/type, so a single
+    // BIGINT overflows already at sf0.1 (−1.003e20 — found by this
+    // round's sf0.1 sweep; the ANSI cast threw loudly, as designed).
+    // hi/lo split on the ABSOLUTE value: Spark's DIV/% truncate
+    // toward zero while DuckDB's //% floor, so the decomposition is
+    // only engine-portable on non-negative operands — the sign rides
+    // its own column. Scale-0 DECIMAL output stays banned
+    // catalog-wide — the driver's parquet→pandas hash channel renders
+    // it float64 (lossy past 2⁵³) while DuckDB renders integer, so
+    // value-equal results would hash-diverge.
     //
     // Scale shape: q166's two-phase bucketed pattern GENERALIZED to a
     // lag-2 statistic — a per-type window would funnel |events|/4
@@ -1684,11 +1689,19 @@ object TemporalOps {
           .withColumn("c_sum",
             expr("(pl_g - pf_g) - (pl_g - coalesce(psl_g, pl2_g))"))
           .filter(col("n_pairs") >= 1)
+          .withColumn("cov_full",
+            expr("CAST(n_pairs AS DECIMAL(38,0)) * a_tot - " +
+              "CAST(b_sum AS DECIMAL(38,0)) * c_sum"))
           .select(col("event_type"), col("n_pairs"),
             col("a_tot").cast("long").as("sum_prod"),
-            expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * a_tot - " +
-              "CAST(b_sum AS DECIMAL(38,0)) * c_sum AS BIGINT)")
-              .as("cov_num"))
+            expr("CAST(CASE WHEN cov_full < 0 THEN -1 ELSE 1 END " +
+              "AS BIGINT)").as("cov_sign"),
+            expr("CAST(abs(cov_full) DIV " +
+              "CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)")
+              .as("cov_hi"),
+            expr("CAST(abs(cov_full) % " +
+              "CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)")
+              .as("cov_lo"))
           .orderBy(col("event_type"))
       },
       Some(s"""WITH pu AS (
@@ -1705,13 +1718,23 @@ object TemporalOps {
         |    lag(d) OVER (PARTITION BY event_type
         |      ORDER BY ts_ms, event_id) AS e
         |  FROM d WHERE d IS NOT NULL),
-        |f AS (SELECT * FROM dd WHERE e IS NOT NULL)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(sum(CAST(d AS HUGEINT) * e) AS BIGINT) AS sum_prod,
-        |  CAST(count(*) * sum(CAST(d AS HUGEINT) * e)
-        |    - sum(CAST(d AS HUGEINT)) * sum(CAST(e AS HUGEINT))
-        |    AS BIGINT) AS cov_num
-        |FROM f GROUP BY event_type
+        |f AS (SELECT * FROM dd WHERE e IS NOT NULL),
+        |cov AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |    sum(CAST(d AS HUGEINT) * e) AS sum_prod_h,
+        |    count(*) * sum(CAST(d AS HUGEINT) * e)
+        |      - sum(CAST(d AS HUGEINT)) * sum(CAST(e AS HUGEINT))
+        |      AS cov_full
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(sum_prod_h AS BIGINT) AS sum_prod,
+        |  CAST(CASE WHEN cov_full < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    AS cov_sign,
+        |  CAST(abs(cov_full) // CAST(1000000000000000000 AS HUGEINT)
+        |    AS BIGINT) AS cov_hi,
+        |  CAST(abs(cov_full) % CAST(1000000000000000000 AS HUGEINT)
+        |    AS BIGINT) AS cov_lo
+        |FROM cov
         |ORDER BY event_type""".stripMargin)),
 
     // ------------------------------------------------------------------
