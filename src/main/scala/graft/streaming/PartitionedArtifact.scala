@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
@@ -211,6 +211,18 @@ object PartitionedArtifact {
         (t, p.toLong) -> refs.split(',').toSeq.map(Ref.parse)
       }.toMap
 
+  /** the newest committed manifest's reference-list sizes per
+    * partition of `table` — the fragmentation probe specs assert the
+    * [[maxPartRefs]] compaction ceiling on. */
+  private[graft] def partRefCounts(s: SparkSession, root: String,
+      table: String): Map[Long, Int] =
+    committedVersions(s, root).lastOption match {
+      case Some(v) => readManifest(s, root, v).collect {
+        case ((t, p), refs) if t == table => p -> refs.size
+      }.toMap
+      case None => Map.empty
+    }
+
   /** this version's own written-row counts per table — the
     * machine-checked delta-boundedness counter specs assert on. */
   def writeStats(s: SparkSession, root: String,
@@ -349,10 +361,72 @@ object PartitionedArtifact {
       val prevManifest = prevV
         .map(readManifest(s, root, _)).getOrElse(Map.empty)
       writeVersion(s, root, batchId, specs, prevManifest,
-        absorb(standing, batch, batchId))
+        compactFragmented(standing, prevManifest, specs,
+          absorb(standing, batch, batchId)))
     }
     prune(s, root, batchId)
   }
+
+  /** ref-list ceiling above which a partition compacts — each append
+    * adds one file set per version, so unbounded appends fragment a
+    * hot partition into unbounded reader fan-in. Env
+    * `GRAFT_ARTIFACT_MAX_PART_REFS` / sysprop
+    * `graft.artifact.max.part.refs`; floor 1. */
+  private[graft] def maxPartRefs: Int =
+    math.max(1, sys.env.get("GRAFT_ARTIFACT_MAX_PART_REFS")
+      .orElse(sys.props.get("graft.artifact.max.part.refs"))
+      .map(_.toInt).getOrElse(8))
+
+  /** INLINE COMPACTION — the fragmentation sweep the append channel
+    * needs, folded into the absorb exactly like
+    * [[StandingHllRegisters]]' horizon compaction so it stays a
+    * deterministic function of (predecessor manifest, batch deltas)
+    * and therefore replay-safe: any partition whose reference list
+    * has reached [[maxPartRefs]] is PROMOTED from the append channel
+    * into the replace set for this version — its accumulated file
+    * sets are read once, rewritten as one, and the manifest collapses
+    * to a single reference. Compaction work per batch is bounded by
+    * the partitions that HIT the ceiling (a partition needs
+    * maxPartRefs appends to qualify again), so steady-state overhead
+    * is amortized O(partition size / maxPartRefs) per append — the
+    * classic LSM trade, chosen by the knob. */
+  private def compactFragmented(standing: Standing,
+      prevManifest: Map[(String, Long), Seq[Ref]],
+      specs: Map[String, TableSpec],
+      deltas: Map[String, Delta]): Map[String, Delta] =
+    deltas.map {
+      case (name, PartsDelta(replace, replaced, append)) =>
+        val partCol = specs(name).layout match {
+          case ByPart(c) => c
+          case Whole => null
+        }
+        val frag = prevManifest.collect {
+          case ((t, p), refs)
+            if t == name && refs.size >= maxPartRefs &&
+              !replaced.contains(p) => p
+        }.toSeq.sorted
+        if (partCol == null || frag.isEmpty) name ->
+          PartsDelta(replace, replaced, append)
+        else {
+          val spark = replace.sparkSession
+          val fragDf = broadcast(spark.createDataset(frag)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF(partCol))
+          // fragmented partitions' accumulated rows + any of this
+          // batch's appends aimed at them fold into the replace
+          // channel; remaining appends pass through
+          val folded = standing.readParts(name, frag)
+            .unionByName(append.map(_
+              .join(fragDf, Seq(partCol), "left_semi")
+              .select(specs(name).schema.fieldNames.toSeq.map(col): _*))
+              .getOrElse(standing.readParts(name, Seq.empty)))
+          name -> PartsDelta(
+            replace.select(specs(name).schema.fieldNames.toSeq
+              .map(col): _*).unionByName(folded),
+            (replaced ++ frag).distinct,
+            append.map(_.join(fragDf, Seq(partCol), "left_anti")))
+        }
+      case other => other
+    }
 
   /** Reference-aware pruning: keep the newest [[keepBehind]]+1
     * manifests at or below the batch just written, plus every version

@@ -54,9 +54,12 @@ import PartitionedArtifact.{ByPart, PartsDelta, TableSpec, Whole, WholeDelta}
   * partition counts, the same machinery runs with a label-hash
   * bucket as the partition column — coarser touched sets, identical
   * laws. Append fragmentation (one file set per appending version)
-  * is bounded by the prune window times batch cadence; a deployment
-  * folds a periodic compaction batch (replace = the fragmented
-  * partitions, bit-identical rows) when file counts matter.
+  * is BOUNDED by [[PartitionedArtifact.maxPartRefs]]: a partition
+  * that reaches the reference ceiling compacts inline during the
+  * next absorb — promoted to the replace channel, rewritten as one
+  * file set, manifest collapsed — deterministically, so replays
+  * compact identically (StandingGraphSpec pins the ceiling and the
+  * state equality).
   */
 object StandingGraph {
 

@@ -169,6 +169,35 @@ class StandingGraphSpec extends SparkSpec {
     assert(edges(root) == Set((3L, 4L)) ++ big.toSet)
   }
 
+  test("append fragmentation compacts at the ref ceiling, state intact") {
+    // each pure-insert batch appends one file set to the target
+    // partition; at GRAFT_ARTIFACT_MAX_PART_REFS the partition must
+    // fold back to a single reference (inline, replay-safe), and the
+    // graph must still equal the from-scratch truth
+    System.setProperty("graft.artifact.max.part.refs", "3")
+    try {
+      val root = tmp("sg-compact")
+      StandingGraph.bootstrap(Seq((1L, 2L)).toDF("src", "dst"),
+        PipelineOps.connectedComponents(Seq((1L, 2L)).toDF("src", "dst")),
+        root)
+      // 6 single-edge extending adds onto component 1
+      (0L to 5L).foreach { i =>
+        StandingGraph.absorbBatch(
+          Seq(("add", 2L + i, 3L + i)).toDF("kind", "src", "dst"),
+          i, root)
+      }
+      val refs = graft.streaming.PartitionedArtifact
+        .partRefCounts(spark, root, "edges")
+      assert(refs.nonEmpty && refs.values.max <= 3, refs.toString)
+      assert(edges(root) ==
+        (0L to 6L).map(i => (1L + i, 2L + i)).toSet)
+      val scratch = PipelineOps.connectedComponents(
+          edges(root).toSeq.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(labels(root) == scratch)
+    } finally System.clearProperty("graft.artifact.max.part.refs")
+  }
+
   test("bootstrap seeds the loop from a batch-built graph") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmp("sg-boot")
